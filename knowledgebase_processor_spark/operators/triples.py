@@ -1,0 +1,143 @@
+"""Entity DataFrame -> RDF triple DataFrame, as pure Spark SQL.
+
+The flagship transform (SURVEY.md §2.5).  No Python UDF: the static
+``rdf_schema.KIND_RULES`` table is compiled into one CASE expression per
+entity kind whose branches build arrays of (pred, obj, is_uri, datatype)
+structs, which are then exploded and deduplicated.  ``dropDuplicates`` on
+the triple columns reproduces rdflib's graph set-union semantics
+(reference: processor/rdf_processor.py:57-62) — it is what merges the
+duplicate entities produced by the reference's overlapping extractors.
+
+Scale notes:
+* the whole transform is whole-stage-codegen'd JVM work;
+* the only shuffle is the final dedup.  Because every generated URI embeds
+  its source document id, duplicate triples can only collide within one
+  document, so the dedup keys are prefixed with ``source_doc`` — with the
+  input already partitioned by url-hash the exchange is skew-free, and AQE
+  coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..rdf_schema import (
+    BOOL_COLUMNS, INT_COLUMNS, KB_SOURCE_DOC, KIND_RULES, RDF_TYPE,
+    RDFS_LABEL, RDFS_SEEALSO, XSD_STRING,
+)
+from ..uris import KB
+
+
+def _resolve(col: Column, base: str = KB) -> Column:
+    """Absolute-ize a possibly-relative URI (converter.py:37-40,146-151)."""
+    return F.when(col.contains("://"), col).otherwise(
+        F.concat(F.lit(base.rstrip("/") + "/"), F.regexp_replace(col, "^/+", "")))
+
+
+def _lexical(col_name: str) -> Column:
+    c = F.col(col_name)
+    if col_name in BOOL_COLUMNS:
+        return F.when(c, "true").otherwise("false")
+    if col_name in INT_COLUMNS:
+        return c.cast("string")
+    return c
+
+
+def _triple(pred: str, obj: Column, is_uri: bool, datatype: str | None) -> Column:
+    return F.struct(
+        F.lit(pred).alias("pred"),
+        obj.alias("obj"),
+        F.lit(is_uri).alias("obj_is_uri"),
+        (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias("obj_datatype"),
+    )
+
+
+def _kind_triples(kind: str) -> Column:
+    """Array of candidate triples for one entity kind (nulls filtered out)."""
+    rules = KIND_RULES[kind]
+    scalars: list[Column] = []
+    list_arrays: list[Column] = []
+
+    # rdf:type accumulation over the MRO + base kb:Entity (converter.py:67-85).
+    for t in rules["types"] + [KB + "Entity"]:
+        scalars.append(_triple(RDF_TYPE, F.lit(t), True, None))
+
+    # kb_id -> rdfs:seeAlso self-link (kb_entities.py:15-23).
+    scalars.append(_triple(RDFS_SEEALSO, _resolve(F.col("kb_id")), True, None))
+
+    # source_document_uri -> kb:sourceDocument (kb_entities.py:32-40).
+    scalars.append(F.when(
+        F.col("source_document_uri").isNotNull(),
+        _triple(KB_SOURCE_DOC, _resolve(F.col("source_document_uri")), True, None)))
+
+    # Explicit label, else class fallback chain (converter.py:87,159-177):
+    # a non-null label always emits; the fallback fires when the label is
+    # null or blank, taking the first non-blank fallback field.
+    scalars.append(F.when(F.col("label").isNotNull(),
+                          _triple(RDFS_LABEL, F.col("label"), False, XSD_STRING)))
+    fallback = F.lit(None).cast("string")
+    for fb in reversed([f for f in rules["label_fallbacks"] if f != "label"]):
+        fallback = F.when(
+            F.col(fb).isNotNull() & (F.trim(_lexical(fb)) != ""), _lexical(fb)
+        ).otherwise(fallback)
+    label_blank = F.col("label").isNull() | (F.trim(F.col("label")) == "")
+    scalars.append(F.when(label_blank & fallback.isNotNull(),
+                          _triple(RDFS_LABEL, fallback, False, XSD_STRING)))
+
+    for col, pred, datatype, is_obj, is_list in rules["fields"]:
+        if is_list:
+            # one triple per array element (converter.py:131-141)
+            list_arrays.append(F.coalesce(
+                F.transform(F.col(col), lambda x: F.struct(
+                    F.lit(pred).alias("pred"), x.alias("obj"),
+                    F.lit(False).alias("obj_is_uri"),
+                    F.lit(datatype).alias("obj_datatype"))),
+                F.array()))
+        else:
+            obj = _resolve(F.col(col)) if is_obj else _lexical(col)
+            scalars.append(F.when(F.col(col).isNotNull(),
+                                  _triple(pred, obj, is_obj, None if is_obj else datatype)))
+
+    combined = F.array(*scalars)
+    for lc in list_arrays:
+        combined = F.concat(combined, lc)
+    return F.filter(combined, lambda x: x.isNotNull())
+
+
+def triples_from_entities(entities: DataFrame, dedup: bool = True) -> DataFrame:
+    """Compile KIND_RULES into one exploded triple stream.
+
+    Returns the TRIPLES schema: (subj, pred, obj, obj_is_uri, obj_datatype,
+    source_doc).  Timestamp triples (schema:dateCreated/Modified) are not
+    emitted — the reference's own comparison strips them
+    (tests/test_specifications.py:59-77).
+    """
+    case = None
+    for kind in KIND_RULES:
+        branch = _kind_triples(kind)
+        case = F.when(F.col("kind") == kind, branch) if case is None \
+            else case.when(F.col("kind") == kind, branch)
+
+    exploded = (
+        entities
+        .select(
+            _resolve(F.col("kb_id")).alias("subj"),
+            F.col("source_document_uri").alias("source_doc"),
+            F.explode(case).alias("t"),
+        )
+        .select(
+            "subj",
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.obj_is_uri").alias("obj_is_uri"),
+            F.col("t.obj_datatype").alias("obj_datatype"),
+            "source_doc",
+        )
+    )
+    if not dedup:
+        return exploded
+    # Graph set semantics.  source_doc leads the keys: URIs are doc-scoped
+    # (uris.py), so duplicates only collide within a document and the
+    # shuffle hash-distributes by document first.
+    return exploded.dropDuplicates(
+        ["source_doc", "subj", "pred", "obj", "obj_is_uri", "obj_datatype"])
