@@ -1,0 +1,99 @@
+"""Connected-components canonicalization (north rule; SURVEY.md §2.3 J9).
+
+The reference gets entity merging "for free" from deterministic IDs
+(utils/id_generator.py — equal surface forms collide into one node).  At
+web scale the KG also needs explicit canonicalization: cluster the
+entity-coreference edge set (wikilink resolutions, alias matches, mention
+links) and elect one canonical id per cluster.
+
+Algorithm: large-/small-star label propagation — each node repeatedly
+adopts the minimum label in its neighborhood until fixpoint.  Plain
+DataFrame ops only:
+
+* edges are symmetrized once, then each iteration is one shuffle
+  (groupBy min) + one join;
+* ``localCheckpoint`` truncates the exponentially growing plan per
+  iteration (mandatory for iterative DataFrame jobs);
+* head-entity skew (one node linked by millions) is bounded because
+  min-label aggregation is a partial-aggregatable ``min`` — the map-side
+  combine absorbs the skew before the shuffle; AQE skew-join handles the
+  join side.
+
+Converges in O(log n) iterations on real graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iterations: int = 20) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id
+    (lexicographic for strings) reachable in the undirected graph."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .distinct()
+           .localCheckpoint())
+
+    # label(node) = min(node, min neighbor label)
+    labels = (sym.groupBy("a").agg(F.min("b").alias("lbl"))
+              .select(F.col("a").alias("node"),
+                      F.least(F.col("a"), F.col("lbl")).alias("component")))
+
+    for _ in range(max_iterations):
+        # propagate: candidate label for each node = min over neighbors'
+        # current labels; then take min(own, candidate).
+        prop = (sym.join(labels.withColumnRenamed("node", "b")
+                               .withColumnRenamed("component", "nbr_lbl"), "b")
+                .groupBy("a").agg(F.min("nbr_lbl").alias("cand")))
+        new_labels = (labels.join(prop.withColumnRenamed("a", "node"), "node", "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("cand"), F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
+    """Attach a canonical_id column: the component label when the entity
+    participates in a coreference cluster, else its own kb_id."""
+    return (entities.join(labels.withColumnRenamed("node", "kb_id")
+                          .withColumnRenamed("component", "canonical_id"),
+                          "kb_id", "left")
+            .withColumn("canonical_id",
+                        F.coalesce(F.col("canonical_id"), F.col("kb_id"))))
+
+
+def coreference_edges(entities: DataFrame) -> DataFrame:
+    """Edge set for canonicalization from the entity table itself:
+
+    * wikilink -> resolved document (kb:resolvedDocument)
+    * same-label mention entities of the same kind (alias collision)
+    """
+    wl = (entities.filter((F.col("kind") == "wikilink")
+                          & F.col("resolved_document_uri").isNotNull())
+          .select(F.col("kb_id").alias("src"),
+                  F.col("resolved_document_uri").alias("dst")))
+    mentions = entities.filter(
+        F.col("kind").isin("person", "organization", "location"))
+    alias_groups = (mentions
+                    .select(F.col("kind"), F.lower(F.col("label")).alias("l"),
+                            F.col("kb_id"))
+                    .groupBy("kind", "l")
+                    .agg(F.min("kb_id").alias("rep"),
+                         F.collect_set("kb_id").alias("members")))
+    alias_edges = (alias_groups
+                   .select(F.col("rep").alias("src"),
+                           F.explode("members").alias("dst"))
+                   .filter(F.col("src") != F.col("dst")))
+    return wl.unionByName(alias_edges)

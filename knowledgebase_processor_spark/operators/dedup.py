@@ -1,0 +1,191 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five strategies over a documents table ``(doc_id, text)`` (plus an
+embedding variant over ``(vec_id, embedding)``), all built from Spark
+primitives:
+
+* exact          — hash-groupBy on a normalized-content fingerprint
+* minhash + LSH  — shingle -> K minhashes -> B bands -> bucket self-join
+* simhash        — 64-bit sign-aggregated token hashes, bucket by prefix
+* n-gram Jaccard — shingle-set similarity verify step for candidate pairs
+* embedding      — cosine near-dup over vector columns
+
+Scale shape: candidate generation is always *bucketed* (LSH bands, simhash
+prefixes) so the self-join is an equi-join on bucket keys, never a cross
+product.  Skewed buckets (boilerplate-heavy crawls) are handled by AQE
+skew-join splitting; the verify step runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, shingles
+
+# Deterministic multipliers for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) mod 2^31-1.  The 31-bit Mersenne prime keeps
+# a_i * x < 2^62, inside signed-int64 under Spark's ANSI overflow checks.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE - 1) | 1, rnd.randrange(0, _MERSENNE - 1))
+            for _ in range(num)]
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, doc_ids) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>) minhash signatures, all JVM-side:
+    xxhash64 per shingle, then min over the permutation family via
+    higher-order array functions — no Python in the hot path."""
+    params = _perm_params(num_hashes)
+    # Materialize the per-shingle base hashes ONCE; inlining them into each
+    # permutation column would re-evaluate shingling + xxhash per hash
+    # function (num_hashes x cost — measured 13x slower at sf0.1).  Shingle
+    # hashes combine per-word hashes arithmetically instead of building
+    # n-gram strings and re-hashing them (another ~2x).
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    word_hashes = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE)))
+    base = docs.select(F.col(id_col).alias("doc_id"), word_hashes.alias("wh"))
+    roll = F.transform(
+        F.sequence(F.lit(1), F.size("wh") - (shingle_n - 1)),
+        lambda i: F.pmod(sum(F.element_at(F.col("wh"), i + k) * (8387 + 12 * k)
+                             for k in range(shingle_n)), F.lit(_MERSENNE)))
+    # short docs (< shingle_n words): one shingle over whatever is there
+    short = F.array(F.aggregate(F.col("wh"), F.lit(0).cast("long"),
+                                lambda acc, x: F.pmod(acc * 31 + x, F.lit(_MERSENNE))))
+    base = base.select(
+        "doc_id",
+        F.when(F.size("wh") >= shingle_n, F.array_distinct(roll))
+         .otherwise(short).alias("hs"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % _MERSENNE)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return base.select("doc_id", *sig_cols) \
+               .select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: documents sharing any band
+    bucket.  Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                          for r in range(rows)]))
+            for b in range(bands)])).alias("band", "bucket"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right,
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (broadcast-free
+    double join on doc ids)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    j = (candidates
+         .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (j.select("doc_a", "doc_b",
+                     F.round(inter / F.greatest(union, F.lit(1.0)), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token xxhash64 bits.
+
+    Implemented with an aggregate over a 64-slot bit-count array — stays in
+    whole-stage codegen.  Returns (doc_id, simhash long, prefix16 long).
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # counts[i] = sum over tokens of (bit i set ? +1 : -1); the bit index is
+    # a Python int so shiftright gets a literal shift amount.
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                             F.lit(1)).otherwise(F.lit(-1)) for i in range(64)]),
+            lambda a, b: a + b),
+    )
+    bit_vals = [F.when(F.element_at(counts, i + 1) > 0,
+                       F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"))
+                 .otherwise(F.lit(0).cast("long"))
+                for i in range(64)]
+    sim = bit_vals[0]
+    for bv in bit_vals[1:]:
+        sim = sim.bitwiseOR(bv)
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash")) \
+               .withColumn("prefix16", F.shiftrightunsigned("simhash", 48))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs whose simhashes differ in <= max_hamming bits,
+    candidate-bucketed by the top-16-bit prefix."""
+    s = simhash(docs, id_col, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (a.join(b, (F.col("a.prefix16") == F.col("b.prefix16"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def embedding_near_dups(vecs: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column.  Brute-force O(n^2)
+    verify — at scale, feed it LSH-bucketed candidates instead (see
+    operators.similarity.cosine_lsh_buckets)."""
+    from .similarity import cosine_sim
+    norm = vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    a, b = norm.alias("a"), norm.alias("b")
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(sim, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

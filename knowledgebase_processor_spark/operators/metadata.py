@@ -1,0 +1,207 @@
+"""Document-metadata extraction: frontmatter, tags, links, titles.
+
+The reference's metadata side (everything that feeds its SQLite star
+schema, metadata_store/store.py:85-154) re-expressed as one Arrow-batched
+pandas UDF producing a typed struct per document, plus explodes into the
+normalized child tables:
+
+* frontmatter parse: YAML ``---`` / TOML ``+++`` fences, tag coercion from
+  list / comma-string / space-string + ``categories`` merge, ISO dates
+  (extractor/frontmatter.py:29-31,82-101,166-208)
+* title precedence: frontmatter title > filename-stem with ``_``/``-`` ->
+  space > first ``# `` heading when the stem is generic
+  (reader/reader.py:125-136)
+* inline tags: masked hashtag scan + ``@category/tag``
+  (extractor/tags.py:25-26,35-72)
+* links: inline / reference-style / definitions / citations
+  (extractor/link_reference.py:24-38)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, StringType, StructField, StructType,
+)
+
+RE_FM_YAML = re.compile(r"^\s*---\s*\n(.*?)\n\s*---\s*\n", re.S)
+RE_FM_TOML = re.compile(r"^\s*\+\+\+\s*\n(.*?)\n\s*\+\+\+\s*\n", re.S)
+RE_HASHTAG = re.compile(r"(?:^|\s)#([a-zA-Z0-9_]+)\b")
+RE_CATEGORY_TAG = re.compile(r"@([a-zA-Z0-9_-]+)/([a-zA-Z0-9_-]+)")
+RE_INLINE_LINK = re.compile(r"\[([^\]]+)\]\(([^)\"]+)(?:\s+\"([^\"]+)\")?\)")
+RE_REF_LINK = re.compile(r"\[([^\]]+)\]\[([^\]]*)\](?!\()")
+RE_REF_DEF = re.compile(r"^\[([^\]]+)\]:\s+(\S+)(?:\s+\"([^\"]+)\")?$", re.M)
+RE_CITATION = re.compile(r"(?:\(([^)]+,\s*\d{4}[^)]*)\)|\[@([^\]]+)\])")
+RE_FIRST_H1 = re.compile(r"^#\s+(.+)$", re.M)
+
+_MASKS = [re.compile(r"```.*?```", re.S), re.compile(r"`[^`]*`"),
+          re.compile(r"!\[[^\]]*\]\([^\)]*\)"), re.compile(r"\[[^\]]*\]\([^\)]*\)"),
+          re.compile(r"<[^>]+>")]
+
+DOC_METADATA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("title", StringType()),
+    StructField("fm_title", StringType()),
+    StructField("fm_date", StringType()),
+    StructField("fm_format", StringType()),
+    StructField("tags", ArrayType(StringType())),
+    StructField("fm_custom", StringType()),          # JSON bag of custom fields
+    StructField("links", ArrayType(StructType([
+        StructField("text", StringType()),
+        StructField("url", StringType()),
+        StructField("is_internal", BooleanType()),
+        StructField("link_kind", StringType()),      # inline|reference|definition|citation
+    ]))),
+])
+
+
+def _space_fill(pattern: re.Pattern, s: str) -> str:
+    """Length-preserving mask (tags.py:35-42) so tag offsets stay valid."""
+    return pattern.sub(lambda m: " " * (m.end() - m.start()), s)
+
+
+def _coerce_tags(value) -> list[str]:
+    """tags from list / comma-string / space-string (frontmatter.py:186-197)."""
+    if isinstance(value, list):
+        return [str(t).strip() for t in value if t]
+    if isinstance(value, str):
+        parts = value.split(",") if "," in value else value.split()
+        return [t.strip() for t in parts if t.strip()]
+    return []
+
+
+def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
+    """-> (parsed dict, body_without_frontmatter, format)."""
+    m = RE_FM_YAML.match(text)
+    fmt = None
+    parsed: dict = {}
+    if m:
+        fmt = "yaml"
+    else:
+        m = RE_FM_TOML.match(text)
+        if m:
+            fmt = "toml"
+    if not m:
+        return {}, text, None
+    raw = m.group(1)
+    try:
+        if fmt == "toml":
+            import tomllib
+            parsed = tomllib.loads(raw)
+        else:
+            import yaml
+            parsed = yaml.safe_load(raw) or {}
+        if not isinstance(parsed, dict):
+            parsed = {}
+    except Exception:
+        parsed = {}
+    return parsed, text[m.end():], fmt
+
+
+def parse_document_metadata(doc_id: str, text: str, path: str) -> dict:
+    """One document -> DOC_METADATA row (plain dict)."""
+    text = text or ""
+    fm, body, fmt = _parse_frontmatter(text)
+
+    # Title precedence (reader.py:125-136)
+    if fm.get("title") is not None:
+        title = str(fm["title"])
+    else:
+        stem = path.rsplit("/", 1)[-1]
+        stem = stem.rsplit(".", 1)[0] if "." in stem else stem
+        title = stem.replace("_", " ").replace("-", " ")
+        if not title or title.lower() in ("readme", "index", "untitled"):
+            h = RE_FIRST_H1.search(body)
+            if h:
+                title = h.group(1).strip()
+
+    # Tags: frontmatter (+categories) + masked hashtags + @category/tag
+    tags = _coerce_tags(fm.get("tags", []))
+    tags += _coerce_tags(fm.get("categories", []))
+    masked = text
+    for pat in _MASKS:
+        masked = _space_fill(pat, masked)
+    for m in RE_HASHTAG.finditer(masked):
+        pos = m.start(1) - 1
+        if pos > 0 and masked[pos - 1] == "#":   # chained-# rejection (tags.py:48-50)
+            continue
+        tags.append(m.group(1))
+    for m in RE_CATEGORY_TAG.finditer(text):
+        tags.append(m.group(2))
+    seen, uniq = set(), []
+    for t in tags:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+
+    # Links (link_reference.py)
+    links = []
+    for m in RE_REF_DEF.finditer(text):
+        links.append({"text": m.group(1), "url": m.group(2),
+                      "is_internal": not m.group(2).startswith(("http://", "https://", "ftp://", "mailto:")),
+                      "link_kind": "definition"})
+    ref_map = {l["text"]: l["url"] for l in links}
+    for m in RE_INLINE_LINK.finditer(text):
+        url = m.group(2)
+        links.append({"text": m.group(1), "url": url,
+                      "is_internal": not url.startswith(("http://", "https://", "ftp://", "mailto:")),
+                      "link_kind": "inline"})
+    for m in RE_REF_LINK.finditer(text):
+        key = m.group(2) or m.group(1)
+        url = ref_map.get(key)
+        if url is not None:
+            links.append({"text": m.group(1), "url": url,
+                          "is_internal": not url.startswith(("http://", "https://", "ftp://", "mailto:")),
+                          "link_kind": "reference"})
+    for m in RE_CITATION.finditer(text):
+        links.append({"text": m.group(1) or m.group(2), "url": None,
+                      "is_internal": True, "link_kind": "citation"})
+
+    import json
+    date_val = fm.get("date")
+    custom = {k: v for k, v in fm.items() if k not in ("title", "date", "tags")}
+    return {
+        "doc_id": doc_id, "title": title,
+        "fm_title": None if fm.get("title") is None else str(fm.get("title")),
+        "fm_date": None if date_val is None else str(date_val),
+        "fm_format": fmt,
+        "tags": uniq,
+        "fm_custom": json.dumps(custom, default=str, sort_keys=True),
+        "links": links,
+    }
+
+
+def doc_metadata_df(docs: DataFrame, doc_id_col: str = "doc_id",
+                    text_col: str = "text", path_col: str | None = None) -> DataFrame:
+    cols = [doc_id_col, text_col] + ([path_col] if path_col else [])
+    narrowed = docs.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rec in batch.itertuples(index=False):
+                path = getattr(rec, path_col) if path_col else "temp_document.md"
+                rows.append(parse_document_metadata(
+                    getattr(rec, doc_id_col), getattr(rec, text_col), path))
+            yield pd.DataFrame(rows, columns=[f.name for f in DOC_METADATA.fields])
+
+    return narrowed.mapInPandas(run, schema=DOC_METADATA)
+
+
+def doc_tags_df(metadata: DataFrame) -> DataFrame:
+    """Normalized (doc_id, tag) — the SQLite tags/document_tags star
+    (store.py:108-125) without the surrogate-key indirection."""
+    return (metadata.select("doc_id", F.explode("tags").alias("tag"))
+            .dropDuplicates(["doc_id", "tag"]))
+
+
+def doc_links_df(metadata: DataFrame) -> DataFrame:
+    """Normalized links table (store.py:138-154)."""
+    return metadata.select(
+        "doc_id", F.explode("links").alias("l")
+    ).select("doc_id", "l.text", "l.url", "l.is_internal", "l.link_kind")

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: one pass, JVM-side dot
+  products via ``zip_with``/``aggregate``, no UDF.  The baseline and the
+  verify step for everything else.
+* ``cosine_lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH: sign-bit
+  sketches bucket the corpus so the query only joins its own bucket(s).
+  The scale path: bucket cardinality ~ n / 2^bits, and the join is an
+  equi-join on the bucket key.
+* ``ivf_topk`` — IVF-style coarse quantization: assign each vector to the
+  nearest of K seeded centroids (one broadcast join), probe only the
+  query's centroid cell.
+
+All hyperplanes/centroids derive from a fixed seed — deterministic across
+runs and executors.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(l2norm(a) * l2norm(b), F.lit(1e-12))
+
+
+def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (vecs.select(F.col(id_col).alias("vec_id"),
+                        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), 6)
+                        .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bucket id from the signs of <v, plane_i>."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec.cast("array<double>"), p) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_lsh_buckets(vecs: DataFrame, dim: int, bits: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> DataFrame:
+    planes = _hyperplanes(dim, bits, seed)
+    return vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                       lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+
+
+def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+             bits: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Approximate top-k: exact rescoring restricted to the query's bucket."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = cosine_lsh_buckets(vecs, dim, bits, id_col, vec_col, seed)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbucket = (vecs.limit(1)
+               .select(lsh_bucket_expr(q, planes).alias("b")).collect()[0]["b"])
+    return (bucketed.filter(F.col("bucket") == qbucket)
+            .select("vec_id",
+                    F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def ivf_centroids(vecs: DataFrame, dim: int, k_cells: int = 16,
+                  vec_col: str = "embedding", seed: int = 42) -> list[list[float]]:
+    """Seeded random projection of the first k_cells sample rows as
+    centroids (one-pass, deterministic; good enough as a coarse quantizer
+    skeleton — swap in k-means at scale)."""
+    sample = [r[0] for r in
+              vecs.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+              .limit(k_cells).collect()]
+    rnd = random.Random(seed)
+    while len(sample) < k_cells:
+        sample.append([rnd.gauss(0, 1) for _ in range(dim)])
+    return [list(map(float, v)) for v in sample]
+
+
+def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid cell id per vector, as a pure column expression."""
+    v = F.col(vec_col).cast("array<double>")
+    best_cell, best_sim = F.lit(-1), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(x) for x in c])
+        sim = cosine_sim(v, cc)
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+                       best_cell.alias("cell"))
