@@ -458,3 +458,40 @@ def extract_entities(doc_id: str, content: str,
             eid_to_uri[el["eid"]] = ent["kb_id"]
 
     return entities
+
+
+def extract_entities_merged(doc_id: str, content: str,
+                            original_path: str = "temp_document.md",
+                            title: str = "Temporary Document") -> List[Dict[str, Any]]:
+    """extract_entities + per-document duplicate-entity merge.
+
+    Because every generated URI is document-scoped (uris.py §ADR-0013),
+    duplicate KG nodes can only collide within one document — so rdflib's
+    corpus-wide triple-set dedup is exactly a per-document merge, done here
+    in-process for a few dozen entities per doc.  Each varying field
+    becomes an ordered-distinct LIST of its non-null values (multi-valued
+    properties like the doubled kb:positionEnd in the goldens fall out
+    naturally).  Downstream the pipeline needs NO dedup shuffle at all.
+    """
+    merged: Dict[tuple, Dict[str, Any]] = {}
+    for ent in extract_entities(doc_id, content, original_path, title):
+        key = (ent["kind"], ent["kb_id"])
+        slot = merged.get(key)
+        if slot is None:
+            slot = {"kind": ent["kind"], "kb_id": ent["kb_id"],
+                    "source_document_uri": ent["source_document_uri"]}
+            for f in ENTITY_FIELDS:
+                if f not in ("kind", "kb_id", "source_document_uri"):
+                    slot[f] = []
+            merged[key] = slot
+        for f in ENTITY_FIELDS:
+            if f in ("kind", "kb_id", "source_document_uri"):
+                continue
+            v = ent[f]
+            if v is None:
+                continue
+            values = v if f == "headers" else [v]
+            for item in values:
+                if item not in slot[f]:
+                    slot[f].append(item)
+    return list(merged.values())

@@ -17,8 +17,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from ..extract.core import ENTITY_FIELDS, extract_entities
-from ..schema import ENTITIES
+from ..extract.core import ENTITY_FIELDS, extract_entities, extract_entities_merged
+from ..schema import ENTITIES, ENTITIES_MERGED
 
 _INT_FIELDS = {"level", "item_count", "row_count", "column_count",
                "line_count", "position_start", "position_end"}
@@ -73,3 +73,41 @@ def extract_entities_df(
             yield _to_frame(rows)
 
     return narrowed.mapInPandas(run, schema=ENTITIES)
+
+
+def extract_merged_entities_df(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    path_col: str | None = None,
+    title_col: str | None = None,
+) -> DataFrame:
+    """Like extract_entities_df but with per-document duplicate-entity
+    merging done in-process (extract.core.extract_entities_merged), so the
+    output needs no dedup shuffle — every varying field is an array.
+    Errors are dropped here (they carry no mergeable fields); use
+    extract_entities_df when the error side-channel matters.
+    """
+    merged_fields = [f.name for f in ENTITIES_MERGED.fields]
+    cols = [doc_id_col, text_col]
+    if path_col:
+        cols.append(path_col)
+    if title_col:
+        cols.append(title_col)
+    narrowed = docs.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[dict] = []
+            for rec in batch.itertuples(index=False):
+                doc_id = getattr(rec, doc_id_col)
+                text = getattr(rec, text_col) or ""
+                path = getattr(rec, path_col) if path_col else "temp_document.md"
+                title = getattr(rec, title_col) if title_col else "Temporary Document"
+                try:
+                    rows.extend(extract_entities_merged(doc_id, text, path, title))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=merged_fields)
+
+    return narrowed.mapInPandas(run, schema=ENTITIES_MERGED)

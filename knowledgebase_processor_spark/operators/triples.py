@@ -104,6 +104,124 @@ def _kind_triples(kind: str) -> Column:
     return F.filter(combined, lambda x: x.isNotNull())
 
 
+def merge_entities(entities: DataFrame) -> DataFrame:
+    """Collapse duplicate extractions of one KG node BEFORE triple
+    explosion: group by (kind, kb_id, source doc), packing the variable
+    fields into ONE struct and collect_list-ing it (a single cheap agg
+    buffer instead of 25 collect_sets — measured ~1.6x on the agg stage).
+    Per-field distinct value arrays are derived from the struct list
+    afterward with JVM array functions.  Because every generated URI is
+    document-scoped (uris.py), this merge is exactly rdflib's triple-set
+    dedup, at one row per *entity* instead of one per *triple* in the
+    shuffle (~30x fewer rows), and the explosion needs no further dedup.
+    Group cardinality is bounded by the extractor-overlap count (<= 3
+    duplicate extractions per logical element), so collect_list buffers
+    stay tiny and the partial agg absorbs them map-side."""
+    varying = [c for c in entities.columns
+               if c not in ("kind", "kb_id", "source_document_uri")]
+    packed = entities.select(
+        "kind", "kb_id", "source_document_uri",
+        F.struct(*varying).alias("e"))
+    merged = packed.groupBy("kind", "kb_id", "source_document_uri") \
+                   .agg(F.collect_list("e").alias("es"))
+    def _getter(name):
+        # NB: a default-arg lambda (lambda x, _f=name: ...) would be seen
+        # by PySpark's HOF binder as a binary (element, index) lambda.
+        return lambda x: x[name]
+
+    field_cols = []
+    for f in varying:
+        if f == "headers":
+            vals = F.array_distinct(F.flatten(F.filter(
+                F.transform(F.col("es"), _getter("headers")),
+                lambda v: v.isNotNull())))
+        else:
+            vals = F.array_distinct(F.filter(
+                F.transform(F.col("es"), _getter(f)),
+                lambda v: v.isNotNull()))
+        field_cols.append(vals.alias(f))
+    return merged.select("kind", "kb_id", "source_document_uri", *field_cols)
+
+
+def _merged_lexical(col_name: str, x: Column) -> Column:
+    if col_name in BOOL_COLUMNS:
+        return F.when(x, "true").otherwise("false")
+    if col_name in INT_COLUMNS:
+        return x.cast("string")
+    return x
+
+
+def _kind_triples_merged(kind: str) -> Column:
+    """_kind_triples over a merged (array-valued) entity row."""
+    rules = KIND_RULES[kind]
+    scalars: list[Column] = []
+    arrays: list[Column] = []
+
+    for t in rules["types"] + [KB + "Entity"]:
+        scalars.append(_triple(RDF_TYPE, F.lit(t), True, None))
+    scalars.append(_triple(RDFS_SEEALSO, _resolve(F.col("kb_id")), True, None))
+    scalars.append(F.when(
+        F.col("source_document_uri").isNotNull(),
+        _triple(KB_SOURCE_DOC, _resolve(F.col("source_document_uri")), True, None)))
+
+    # all non-null labels emit; class fallback fires only when none of them
+    # is non-blank (converter.py:87,159-177 collapsed over the merged set)
+    arrays.append(F.transform(
+        F.col("label"), lambda x: F.struct(
+            F.lit(RDFS_LABEL).alias("pred"), x.alias("obj"),
+            F.lit(False).alias("obj_is_uri"),
+            F.lit(XSD_STRING).alias("obj_datatype"))))
+    has_label = F.exists(F.col("label"), lambda x: F.trim(x) != "")
+    fallback = F.lit(None).cast("string")
+    for fb in reversed([f for f in rules["label_fallbacks"] if f != "label"]):
+        first_ok = F.element_at(
+            F.filter(F.transform(F.col(fb), lambda x: _merged_lexical(fb, x)),
+                     lambda s: F.trim(s) != ""), 1)
+        fallback = F.coalesce(first_ok, fallback)
+    scalars.append(F.when(~has_label & fallback.isNotNull(),
+                          _triple(RDFS_LABEL, fallback, False, XSD_STRING)))
+
+    for col, pred, datatype, is_obj, is_list in rules["fields"]:
+        values = F.col(col)   # merged: always an array (headers flattened)
+        if is_obj:
+            arrays.append(F.transform(values, lambda x: F.struct(
+                F.lit(pred).alias("pred"), _resolve(x).alias("obj"),
+                F.lit(True).alias("obj_is_uri"),
+                F.lit(None).cast("string").alias("obj_datatype"))))
+        else:
+            arrays.append(F.transform(values, lambda x: F.struct(
+                F.lit(pred).alias("pred"), _merged_lexical(col, x).alias("obj"),
+                F.lit(False).alias("obj_is_uri"),
+                F.lit(datatype).alias("obj_datatype"))))
+
+    combined = F.array(*scalars)
+    for arr in arrays:
+        combined = F.concat(combined, F.coalesce(arr, F.array()))
+    return F.filter(combined, lambda x: x.isNotNull())
+
+
+def triples_from_merged(entities: DataFrame) -> DataFrame:
+    """merge_entities + explosion; output is already duplicate-free."""
+    return explode_merged(merge_entities(entities))
+
+
+def explode_merged(merged: DataFrame) -> DataFrame:
+    """Merged (array-valued) entities -> triples.  No dedup needed: the
+    per-field arrays are already distinct."""
+    case = None
+    for kind in KIND_RULES:
+        branch = _kind_triples_merged(kind)
+        case = F.when(F.col("kind") == kind, branch) if case is None \
+            else case.when(F.col("kind") == kind, branch)
+    return (merged.select(
+        _resolve(F.col("kb_id")).alias("subj"),
+        F.col("source_document_uri").alias("source_doc"),
+        F.explode(case).alias("t"))
+        .select("subj", F.col("t.pred").alias("pred"), F.col("t.obj").alias("obj"),
+                F.col("t.obj_is_uri").alias("obj_is_uri"),
+                F.col("t.obj_datatype").alias("obj_datatype"), "source_doc"))
+
+
 def triples_from_entities(entities: DataFrame, dedup: bool = True) -> DataFrame:
     """Compile KIND_RULES into one exploded triple stream.
 

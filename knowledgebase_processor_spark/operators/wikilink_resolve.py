@@ -3,78 +3,85 @@
 The reference resolves each wikilink with three in-memory dict lookups on a
 corpus-wide registry (utils/document_registry.py:45-74): exact
 original_path, then path-without-extension, then
-basename-without-extension.  The registry is tiny relative to the corpus
-text (one row per document), so at any scale this is a classic broadcast
-dimension join: three left joins collapsed into one join against a
-key-exploded dimension with a precedence-ranked coalesce.
+basename-without-extension.  The registry is one row per document — a
+classic broadcast dimension.
 
-Registration order ties break "first registered wins" in the reference
-(register_document skips re-registration, document_registry.py:25-27); we
-reproduce that with a min-by over a stable registration rank when the
-dimension is built from a DataFrame (its row order).
+Plan shape matters here: the resolution is three chained broadcast LEFT
+joins applied to the WHOLE entities frame with a kind-guarded join
+condition (non-wikilink rows simply never match), so the extraction UDF's
+lineage is never split/unioned — one MapInPandas in the final plan, zero
+shuffles on the fact side.  The dimension is derived from the documents
+input directly (id + path are known pre-extraction), not from the entity
+output, so building it costs a metadata-narrow scan, not a second
+extraction pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
-def documents_dimension(entities: DataFrame) -> DataFrame:
-    """(match_key, priority, kb_id) dimension from document entities.
+def documents_dimension(docs: DataFrame, doc_id_col: str = "doc_id",
+                        path_col: str | None = None) -> DataFrame:
+    """(match_key, priority, target_kb_id) from the documents input.
 
-    priority: 0 = original_path, 1 = path_without_extension, 2 = basename.
-    Duplicate keys keep the first-seen document (registry semantics).
+    priority: 0 = original_path, 1 = path_without_extension, 2 = basename
+    without extension.  Key collisions keep the LAST registered document —
+    plain dict-assign overwrite in the reference registry
+    (document_registry.py:30-37; only duplicate kb_ids short-circuit).
     """
-    docs = (
-        entities.filter(F.col("kind") == "document")
-        .select(
-            "kb_id", "original_path", "path_without_extension",
-            F.regexp_extract(
-                F.element_at(F.split(F.col("original_path"), "/"), -1),
-                r"^(.*?)(?:\.[^.]*)?$", 1).alias("basename_without_extension"),
-            F.monotonically_increasing_id().alias("reg_rank"),
-        )
-    )
-    keyed = docs.select(
+    path = F.col(path_col) if path_col else F.lit("temp_document.md")
+    d = docs.select(
+        F.col(doc_id_col).alias("target_kb_id"),
+        path.alias("original_path"),
+        F.regexp_replace(path, r"\.[^./]*$", "").alias("path_without_extension"),
+        F.monotonically_increasing_id().alias("reg_rank"),
+    ).withColumn(
+        "basename_without_extension",
+        F.regexp_extract(F.element_at(F.split(F.col("original_path"), "/"), -1),
+                         r"^(.*?)(?:\.[^.]*)?$", 1))
+    keyed = d.select(
         F.explode(F.array(
             F.struct(F.col("original_path").alias("match_key"), F.lit(0).alias("priority")),
             F.struct(F.col("path_without_extension").alias("match_key"), F.lit(1).alias("priority")),
             F.struct(F.col("basename_without_extension").alias("match_key"), F.lit(2).alias("priority")),
-        )).alias("k"),
-        "kb_id", "reg_rank",
-    ).select("k.match_key", "k.priority", "kb_id", "reg_rank")
-    # first-registered wins per (match_key, priority) — dict overwrite is
-    # last-wins for basename? No: register_document returns early only for
-    # duplicate kb_id; same basename from different docs overwrites, i.e.
-    # LAST registered wins (document_registry.py:30-37 plain dict assign).
-    w = Window.partitionBy("match_key", "priority").orderBy(F.col("reg_rank").desc())
-    return (keyed
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "reg_rank"))
+        )).alias("k"), "target_kb_id", "reg_rank",
+    ).select("k.match_key", "k.priority", "target_kb_id", "reg_rank")
+    per_key = (keyed.groupBy("match_key", "priority")
+               .agg(F.max_by("target_kb_id", "reg_rank").alias("target_kb_id")))
+    # Pivot the 3 priorities into one row per match_key so resolution is a
+    # SINGLE broadcast join (each extra broadcast is a separate serial
+    # driver-side job — measured ~0.5s apiece in local mode).
+    return (per_key.groupBy("match_key")
+            .agg(F.max(F.when(F.col("priority") == 0, F.col("target_kb_id"))).alias("t0"),
+                 F.max(F.when(F.col("priority") == 1, F.col("target_kb_id"))).alias("t1"),
+                 F.max(F.when(F.col("priority") == 2, F.col("target_kb_id"))).alias("t2")))
 
 
-def resolve_wikilinks(entities: DataFrame) -> DataFrame:
-    """Fill wikilink.resolved_document_uri via broadcast 3-key lookup.
-
-    Three chained broadcast left joins (exact path, path-sans-ext,
-    basename) with a precedence coalesce — shuffle-free on the fact side,
-    exactly the lookup cascade of find_document_by_path
-    (document_registry.py:58-74).
-    """
-    dim = documents_dimension(entities)
-    links = entities.filter(F.col("kind") == "wikilink").drop("resolved_document_uri")
-    others = entities.filter(F.col("kind") != "wikilink")
-
-    for prio in (0, 1, 2):
-        side = (dim.filter(F.col("priority") == prio)
-                   .select(F.col("match_key").alias(f"mk{prio}"),
-                           F.col("kb_id").alias(f"target{prio}")))
-        links = links.join(F.broadcast(side),
-                           on=F.col("target_path") == F.col(f"mk{prio}"),
-                           how="left").drop(f"mk{prio}")
-    resolved = links.withColumn(
+def resolve_wikilinks_merged(entities: DataFrame, dim: DataFrame) -> DataFrame:
+    """resolve_wikilinks over the pre-merged (array-valued) entity frame:
+    a wikilink carries exactly one target_path, so the join key is its
+    single element and the resolved URI lands as a one-element array."""
+    cond = ((F.col("kind") == "wikilink")
+            & (F.try_element_at(F.col("target_path"), F.lit(1)) == F.col("match_key")))
+    out = entities.join(F.broadcast(dim), on=cond, how="left")
+    hit = F.coalesce("t0", "t1", "t2")
+    return (out.withColumn(
         "resolved_document_uri",
-        F.coalesce("target0", "target1", "target2"),
-    ).drop("target0", "target1", "target2")
-    return others.unionByName(resolved.select(*others.columns))
+        F.when((F.col("kind") == "wikilink") & hit.isNotNull(), F.array(hit))
+         .otherwise(F.col("resolved_document_uri")))
+        .drop("match_key", "t0", "t1", "t2"))
+
+
+def resolve_wikilinks(entities: DataFrame, dim: DataFrame) -> DataFrame:
+    """Fill wikilink.resolved_document_uri via the 3-key lookup cascade
+    (find_document_by_path, document_registry.py:58-74) — one broadcast
+    left join with a precedence coalesce, single lineage, shuffle-free."""
+    cond = (F.col("kind") == "wikilink") & (F.col("target_path") == F.col("match_key"))
+    out = entities.join(F.broadcast(dim), on=cond, how="left")
+    return (out.withColumn(
+        "resolved_document_uri",
+        F.when(F.col("kind") == "wikilink",
+               F.coalesce("t0", "t1", "t2", "resolved_document_uri"))
+         .otherwise(F.col("resolved_document_uri")))
+        .drop("match_key", "t0", "t1", "t2"))

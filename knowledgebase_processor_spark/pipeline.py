@@ -19,9 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.extract_udf import extract_entities_df
-from .operators.triples import triples_from_entities
-from .operators.wikilink_resolve import resolve_wikilinks
+from .operators.extract_udf import extract_entities_df, extract_merged_entities_df
+from .operators.triples import explode_merged, triples_from_entities
+from .operators.wikilink_resolve import (
+    documents_dimension, resolve_wikilinks, resolve_wikilinks_merged,
+)
 
 
 def session(app: str = "kgp-spark", cpus: int | None = None,
@@ -45,9 +47,19 @@ def session(app: str = "kgp-spark", cpus: int | None = None,
             missing + ([existing] if existing else []))
 
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle/spill to tmpfs when available: local-mode shuffle writes from
+    # 32 concurrent tasks contend on disk; a real cluster spreads them over
+    # per-executor local SSDs.
+    local_dir = None
+    for cand in ("/dev/shm", "/tmp"):
+        if os.path.isdir(cand):
+            local_dir = os.path.join(cand, "kgp-spark-local")
+            os.makedirs(local_dir, exist_ok=True)
+            break
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -68,11 +80,28 @@ def documents_to_triples(docs: DataFrame,
                          resolve_links: bool = False,
                          dedup: bool = True) -> DataFrame:
     """documents -> deduplicated triples (TRIPLES schema)."""
+    if dedup:
+        # Duplicate KG nodes are always document-scoped (uris.py), so the
+        # dedup merge happens inside the extraction UDF per document and
+        # the whole pipeline is SHUFFLE-FREE: scan -> mapInPandas ->
+        # broadcast join (wikilinks) -> explode.  rdflib's corpus-wide
+        # triple-set dedup falls out with zero exchanges.
+        merged = extract_merged_entities_df(docs, doc_id_col, text_col,
+                                            path_col, title_col)
+        if resolve_links:
+            # The registry dimension comes from the INPUT frame (id + path
+            # are known pre-extraction): one broadcast join, no second
+            # extraction pass.
+            dim = documents_dimension(docs, doc_id_col, path_col)
+            merged = resolve_wikilinks_merged(merged, dim)
+        return explode_merged(merged)
+
     entities = extract_entities_df(docs, doc_id_col, text_col, path_col, title_col)
     entities = entities.filter(F.col("kind") != "error")
     if resolve_links:
-        entities = resolve_wikilinks(entities)
-    return triples_from_entities(entities, dedup=dedup)
+        dim = documents_dimension(docs, doc_id_col, path_col)
+        entities = resolve_wikilinks(entities, dim)
+    return triples_from_entities(entities, dedup=False)
 
 
 def web_pages_to_triples(pages: DataFrame, resolve_links: bool = True) -> DataFrame:

@@ -46,6 +46,17 @@ ENTITIES = StructType([
     StructField("path_without_extension", StringType()),
 ])
 
+# Per-document pre-merged entities: every varying field is an
+# ordered-distinct array (extract.core.extract_entities_merged).
+ENTITIES_MERGED = StructType(
+    [StructField("kind", StringType()),
+     StructField("kb_id", StringType()),
+     StructField("source_document_uri", StringType())] +
+    [StructField(f.name,
+                 f.dataType if f.name == "headers" else ArrayType(f.dataType))
+     for f in ENTITIES.fields
+     if f.name not in ("kind", "kb_id", "source_document_uri")])
+
 # Primary correctness surface: deduplicated (subj, pred, obj) triples.
 TRIPLES = StructType([
     StructField("subj", StringType()),

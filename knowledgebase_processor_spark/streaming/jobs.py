@@ -1,0 +1,64 @@
+"""Structured-Streaming surface.
+
+The reference's only streaming feature is ``--watch`` re-scan-on-change
+(cli/commands/scan.py:15,23 — processing-time only, no watermarks/windows,
+SURVEY.md §2.8 S3).  Two idiomatic Spark equivalents:
+
+* ``watch_documents``  — file-source stream over a directory of documents;
+  each micro-batch runs the same extraction -> triples transform and
+  upserts by source document (checkpointed, exactly-once per batch).
+* ``windowed_event_counts`` — the event-table analytics as a real
+  event-time windowed aggregation with a watermark, for late data — the
+  capability the reference lacks but a web-scale crawl feed needs.
+
+Both return the DataStreamWriter unstarted so tests/benchmarks control the
+trigger; they run identically against a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import documents_to_triples
+
+
+def watch_documents(spark: SparkSession, input_dir: str, output_dir: str,
+                    checkpoint_dir: str):
+    """Re-process documents as files appear (S3 'watch' semantics).
+
+    Input: text files, one document per file (wholetext).  Each batch is
+    the batch pipeline applied to the new files only; the sink upserts by
+    source_doc so re-emitted documents replace their old triples —
+    matching the reference's per-file reprocess-on-change.
+    """
+    stream = (spark.readStream.format("text")
+              .option("wholetext", "true")
+              .load(input_dir)
+              .select(F.input_file_name().alias("doc_id"),
+                      F.col("value").alias("text")))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks import merge_upsert
+        triples = documents_to_triples(batch_df)
+        merge_upsert(batch_df.sparkSession, triples, output_dir)
+
+    return (stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark.
+
+    ``events`` may be a streaming DataFrame (rate/kafka/file source) or a
+    batch one — the expression is identical, which is how the batch
+    oracle in __spark_entry__ (q19) validates the streaming logic.
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))

@@ -1,0 +1,172 @@
+"""Unit behavior of the training-data + linking operators."""
+
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark.operators.components import (
+    canonical_entities, connected_components, coreference_edges,
+)
+from knowledgebase_processor_spark.operators.dedup import (
+    exact_duplicates, minhash_lsh_pairs, minhash_signatures,
+    ngram_jaccard_pairs, simhash_near_dups,
+)
+from knowledgebase_processor_spark.operators.mentions import (
+    detect_mentions, mentions_to_entities,
+)
+from knowledgebase_processor_spark.operators.metadata import (
+    doc_links_df, doc_metadata_df, doc_tags_df,
+)
+from knowledgebase_processor_spark.operators.similarity import (
+    cosine_topk, ivf_assign, ivf_centroids, lsh_topk,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    return spark.createDataFrame(
+        [("d1", base),
+         ("d2", base),                               # exact dup of d1
+         ("d3", base + "with a tiny extra suffix"),  # near dup
+         ("d4", "completely different content about spark dataframes and shuffles")],
+        "doc_id string, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == ["d1", "d2"]
+
+
+def test_minhash_identical_signatures_for_identical_docs(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
+    assert sigs["d1"] == sigs["d2"]
+    assert sigs["d1"] != sigs["d4"]
+
+
+def test_minhash_lsh_finds_near_dups_and_jaccard_verifies(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert ("d1", "d2") in found
+    verified = ngram_jaccard_pairs(docs, pairs, threshold=0.8).collect()
+    vpairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified}
+    assert vpairs[("d1", "d2")] == 1.0
+
+
+def test_simhash_near_dups(spark):
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dups(_docs(spark), max_hamming=10).collect()}
+    assert found.get(("d1", "d2")) == 0
+
+
+def test_cosine_topk_and_lsh(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+         (2, [0.0, 1.0, 0.0]), (3, [1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<double>")
+    top = cosine_topk(vecs.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [3, 1]
+    approx = lsh_topk(vecs, [1.0, 0.0, 0.0], dim=3, k=2, bits=4)
+    ids = [r["vec_id"] for r in approx.collect()]
+    assert 3 in ids  # the near-identical vector lands in the query bucket
+
+
+def test_ivf_assign_covers_all(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    cents = ivf_centroids(vecs, dim=2, k_cells=3)
+    assigned = ivf_assign(vecs, cents)
+    assert assigned.count() == 10
+    assert assigned.filter(F.col("cell") < 0).count() == 0
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "y")], "src string, dst string")
+    labels = {r["node"]: r["component"]
+              for r in connected_components(edges).collect()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_coreference_and_canonicalization(spark):
+    docs = spark.createDataFrame(
+        [("u1", "Alice Smith works with alice smith and Bob.")],
+        "doc_id string, text string")
+    ents = mentions_to_entities(detect_mentions(
+        docs, {"Alice Smith": ("person", []), "alice smith": ("person", []),
+               "Bob": ("person", [])}))
+    edges = coreference_edges(ents)
+    assert edges.count() >= 1  # the two alice variants share a lowered label
+    labels = connected_components(edges)
+    canon = canonical_entities(ents, labels)
+    alice = canon.filter(F.lower(F.col("label")) == "alice smith") \
+                 .select("canonical_id").distinct().collect()
+    assert len(alice) == 1  # both surface forms share one canonical id
+
+
+def test_doc_metadata_frontmatter_and_links(spark):
+    md = ("---\ntitle: My Doc\ntags: [a, b]\ndate: 2024-11-07\nextra: 1\n---\n"
+          "# H\nSee [link](http://x.org) and [[Wiki]] #tag1 @cat/tag2\n"
+          "`#nottag` [ref]: http://r.org\n")
+    docs = spark.createDataFrame([("d1", md, "notes/my_doc.md")],
+                                 "doc_id string, text string, path string")
+    meta = doc_metadata_df(docs, path_col="path").collect()[0]
+    assert meta["title"] == "My Doc"
+    assert meta["fm_format"] == "yaml"
+    assert meta["fm_date"] == "2024-11-07"
+    tags = {r["tag"] for r in doc_tags_df(doc_metadata_df(docs, path_col="path")).collect()}
+    assert {"a", "b", "tag1", "tag2"} <= tags
+    assert "nottag" not in tags
+    links = doc_links_df(doc_metadata_df(docs, path_col="path")).collect()
+    kinds = {r["link_kind"] for r in links}
+    assert "inline" in kinds
+    urls = {r["url"] for r in links}
+    assert "http://x.org" in urls
+
+
+def test_doc_metadata_title_precedence(spark):
+    docs = spark.createDataFrame(
+        [("d1", "# First Heading\nbody", "notes/readme.md"),
+         ("d2", "# Ignored\nbody", "notes/real_name.md")],
+        "doc_id string, text string, path string")
+    titles = {r["doc_id"]: r["title"]
+              for r in doc_metadata_df(docs, path_col="path").collect()}
+    assert titles["d1"] == "First Heading"     # generic stem -> first heading
+    assert titles["d2"] == "real name"         # stem with _ -> space
+
+
+def test_wikilink_resolution_cascade(spark):
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [("docs/alpha", "See [[notes/alpha.md]] and [[notes/alpha]] and [[alpha]] and [[nope]]",
+          "notes/alpha.md", "Alpha"),
+         ("docs/beta", "plain", "notes/beta.md", "Beta")],
+        "doc_id string, text string, path string, title string")
+    t = documents_to_triples(docs, "doc_id", "text", "path", "title",
+                             resolve_links=True)
+    resolved = {r["subj"]: r["obj"] for r in
+                t.filter(F.col("pred").endswith("resolvedDocument")).collect()}
+    # exact path, path-sans-ext, and basename all resolve to docs/alpha
+    assert len(resolved) == 3
+    assert set(resolved.values()) == {"http://example.org/kb/vocab#/docs/alpha"}
+    # [[nope]] stays unresolved: its wikilink node has no resolvedDocument
+    labels = {r["obj"] for r in t.filter(
+        F.col("pred").endswith("targetPath")).collect()}
+    assert "nope" in labels
+
+
+def test_merged_equals_shuffle_dedup(spark):
+    """triples_from_merged must equal dropDuplicates triple sets."""
+    from knowledgebase_processor_spark.operators.extract_udf import extract_entities_df
+    from knowledgebase_processor_spark.operators.triples import (
+        triples_from_entities, triples_from_merged)
+    docs = spark.createDataFrame(
+        [("d1", "# A\n- [ ] t\n[[X]]\n```py\nc\n```\n> q\n| a | b |\n|---|---|\n| 1 | 2 |\n")],
+        "doc_id string, text string")
+    ents = extract_entities_df(docs)
+    def key(r):
+        return (r.subj, r.pred, r.obj, r.obj_is_uri, r.obj_datatype)
+    a = {key(r) for r in triples_from_entities(ents, dedup=True).collect()}
+    b = {key(r) for r in triples_from_merged(ents).collect()}
+    assert a == b

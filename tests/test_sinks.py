@@ -1,0 +1,72 @@
+"""merge_upsert idempotence, bucketed writes, lineage, checkpoint resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark import sinks
+
+
+def _rows(spark, docs):
+    return spark.createDataFrame(
+        [(d, f"s{i}", i) for d in docs for i in range(3)],
+        "source_doc string, subj string, n int")
+
+
+def test_merge_upsert_replaces_per_document(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.merge_upsert(spark, _rows(spark, ["a", "b"]), path, n_buckets=4)
+    assert spark.read.parquet(path).count() == 6
+
+    # re-upsert doc "a" with DIFFERENT rows: old a-rows must vanish
+    new_a = spark.createDataFrame([("a", "x", 99)], "source_doc string, subj string, n int")
+    sinks.merge_upsert(spark, new_a, path, n_buckets=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 4
+    assert out.filter("source_doc = 'a'").count() == 1
+    assert out.filter("source_doc = 'b'").count() == 3
+
+    # idempotence: same upsert twice -> same table
+    sinks.merge_upsert(spark, new_a, path, n_buckets=4)
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_bucketed_partitioning(spark, tmp_path):
+    path = str(tmp_path / "b")
+    sinks.write_bucketed(_rows(spark, ["a", "b", "c"]), path, n_buckets=8)
+    parts = [p for p in os.listdir(path) if p.startswith("part_bucket=")]
+    assert parts, "expected hash-bucket partition dirs"
+    back = spark.read.parquet(path)
+    assert back.count() == 9 and "part_bucket" in back.columns
+
+
+def test_lineage_rows(spark):
+    df = _rows(spark, ["a", "b"]).repartition(2)
+    lin = sinks.lineage(df, stage="test").collect()
+    assert sum(r["n_rows"] for r in lin) == 6
+    assert all(r["stage"] == "test" for r in lin)
+
+
+def test_checkpoint_stage_resumes_without_recompute(spark, tmp_path):
+    path = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def expensive():
+        calls["n"] += 1
+        return _rows(spark, ["a"])
+
+    out1 = sinks.checkpoint_stage(expensive(), path, spark)
+    assert out1.count() == 3 and calls["n"] == 1
+    # second run: the stage input is NOT recomputed — reads the checkpoint
+    out2 = sinks.checkpoint_stage(
+        spark.createDataFrame([], "source_doc string, subj string, n int"),
+        path, spark)
+    assert out2.count() == 3
+
+
+def test_metrics_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "m")
+    sinks.write_metrics(spark, path, "stage1", {"docs": 5, "errors": 0})
+    m = spark.read.parquet(path)
+    assert m.count() == 2
+    assert m.filter(F.col("key") == "docs").first()["value"] == 5.0
