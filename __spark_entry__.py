@@ -263,6 +263,37 @@ def _q22_triples_by_kind(spark, sf):
             .orderBy("pred"))
 
 
+def _q23_related_documents(spark, sf):
+    # E12/J6 relationship enrichment: shared-key document pairs (the key
+    # here is the exact char count — deterministic small groups).
+    from knowledgebase_processor_spark.operators.stats import related_documents
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("string").alias("tag"))
+    return (related_documents(d)
+            .groupBy("tag").agg(F.count("*").alias("n_pairs"))
+            .orderBy("tag"))
+
+
+def _q24_todo_stats(spark, sf):
+    # A1 todo statistics over the extracted entity frame (rows-only:
+    # extraction not SQL-expressible).
+    from knowledgebase_processor_spark.operators.extract_udf import extract_entities_df
+    from knowledgebase_processor_spark.operators.stats import todo_statistics
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return todo_statistics(extract_entities_df(docs))
+
+
+def _q25_content_stats(spark, sf):
+    # A5 full content statistics incl. paragraphs/empty lines.
+    from knowledgebase_processor_spark.operators.stats import content_statistics
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (content_statistics(d)
+            .select("doc_id", "char_count", "line_count", "word_count",
+                    "paragraph_count", "empty_line_count")
+            .orderBy("doc_id").limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -287,6 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_minhash_lsh": _q20_minhash_lsh,
         "q21_simhash_near_dups": _q21_simhash_near_dups,
         "q22_triples_by_kind": _q22_triples_by_kind,
+        "q23_related_documents": _q23_related_documents,
+        "q24_todo_stats": _q24_todo_stats,
+        "q25_content_stats": _q25_content_stats,
     }
 
 
@@ -429,7 +463,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY window_start, event_type
             ORDER BY window_start, event_type""",
-        # q20, q21, q22: rows-only (engine-specific hashing / KG pipeline).
+        "q23_related_documents": """
+            WITH dt AS (SELECT doc_id, CAST(n_chars AS VARCHAR) AS tag FROM documents)
+            SELECT tag, COUNT(*) AS n_pairs
+            FROM (SELECT DISTINCT a.doc_id, b.doc_id AS related_doc_id, a.tag
+                  FROM dt a JOIN dt b
+                    ON a.tag = b.tag AND a.doc_id != b.doc_id)
+            GROUP BY tag ORDER BY tag""",
+        "q25_content_stats": r"""
+            SELECT doc_id, length(text) AS char_count,
+                   len(string_split(text, chr(10))) AS line_count,
+                   CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                        ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                   END AS word_count,
+                   len(list_filter(regexp_split_to_array(text, '\n\s*\n'),
+                                   p -> trim(p) != '')) AS paragraph_count,
+                   len(list_filter(string_split(text, chr(10)),
+                                   l -> trim(l) = '')) AS empty_line_count
+            FROM documents ORDER BY doc_id LIMIT 50""",
+        # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
+        # extraction pipeline, not SQL-expressible).
     }
 
 

@@ -73,6 +73,29 @@ def resolve_wikilinks_merged(entities: DataFrame, dim: DataFrame) -> DataFrame:
         .drop("match_key", "t0", "t1", "t2"))
 
 
+def documents_paths(docs: DataFrame, doc_id_col: str = "doc_id",
+                    path_col: str | None = None) -> DataFrame:
+    """(target_kb_id, path_without_extension) helper dimension for J2."""
+    path = F.col(path_col) if path_col else F.lit("temp_document.md")
+    return docs.select(
+        F.col(doc_id_col).alias("target_kb_id"),
+        F.regexp_replace(path, r"\.[^./]*$", "").alias("path_without_extension"))
+
+
+def resolve_by_suffix(wikilinks: DataFrame, docs_dim: DataFrame) -> DataFrame:
+    """J2 (wikilink_processor.py:104-110): secondary fallback matching any
+    document whose path-without-extension ENDS WITH the link label — a
+    non-equi suffix join, only sane as a broadcast nested-loop over the
+    (small) documents dimension.  Off the main path, as in the reference
+    (only resolve_wikilink_targets uses it)."""
+    side = docs_dim.select(F.col("target_kb_id").alias("suffix_target"),
+                           F.col("path_without_extension").alias("pwe"))
+    cond = F.col("pwe").endswith(F.col("label"))
+    joined = wikilinks.join(F.broadcast(side), on=cond, how="left")
+    return (joined.groupBy(*wikilinks.columns)
+            .agg(F.min("suffix_target").alias("suffix_resolved_uri")))
+
+
 def resolve_wikilinks(entities: DataFrame, dim: DataFrame) -> DataFrame:
     """Fill wikilink.resolved_document_uri via the 3-key lookup cascade
     (find_document_by_path, document_registry.py:58-74) — one broadcast
