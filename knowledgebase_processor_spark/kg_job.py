@@ -1,0 +1,113 @@
+"""The end-to-end north-star job: web pages -> canonicalized KG tables.
+
+One orchestration function wiring every stage of the BASELINE.json
+north_star together, with per-stage parquet checkpoints (resume from the
+last materialized table), per-partition lineage rows, and run metrics:
+
+  1. extract      web_pages -> pre-merged entities   (Arrow UDF, no shuffle)
+  2. resolve      wikilink -> document broadcast join
+  3. mentions     alias-dictionary mention detection (optional)
+  4. triples      SQL explosion (duplicate-free by construction)
+  5. canonical    coreference edges -> connected components -> canonical ids
+  6. materialize  url-hash bucketed MERGE upsert of triples + entity table
+
+Re-running with the same ``work_dir`` skips every stage whose checkpoint
+exists (sinks.checkpoint_stage) — kill the job after stage 3 and the next
+invocation starts at stage 4.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import sinks
+from .operators.components import (
+    canonical_entities, connected_components, coreference_edges,
+)
+from .operators.extract_udf import extract_merged_entities_df
+from .operators.mentions import detect_mentions, mentions_to_entities
+from .operators.triples import explode_merged, triples_from_entities
+from .operators.wikilink_resolve import documents_dimension, resolve_wikilinks_merged
+from .sources.web_pages import pages_to_documents
+
+
+def run(spark: SparkSession, pages: DataFrame, work_dir: str,
+        alias_dict: dict | None = None, force: bool = False) -> dict:
+    """Run (or resume) the full pipeline; returns run metrics."""
+    t_start = time.time()
+    metrics: dict[str, float] = {}
+
+    def stage(name):
+        return os.path.join(work_dir, name)
+
+    docs = pages_to_documents(pages)
+
+    # 1+2: extraction (pre-merged) + wikilink resolution, checkpointed
+    ents_path = stage("entities")
+    if force or not os.path.exists(os.path.join(ents_path, "_SUCCESS")):
+        merged = extract_merged_entities_df(docs, "doc_id", "text", "path", "title")
+        dim = documents_dimension(docs, "doc_id", "path")
+        resolved = resolve_wikilinks_merged(merged, dim)
+        resolved = sinks.bucketed(resolved, key="source_document_uri")
+        resolved.write.mode("overwrite").partitionBy("part_bucket").parquet(ents_path)
+    entities = spark.read.parquet(ents_path)
+    metrics["n_entities"] = entities.count()
+
+    # lineage for the extraction stage (per-partition counts + key ranges)
+    sinks.lineage(entities, "extract", key="source_document_uri") \
+        .write.mode("overwrite").parquet(stage("lineage_extract"))
+
+    # 3: mention detection (flat entity rows -> merged-compatible arrays
+    # are not needed; mention triples are emitted separately)
+    mention_triples = None
+    if alias_dict:
+        mpath = stage("mention_entities")
+        if force or not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+            m = mentions_to_entities(detect_mentions(docs, alias_dict))
+            m.write.mode("overwrite").parquet(mpath)
+        mention_entities = spark.read.parquet(mpath)
+        metrics["n_mentions"] = mention_entities.count()
+        mention_triples = triples_from_entities(mention_entities, dedup=True)
+
+    # 4: triples
+    tpath = stage("triples")
+    if force or not os.path.exists(os.path.join(tpath, "_SUCCESS")):
+        triples = explode_merged(entities)
+        if mention_triples is not None:
+            triples = triples.unionByName(mention_triples)
+        sinks.bucketed(triples, key="source_doc") \
+            .write.mode("overwrite").partitionBy("part_bucket").parquet(tpath)
+    triples = spark.read.parquet(tpath)
+    metrics["n_triples"] = triples.count()
+
+    # 5: canonicalization — coreference edges over wikilinks/mentions,
+    # label-propagation connected components, canonical entity table
+    cpath = stage("canonical")
+    if force or not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+        flat_links = entities.filter(F.col("kind") == "wikilink").select(
+            "kind", "kb_id", "source_document_uri",
+            F.try_element_at("resolved_document_uri", F.lit(1)).alias("resolved_document_uri"),
+            F.lit(None).cast("string").alias("label"))
+        edge_src = flat_links
+        if alias_dict:
+            edge_src = edge_src.unionByName(
+                mention_entities.select("kind", "kb_id", "source_document_uri",
+                                        "resolved_document_uri", "label"))
+        edges = coreference_edges(edge_src)
+        labels = connected_components(edges)
+        canon = canonical_entities(
+            entities.select("kind", "kb_id", "source_document_uri"), labels)
+        canon.write.mode("overwrite").parquet(cpath)
+    canonical = spark.read.parquet(cpath)
+    metrics["n_canonical_clusters"] = canonical.select("canonical_id").distinct().count()
+
+    # 6: materialize deduplicated triple table via idempotent MERGE upsert
+    final_path = stage("kg_triples")
+    sinks.merge_upsert(spark, triples.drop("part_bucket"), final_path, key="source_doc")
+    metrics["wall_s"] = round(time.time() - t_start, 3)
+    sinks.write_metrics(spark, stage("metrics"), "kg_job",
+                        {k: float(v) for k, v in metrics.items()})
+    return metrics

@@ -1,0 +1,59 @@
+"""End-to-end north-star job: run, metrics, resume-from-checkpoint."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark import kg_job
+from knowledgebase_processor_spark.operators.graph_query import (
+    ask, count_triples, list_graphs, match_bgp,
+)
+from knowledgebase_processor_spark.sources.web_pages import fixture_pages
+from knowledgebase_processor_spark.uris import KB, RDF
+
+
+def test_kg_job_end_to_end_and_resume(spark, tmp_path):
+    pages = fixture_pages(spark).limit(15)
+    work = str(tmp_path / "run")
+    alias = {"Test Document": ("organization", ["document"])}
+
+    m1 = kg_job.run(spark, pages, work, alias_dict=alias)
+    assert m1["n_entities"] > 0 and m1["n_triples"] > 0
+    final = spark.read.parquet(os.path.join(work, "kg_triples"))
+    assert final.count() == m1["n_triples"]
+    lin = spark.read.parquet(os.path.join(work, "lineage_extract"))
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == m1["n_entities"]
+
+    # resume: second run reuses every checkpoint -> same metrics, and the
+    # merge upsert is idempotent
+    m2 = kg_job.run(spark, pages, work, alias_dict=alias)
+    assert m2["n_triples"] == m1["n_triples"]
+    assert spark.read.parquet(os.path.join(work, "kg_triples")).count() == m1["n_triples"]
+
+
+def test_graph_queries_over_kg(spark, tmp_path):
+    pages = fixture_pages(spark).limit(20)
+    work = str(tmp_path / "run2")
+    kg_job.run(spark, pages, work)
+    triples = spark.read.parquet(os.path.join(work, "kg_triples"))
+
+    assert count_triples(triples) > 0
+    graphs = [r["g"] for r in list_graphs(triples).collect()]
+    assert len(graphs) == 20 and graphs == sorted(graphs)
+
+    todos = match_bgp(triples, [
+        ("?s", RDF + "type", KB + "TodoItem"),
+        ("?s", KB + "isCompleted", '"false"'),
+    ])
+    assert "s" in todos.columns
+    assert ask(triples, [("?s", RDF + "type", KB + "Document")])
+    assert not ask(triples, [("?s", RDF + "type", KB + "NoSuchClass")])
+
+    # join across patterns: sections and their headings share a variable
+    sec = match_bgp(triples, [
+        ("?sec", RDF + "type", KB + "Section"),
+        ("?sec", KB + "hasHeading", "?h"),
+        ("?h", KB + "headingLevel", "?lvl"),
+    ])
+    if sec.count() > 0:
+        assert set(sec.columns) == {"sec", "h", "lvl"}

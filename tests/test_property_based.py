@@ -1,0 +1,71 @@
+"""Property-based robustness (hypothesis): the extraction core must never
+crash on arbitrary text, always produce well-formed entities, and the
+pre-merged path must equal the flat path's deduplicated triple set."""
+
+from hypothesis import given, settings, strategies as st
+
+from knowledgebase_processor_spark.extract.core import (
+    ENTITY_FIELDS, extract_entities, extract_entities_merged,
+)
+from knowledgebase_processor_spark.extract.triples_py import entities_triples
+from knowledgebase_processor_spark.rdf_schema import KIND_RULES
+from knowledgebase_processor_spark.uris import resolve_uri
+
+# Markdown-ish soup: text runs + the syntax fragments the extractors react to
+_FRAGMENTS = st.sampled_from([
+    "# ", "## ", "###### ", "- ", "- [ ] ", "- [x] ", "* ", "1. ",
+    "```", "```python", "> ", ">> ", "[[", "]]", "|", "---", "+++",
+    "[", "]", "(", ")", "#tag", "@cat/x", "\n", "\n\n", "    ", "\t",
+])
+_WORDS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=12)
+_DOC = st.lists(st.one_of(_FRAGMENTS, _WORDS), min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_DOC)
+def test_extraction_never_crashes_and_is_well_formed(text):
+    ents = extract_entities("prop/doc", text)
+    assert ents, "document entity must always exist"
+    assert ents[0]["kind"] == "document"
+    for e in ents:
+        assert set(e) == set(ENTITY_FIELDS)
+        assert e["kind"] in KIND_RULES
+        assert e["kb_id"]
+        # every kb_id resolves to an absolute IRI
+        assert "://" in resolve_uri(e["kb_id"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_DOC)
+def test_merged_representation_is_lossless(text):
+    """Per (kind, kb_id): each merged field is exactly the ordered-distinct
+    non-null values of the flat extraction — no value invented or lost."""
+    flat = extract_entities("prop/doc", text)
+    merged = {(m["kind"], m["kb_id"]): m
+              for m in extract_entities_merged("prop/doc", text)}
+    expected: dict = {}
+    for e in flat:
+        slot = expected.setdefault((e["kind"], e["kb_id"]), {})
+        for f in ENTITY_FIELDS:
+            if f in ("kind", "kb_id", "source_document_uri") or e[f] is None:
+                continue
+            vals = e[f] if f == "headers" else [e[f]]
+            for v in vals:
+                slot.setdefault(f, [])
+                if v not in slot[f]:
+                    slot[f].append(v)
+    assert set(merged) == set(expected)
+    for key, fields in expected.items():
+        for f, vals in fields.items():
+            assert merged[key][f] == vals, (key, f)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_DOC, _DOC)
+def test_deterministic(a, b):
+    assert extract_entities("d", a) == extract_entities("d", a)
+    ta = entities_triples(extract_entities("d", a))
+    tb = entities_triples(extract_entities("d", b))
+    if a == b:
+        assert ta == tb
