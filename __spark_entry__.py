@@ -19,7 +19,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Executor workers must import this package + vendored markdown-it.  When
+# the harness imports this module BEFORE creating its SparkSession (the
+# normal flow), exporting PYTHONPATH here covers local-mode workers; on a
+# real cluster ship the same dirs via spark-submit --py-files.
+_parts = [_REPO, os.path.join(_REPO, "vendor")]
+_existing = os.environ.get("PYTHONPATH", "")
+_missing = [p for p in _parts if p not in _existing.split(os.pathsep)]
+if _missing:
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        _missing + ([_existing] if _existing else []))
 
 SF001 = "/root/testdata/sf0.001"
 

@@ -39,7 +39,19 @@ _MD = None
 def _md():
     global _MD
     if _MD is None:
-        from markdown_it import MarkdownIt
+        try:
+            from markdown_it import MarkdownIt
+        except ImportError:
+            # Executor without --py-files / PYTHONPATH: the vendored copy
+            # sits next to this package — self-locate and retry.
+            import os
+            import sys
+            vendor = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "vendor")
+            if vendor not in sys.path:
+                sys.path.insert(0, vendor)
+            from markdown_it import MarkdownIt
         # Reference uses MarkdownIt("commonmark", {"enable_tables": True})
         # (markdown_parser.py:26) — the options dict is ignored by
         # markdown-it, so tables stay DISABLED; tables come only from the

@@ -170,3 +170,20 @@ def test_merged_equals_shuffle_dedup(spark):
     a = {key(r) for r in triples_from_entities(ents, dedup=True).collect()}
     b = {key(r) for r in triples_from_merged(ents).collect()}
     assert a == b
+
+
+def test_skew_utilities(spark):
+    from knowledgebase_processor_spark.operators.skew import (
+        replicated_join, salted_collect_set, salted_count)
+    # hot key 'h' with 500 rows, cold keys with 1 each
+    rows = [("h", f"v{i}") for i in range(500)] + [("c1", "x"), ("c2", "y")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    counts = {r["k"]: r["n"] for r in salted_count(df, "k", salt=8).collect()}
+    assert counts == {"h": 500, "c1": 1, "c2": 1}
+    sets = {r["k"]: set(r["values"]) for r in
+            salted_collect_set(df, "k", "v", salt=8).collect()}
+    assert len(sets["h"]) == 500 and sets["c1"] == {"x"}
+    dim = spark.createDataFrame([("h", 1), ("c1", 2)], "k string, attr int")
+    j = replicated_join(df, dim, "k")
+    assert j.count() == 501  # 500 hot + 1 cold (c2 unmatched, inner)
+    assert j.filter("k = 'h'").select("attr").distinct().collect()[0][0] == 1
