@@ -42,16 +42,28 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
               .select(F.col("a").alias("node"),
                       F.least(F.col("a"), F.col("lbl")).alias("component")))
 
+    converged = False
     for _ in range(max_iterations):
-        # propagate: candidate label for each node = min over neighbors'
-        # current labels; then take min(own, candidate).
+        # 1-hop propagation: min over neighbors' current labels.
         prop = (sym.join(labels.withColumnRenamed("node", "b")
                                .withColumnRenamed("component", "nbr_lbl"), "b")
                 .groupBy("a").agg(F.min("nbr_lbl").alias("cand")))
-        new_labels = (labels.join(prop.withColumnRenamed("a", "node"), "node", "left")
+        hop = (labels.join(prop.withColumnRenamed("a", "node"), "node", "left")
+               .select("node",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("cand"), F.col("component")))
+                       .alias("component")))
+        # pointer jumping (label-of-label shortcut): component <-
+        # component's own component.  Combined with the 1-hop step this
+        # halves the remaining path length every round, so convergence is
+        # O(log diameter) instead of O(diameter) — a 31-node chain
+        # converges in 5 rounds, not 30.
+        lbl2 = hop.select(F.col("node").alias("c_node"),
+                          F.col("component").alias("c_comp"))
+        new_labels = (hop.join(lbl2, hop.component == lbl2.c_node, "left")
                       .select("node",
                               F.least(F.col("component"),
-                                      F.coalesce(F.col("cand"), F.col("component")))
+                                      F.coalesce(F.col("c_comp"), F.col("component")))
                               .alias("component"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
@@ -60,7 +72,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (graph diameter > 2^iters)")
     return labels
 
 

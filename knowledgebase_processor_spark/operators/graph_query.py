@@ -35,9 +35,17 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
     for i, (s, p, o) in enumerate(patterns):
         t = triples
         sel = []
+        seen_vars: dict[str, str] = {}
         for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
             if _is_var(term):
-                sel.append(F.col(col).alias(term[1:]))
+                name = term[1:]
+                if name in seen_vars:
+                    # repeated variable within one pattern => equality
+                    # constraint (SPARQL BGP semantics), single column
+                    t = t.filter(F.col(col) == F.col(seen_vars[name]))
+                else:
+                    seen_vars[name] = col
+                    sel.append(F.col(col).alias(name))
             elif term.startswith('"'):
                 t = t.filter((F.col(col) == term.strip('"')) & ~F.col("obj_is_uri")) \
                     if col == "obj" else t.filter(F.col(col) == term.strip('"'))

@@ -53,9 +53,20 @@ def detect_mentions(docs: DataFrame, alias_dict: dict[str, tuple[str, list[str]]
     multi-GB dictionaries switch to ``spark.sparkContext.broadcast`` — the
     scan code is unchanged.
     """
+    if not alias_dict:  # no aliases -> no mentions, not a crashed job
+        return docs.sparkSession.createDataFrame([], MENTIONS)
+
+    def _alt(alias: str) -> str:
+        # word-boundary guards only where the alias edge IS a word char —
+        # a bare \b around e.g. "C++" or "@handle" can never match (both
+        # sides of the edge are non-word, so no boundary exists there)
+        pre = r"(?<!\w)" if re.match(r"\w", alias[0]) else ""
+        post = r"(?!\w)" if re.match(r"\w", alias[-1]) else ""
+        return pre + re.escape(alias) + post
+
     compiled = re.compile(
-        r"\b(" + "|".join(re.escape(a) for a in
-                          sorted(alias_dict, key=len, reverse=True)) + r")\b")
+        "(" + "|".join(_alt(a) for a in
+                       sorted(alias_dict, key=len, reverse=True)) + ")")
     ctx_words = {a: set(w.lower() for w in words)
                  for a, (_, words) in alias_dict.items()}
 

@@ -126,10 +126,9 @@ def parse_document_metadata(doc_id: str, text: str, path: str) -> dict:
     masked = text
     for pat in _MASKS:
         masked = _space_fill(pat, masked)
+    # chained-## tags (tags.py:48-50) are already unmatchable: the regex
+    # requires ^ or whitespace immediately before '#'
     for m in RE_HASHTAG.finditer(masked):
-        pos = m.start(1) - 1
-        if pos > 0 and masked[pos - 1] == "#":   # chained-# rejection (tags.py:48-50)
-            continue
         tags.append(m.group(1))
     for m in RE_CATEGORY_TAG.finditer(text):
         tags.append(m.group(2))

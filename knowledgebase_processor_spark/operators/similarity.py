@@ -78,8 +78,12 @@ def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
     planes = _hyperplanes(dim, bits, seed)
     bucketed = cosine_lsh_buckets(vecs, dim, bits, id_col, vec_col, seed)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qbucket = (vecs.limit(1)
-               .select(lsh_bucket_expr(q, planes).alias("b")).collect()[0]["b"])
+    # the query bucket depends only on the literal vector + seeded planes:
+    # plain python, no Spark job, and no crash on an empty corpus
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(query_vec, plane)) >= 0:
+            qbucket |= 1 << i
     return (bucketed.filter(F.col("bucket") == qbucket)
             .select("vec_id",
                     F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)

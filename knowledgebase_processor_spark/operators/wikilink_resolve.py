@@ -26,16 +26,18 @@ def documents_dimension(docs: DataFrame, doc_id_col: str = "doc_id",
     """(match_key, priority, target_kb_id) from the documents input.
 
     priority: 0 = original_path, 1 = path_without_extension, 2 = basename
-    without extension.  Key collisions keep the LAST registered document —
-    plain dict-assign overwrite in the reference registry
-    (document_registry.py:30-37; only duplicate kb_ids short-circuit).
+    without extension.  Key collisions in the reference keep the LAST
+    registered document (plain dict-assign overwrite,
+    document_registry.py:30-37) — an ordering a distributed set of rows
+    does not have, so we tie-break deterministically by max kb_id instead:
+    the winner is stable across partitionings, task retries, and cluster
+    sizes, which the registration-order rule would not be.
     """
     path = F.col(path_col) if path_col else F.lit("temp_document.md")
     d = docs.select(
         F.col(doc_id_col).alias("target_kb_id"),
         path.alias("original_path"),
         F.regexp_replace(path, r"\.[^./]*$", "").alias("path_without_extension"),
-        F.monotonically_increasing_id().alias("reg_rank"),
     ).withColumn(
         "basename_without_extension",
         F.regexp_extract(F.element_at(F.split(F.col("original_path"), "/"), -1),
@@ -45,10 +47,10 @@ def documents_dimension(docs: DataFrame, doc_id_col: str = "doc_id",
             F.struct(F.col("original_path").alias("match_key"), F.lit(0).alias("priority")),
             F.struct(F.col("path_without_extension").alias("match_key"), F.lit(1).alias("priority")),
             F.struct(F.col("basename_without_extension").alias("match_key"), F.lit(2).alias("priority")),
-        )).alias("k"), "target_kb_id", "reg_rank",
-    ).select("k.match_key", "k.priority", "target_kb_id", "reg_rank")
+        )).alias("k"), "target_kb_id",
+    ).select("k.match_key", "k.priority", "target_kb_id")
     per_key = (keyed.groupBy("match_key", "priority")
-               .agg(F.max_by("target_kb_id", "reg_rank").alias("target_kb_id")))
+               .agg(F.max("target_kb_id").alias("target_kb_id")))
     # Pivot the 3 priorities into one row per match_key so resolution is a
     # SINGLE broadcast join (each extra broadcast is a separate serial
     # driver-side job — measured ~0.5s apiece in local mode).

@@ -80,8 +80,10 @@ def extract_text(pages: DataFrame) -> DataFrame:
     (reader/reader.py:120 returns the raw file content unchanged), which
     tests/test_web_pages.py asserts.
     """
-    stripped = F.regexp_replace(
-        F.regexp_extract(F.col("html"), r"(?s)<pre>(.*)</pre>", 1), "", "")
+    # greedy (.*) pairs the FIRST <pre> with the LAST </pre>, so markdown
+    # containing a literal </pre> still round-trips (the envelope is only
+    # this one wrapper — _html_wrap writes exactly one pre block)
+    stripped = F.regexp_extract(F.col("html"), r"(?s)<pre>(.*)</pre>", 1)
     return pages.withColumn(
         "text", F.coalesce(F.col("text"), stripped))
 

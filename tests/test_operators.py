@@ -187,3 +187,55 @@ def test_skew_utilities(spark):
     j = replicated_join(df, dim, "k")
     assert j.count() == 501  # 500 hot + 1 cold (c2 unmatched, inner)
     assert j.filter("k = 'h'").select("attr").distinct().collect()[0][0] == 1
+
+
+def test_cc_long_chain_converges(spark):
+    """31-node chain: pointer jumping must converge in O(log n) rounds
+    (plain 1-hop propagation returned 10 wrong components here)."""
+    from knowledgebase_processor_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(30)], "src string, dst string")
+    labels = connected_components(edges, max_iterations=10)
+    comps = {r["component"] for r in labels.collect()}
+    assert comps == {"n00"}
+
+
+def test_mentions_empty_dict_and_nonword_aliases(spark):
+    from knowledgebase_processor_spark.operators.mentions import detect_mentions
+    docs = spark.createDataFrame(
+        [("d", "we use C++ and @handle and Rust daily; pseudo-Rusty too")],
+        "doc_id string, text string")
+    assert detect_mentions(docs, {}).count() == 0
+    found = {r["alias"] for r in detect_mentions(docs, {
+        "C++": ("organization", []), "@handle": ("person", []),
+        "Rust": ("organization", []),
+    }).collect()}
+    assert found == {"C++", "@handle", "Rust"}  # Rusty NOT matched
+
+
+def test_bgp_repeated_variable_constraint(spark):
+    from knowledgebase_processor_spark.operators.graph_query import match_bgp
+    triples = spark.createDataFrame(
+        [("s1", "p", "s1", True, None, "d"), ("s2", "p", "other", True, None, "d")],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_datatype string, source_doc string")
+    out = match_bgp(triples, [("?x", "p", "?x")])
+    assert out.columns == ["x"]
+    assert [r["x"] for r in out.collect()] == ["s1"]
+
+
+def test_lsh_topk_empty_corpus(spark):
+    from knowledgebase_processor_spark.operators.similarity import lsh_topk
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert lsh_topk(empty, [1.0, 0.0], dim=2, k=3).count() == 0
+
+
+def test_dimension_tiebreak_deterministic(spark):
+    from knowledgebase_processor_spark.operators.wikilink_resolve import documents_dimension
+    docs = spark.createDataFrame(
+        [("docA", "a/readme.md"), ("docB", "b/readme.md")],
+        "doc_id string, path string")
+    for parts in (1, 7):
+        dim = documents_dimension(docs.repartition(parts), path_col="path")
+        win = dim.filter("match_key = 'readme'").collect()
+        assert len(win) == 1 and win[0]["t2"] == "docB"  # max kb_id, stable
