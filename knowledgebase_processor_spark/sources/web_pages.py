@@ -88,6 +88,18 @@ def extract_text(pages: DataFrame) -> DataFrame:
         "text", F.coalesce(F.col("text"), stripped))
 
 
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Incremental re-crawl dedup: one row per url, the newest warc_ts
+    wins (ties: max fingerprint for determinism).  The batch equivalent of
+    the stateful version tracker in streaming/stateful.py — run it before
+    extraction so only current page versions enter the KG."""
+    return (pages.groupBy("url")
+            .agg(F.max_by(F.struct("warc_ts", "html", "text", "lang"),
+                          F.struct("warc_ts", F.sha2(F.coalesce("text", F.lit("")), 256)))
+                 .alias("p"))
+            .select("url", "p.warc_ts", "p.html", "p.text", "p.lang"))
+
+
 def pages_to_documents(pages: DataFrame) -> DataFrame:
     """web_pages -> documents input of the KG pipeline: url as doc id,
     basename as path, stem as title (pipeline.web_pages_to_triples)."""
