@@ -27,6 +27,24 @@ from ..rdf_schema import (
 )
 from ..uris import KB
 
+# The KIND_RULES -> CASE compilation issues thousands of py4j calls
+# (~4 s of driver CPU).  The result is a pure unresolved expression tree,
+# so it is cached per Spark application and rebuilt only when the
+# backing JVM context changes.
+_CASE_CACHE: dict[tuple[str, str], Column] = {}
+
+
+def _cached_case(which: str, build) -> Column:
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else "<none>"
+    key = (app, which)
+    if key not in _CASE_CACHE:
+        for stale in [k for k in _CASE_CACHE if k[0] != app]:
+            del _CASE_CACHE[stale]
+        _CASE_CACHE[key] = build()
+    return _CASE_CACHE[key]
+
 
 def _resolve(col: Column, base: str = KB) -> Column:
     """Absolute-ize a possibly-relative URI (converter.py:37-40,146-151)."""
@@ -205,14 +223,19 @@ def triples_from_merged(entities: DataFrame) -> DataFrame:
     return explode_merged(merge_entities(entities))
 
 
-def explode_merged(merged: DataFrame) -> DataFrame:
-    """Merged (array-valued) entities -> triples.  No dedup needed: the
-    per-field arrays are already distinct."""
+def _build_merged_case() -> Column:
     case = None
     for kind in KIND_RULES:
         branch = _kind_triples_merged(kind)
         case = F.when(F.col("kind") == kind, branch) if case is None \
             else case.when(F.col("kind") == kind, branch)
+    return case
+
+
+def explode_merged(merged: DataFrame) -> DataFrame:
+    """Merged (array-valued) entities -> triples.  No dedup needed: the
+    per-field arrays are already distinct."""
+    case = _cached_case("merged", _build_merged_case)
     return (merged.select(
         _resolve(F.col("kb_id")).alias("subj"),
         F.col("source_document_uri").alias("source_doc"),
@@ -230,12 +253,15 @@ def triples_from_entities(entities: DataFrame, dedup: bool = True) -> DataFrame:
     emitted — the reference's own comparison strips them
     (tests/test_specifications.py:59-77).
     """
-    case = None
-    for kind in KIND_RULES:
-        branch = _kind_triples(kind)
-        case = F.when(F.col("kind") == kind, branch) if case is None \
-            else case.when(F.col("kind") == kind, branch)
+    def _build_flat_case() -> Column:
+        case = None
+        for kind in KIND_RULES:
+            branch = _kind_triples(kind)
+            case = F.when(F.col("kind") == kind, branch) if case is None \
+                else case.when(F.col("kind") == kind, branch)
+        return case
 
+    case = _cached_case("flat", _build_flat_case)
     exploded = (
         entities
         .select(
