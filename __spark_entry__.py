@@ -306,6 +306,24 @@ def _q25_content_stats(spark, sf):
             .orderBy("doc_id").limit(50))
 
 
+_OIE_NP = r"(?:table|customer|query|part|spark|window|column|row|data|stream)"
+_OIE_REL = r"(?:join|merge|scan|filter|group|sort|order)"
+_OIE_PATTERN = rf"\b({_OIE_NP}) ({_OIE_REL}) ({_OIE_NP})\b"
+
+
+def _q26_openie_relations(spark, sf):
+    # North-star OpenIE-style SVO extraction (operators/openie.py) —
+    # pure JVM regexp path; lexicon matched to the synthetic vocabulary.
+    from knowledgebase_processor_spark.operators.openie import openie_triples
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return (openie_triples(d, np=_OIE_NP, rel=_OIE_REL)
+            .groupBy("subj", "rel", "obj")
+            .agg(F.count("*").alias("n_matches"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("subj", "rel", "obj"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -333,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_related_documents": _q23_related_documents,
         "q24_todo_stats": _q24_todo_stats,
         "q25_content_stats": _q25_content_stats,
+        "q26_openie_relations": _q26_openie_relations,
     }
 
 
@@ -493,6 +512,19 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split(text, chr(10)),
                                    l -> trim(l) = '')) AS empty_line_count
             FROM documents ORDER BY doc_id LIMIT 50""",
+        "q26_openie_relations": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       regexp_replace(text, '\\s+', ' ', 'g'),
+                       '{_OIE_PATTERN}')) AS match
+              FROM documents)
+            SELECT regexp_extract(match, '{_OIE_PATTERN}', 1) AS subj,
+                   regexp_extract(match, '{_OIE_PATTERN}', 2) AS rel,
+                   regexp_extract(match, '{_OIE_PATTERN}', 3) AS obj,
+                   COUNT(*) AS n_matches,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM m GROUP BY subj, rel, obj ORDER BY subj, rel, obj""",
         # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
         # extraction pipeline, not SQL-expressible).
     }

@@ -35,8 +35,16 @@ from .sources.web_pages import pages_to_documents
 
 
 def run(spark: SparkSession, pages: DataFrame, work_dir: str,
-        alias_dict: dict | None = None, force: bool = False) -> dict:
-    """Run (or resume) the full pipeline; returns run metrics."""
+        alias_dict: dict | None = None, force: bool = False,
+        openie: bool = False) -> dict:
+    """Run (or resume) the full pipeline; returns run metrics.
+
+    ``openie=True`` adds the OpenIE-style SVO relation stage
+    (operators/openie.py): its triples land in the same table under the
+    ``kb:rel/`` predicate namespace, disjoint from the reference's
+    structural predicates, so the reference-parity P/R gate is unaffected
+    (filter one predicate prefix to compare).
+    """
     t_start = time.time()
     metrics: dict[str, float] = {}
 
@@ -72,12 +80,25 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         metrics["n_mentions"] = mention_entities.count()
         mention_triples = triples_from_entities(mention_entities, dedup=True)
 
+    # 3b: OpenIE-style SVO relations (north-star addition; kb:rel/ ns)
+    openie_triples_df = None
+    if openie:
+        from .operators.openie import openie_to_kg_triples, openie_triples
+        opath = stage("openie")
+        if force or not os.path.exists(os.path.join(opath, "_SUCCESS")):
+            openie_to_kg_triples(openie_triples(docs)) \
+                .write.mode("overwrite").parquet(opath)
+        openie_triples_df = spark.read.parquet(opath)
+        metrics["n_openie"] = openie_triples_df.count()
+
     # 4: triples
     tpath = stage("triples")
     if force or not os.path.exists(os.path.join(tpath, "_SUCCESS")):
         triples = explode_merged(entities)
         if mention_triples is not None:
             triples = triples.unionByName(mention_triples)
+        if openie_triples_df is not None:
+            triples = triples.unionByName(openie_triples_df)
         sinks.bucketed(triples, key="source_doc") \
             .write.mode("overwrite").partitionBy("part_bucket").parquet(tpath)
     triples = spark.read.parquet(tpath)

@@ -57,3 +57,18 @@ def test_graph_queries_over_kg(spark, tmp_path):
     ])
     if sec.count() > 0:
         assert set(sec.columns) == {"sec", "h", "lvl"}
+
+
+def test_kg_job_openie_stage(spark, tmp_path):
+    docs_md = "Ada Lovelace wrote Notes on the Analytical Engine"
+    pages = fixture_pages(spark).limit(5).withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n\n" + docs_md)))
+    work = str(tmp_path / "run_oie")
+    m = kg_job.run(spark, pages, work, openie=True)
+    assert m["n_openie"] > 0
+    final = spark.read.parquet(os.path.join(work, "kg_triples"))
+    oie = final.filter(F.col("pred").startswith(KB + "rel/"))
+    assert oie.count() > 0
+    # reference-parity namespace isolation: structural predicates unchanged
+    assert final.filter(~F.col("pred").startswith(KB + "rel/")).count() == \
+        m["n_triples"] - m["n_openie"]
