@@ -102,7 +102,14 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
 
 def pages_to_documents(pages: DataFrame) -> DataFrame:
     """web_pages -> documents input of the KG pipeline: url as doc id,
-    basename as path, stem as title (pipeline.web_pages_to_triples)."""
+    basename as path, stem as title (pipeline.web_pages_to_triples).
+
+    Rows with null ``text`` fall back to boilerplate-stripped extraction
+    from raw ``html`` (html_extract.pages_with_text); rows that ship text
+    bypass the HTML parser entirely."""
+    if "html" in pages.columns:
+        from .html_extract import pages_with_text
+        pages = pages_with_text(pages)
     basename = F.regexp_extract(F.col("url"), r"([^/]+)$", 1)
     return pages.select(
         F.col("url").alias("doc_id"),

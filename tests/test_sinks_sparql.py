@@ -1,0 +1,53 @@
+"""S6/S7 SPARQL Update statement sink (sinks_sparql.py)."""
+
+import os
+import re
+
+from knowledgebase_processor_spark.pipeline import documents_to_triples
+from knowledgebase_processor_spark.sinks_sparql import (
+    to_sparql_updates, write_sparql_update_files,
+)
+
+NT_LINE = re.compile(r"^  <\S+> <\S+> (<\S+>|\"(?:[^\"\\]|\\.)*\"(\^\^<\S+>)?) \.$")
+
+
+def _triples(spark):
+    docs = spark.createDataFrame(
+        [("docs/a", "# Title A\n\n- [ ] task \"quoted\"\n"),
+         ("docs/b", "plain text")],
+        "doc_id string, text string")
+    return documents_to_triples(docs)
+
+
+def test_upsert_statement_shape(spark):
+    ups = {r.source_doc: r.update for r in to_sparql_updates(_triples(spark)).collect()}
+    assert set(ups) == {"docs/a", "docs/b"}
+    u = ups["docs/a"]
+    # reference shape: prefix, per-document DELETE..WHERE, then INSERT DATA
+    assert u.startswith("PREFIX kb: <http://example.org/kb/>")
+    assert "DELETE {" in u and "WHERE {" in u and "INSERT DATA {" in u
+    assert u.index("DELETE {") < u.index("INSERT DATA {")
+    # the DELETE targets exactly this document's entities
+    assert "kb:sourceDocument <" in u and "docs/a" in u.split("INSERT DATA")[0]
+    # every INSERT line is valid N-Triples; escaped quote survives
+    body = u.split("INSERT DATA {", 1)[1].rsplit("}", 1)[0].strip("\n")
+    for line in body.splitlines():
+        assert NT_LINE.match(line), line
+    assert '\\"quoted\\"' in u
+
+
+def test_plain_insert_and_named_graph(spark):
+    t = _triples(spark)
+    plain = to_sparql_updates(t, upsert=False).collect()[0].update
+    assert "DELETE" not in plain and "INSERT DATA {" in plain
+    g = to_sparql_updates(t, graph_uri="http://g.example/kb").collect()[0].update
+    assert "GRAPH <http://g.example/kb>" in g.split("INSERT DATA")[1]
+    assert "GRAPH <http://g.example/kb>" in g.split("INSERT DATA")[0]  # delete too
+
+
+def test_write_update_files(spark, tmp_path):
+    out = str(tmp_path / "ru")
+    n = write_sparql_update_files(_triples(spark), out)
+    files = sorted(os.listdir(out))
+    assert n == 2 and files == ["a.ru", "b.ru"]
+    assert "INSERT DATA" in open(os.path.join(out, "a.ru")).read()
