@@ -324,6 +324,54 @@ def _q26_openie_relations(spark, sf):
             .orderBy("subj", "rel", "obj"))
 
 
+def _q27_pii_scrub(spark, sf):
+    # PII redaction (functions/text.redact_pii): deterministic PII is
+    # injected into a slice of rows (the corpus itself is synthetic word
+    # soup), then redacted; output proves every injected token is caught.
+    from knowledgebase_processor_spark.functions.text import pii_counts, redact_pii
+    d = _t(spark, sf, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+             .when(F.col("doc_id") % 11 == 0, F.lit(" host 10.0.0.1"))
+             .otherwise(F.lit(""))).alias("text"))
+    counts = pii_counts(F.col("text"))
+    red = salted.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        F.length(redact_pii(F.col("text"))).alias("redacted_len"))
+    return (red.groupBy()
+            .agg(F.sum("n_emails").alias("total_emails"),
+                 F.sum("n_ips").alias("total_ips"),
+                 F.sum("redacted_len").alias("total_redacted_len")))
+
+
+def _q28_canonical_urls(spark, sf):
+    # URL canonicalization (functions/text.canonical_url): synthesize the
+    # messy crawl-url variants from doc_id, canonicalize, count collisions.
+    from knowledgebase_processor_spark.functions.text import canonical_url
+    d = _t(spark, sf, "documents")
+    variants = d.select(
+        F.col("doc_id"),
+        F.explode(F.array(
+            F.concat(F.lit("https://Example.COM/docs//d"),
+                     F.col("doc_id").cast("string"), F.lit("/?utm_source=feed")),
+            F.concat(F.lit("https://example.com/docs/d"),
+                     F.col("doc_id").cast("string")),
+            F.concat(F.lit("https://example.com/docs/d"),
+                     F.col("doc_id").cast("string"), F.lit("#section")),
+        )).alias("url"))
+    return (variants.select(canonical_url(F.col("url")).alias("curl"))
+            .groupBy("curl").agg(F.count("*").alias("n_variants"))
+            .groupBy("n_variants").agg(F.count("*").alias("n_urls"))
+            .orderBy("n_variants"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -352,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_todo_stats": _q24_todo_stats,
         "q25_content_stats": _q25_content_stats,
         "q26_openie_relations": _q26_openie_relations,
+        "q27_pii_scrub": _q27_pii_scrub,
+        "q28_canonical_urls": _q28_canonical_urls,
     }
 
 
@@ -525,6 +575,64 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_matches,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM m GROUP BY subj, rel, obj ORDER BY subj, rel, obj""",
+        "q27_pii_scrub": r"""
+            WITH salted AS (
+              SELECT doc_id,
+                     concat(text,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                        '@example.com')
+                            WHEN doc_id % 11 = 0 THEN ' host 10.0.0.1'
+                            ELSE '' END) AS text
+              FROM documents)
+            SELECT
+              SUM(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS total_emails,
+              SUM(len(regexp_extract_all(text,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS total_ips,
+              SUM(length(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                 '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g'))) AS total_redacted_len
+            FROM salted""",
+        "q28_canonical_urls": r"""
+            WITH variants AS (
+              SELECT unnest([
+                concat('https://Example.COM/docs//d', CAST(doc_id AS VARCHAR),
+                       '/?utm_source=feed'),
+                concat('https://example.com/docs/d', CAST(doc_id AS VARCHAR)),
+                concat('https://example.com/docs/d', CAST(doc_id AS VARCHAR),
+                       '#section')]) AS url
+              FROM documents),
+            canon AS (
+              SELECT regexp_replace(
+                      regexp_replace(
+                       regexp_replace(
+                        regexp_replace(
+                         regexp_replace(
+                          regexp_replace(
+                           concat(lower(regexp_extract(trim(url),
+                                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+                                  substring(trim(url),
+                                   length(regexp_extract(trim(url),
+                                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)),
+                           '#.*$', ''),
+                          '(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*&?',
+                          '', 'g'),
+                         '\?&', '?'),
+                        '[?&]$', ''),
+                       '([^:/])/{2,}', '\1/', 'g'),
+                      '(://[^/]*/[^?#]+?)/(\?|$)', '\1\2') AS curl
+              FROM variants),
+            per_url AS (
+              SELECT curl, COUNT(*) AS n_variants FROM canon GROUP BY curl)
+            SELECT n_variants, COUNT(*) AS n_urls
+            FROM per_url GROUP BY n_variants ORDER BY n_variants""",
         # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
         # extraction pipeline, not SQL-expressible).
     }

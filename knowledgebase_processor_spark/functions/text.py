@@ -115,3 +115,62 @@ def shingles(text: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+
+
+# --- PII redaction (training-data hygiene) ---------------------------------
+
+# RE2-compatible (no lookaround) so the exact same patterns run in the
+# DuckDB oracle.  Ordering matters: emails before phones (an email local
+# part can contain digit runs), IPs before phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / SSNs / phone-like digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass.  Pure
+    ``regexp_replace`` chain: whole-stage codegen, no Python."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (for corpus audit aggregations)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)),
+        "n_ssns": F.size(F.regexp_extract_all(text, F.lit(PII_SSN), 0)),
+    }
+
+
+# --- URL canonicalization (crawl dedup) ------------------------------------
+
+_TRACKING_QUERY = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-grade URL normalization: lowercase scheme+host, strip
+    fragment, strip tracking query params, collapse duplicate slashes in
+    the path, drop trailing '?'/'&' and trailing slash (except root).
+
+    Canonicalizing BEFORE the url-hash partitioning/dedup stages means
+    recrawls of the same logical page land in the same partition and
+    collapse in `latest_snapshot` — at crawl scale this is the difference
+    between deduplicating pages and deduplicating tracking-tag variants.
+    """
+    u = F.trim(url)
+    head = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    tail = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    u2 = F.concat(F.lower(head), tail)
+    u2 = F.regexp_replace(u2, r"#.*$", "")                      # fragment
+    u2 = F.regexp_replace(u2, _TRACKING_QUERY + r"&?", "")      # tracking params
+    u2 = F.regexp_replace(u2, r"\?&", "?")
+    u2 = F.regexp_replace(u2, r"[?&]$", "")
+    u2 = F.regexp_replace(u2, r"([^:/])/{2,}", r"$1/")          # dup slashes
+    u2 = F.regexp_replace(u2, r"(://[^/]*/[^?#]+?)/(\?|$)", r"$1$2")  # trailing slash
+    return u2

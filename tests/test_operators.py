@@ -239,3 +239,36 @@ def test_dimension_tiebreak_deterministic(spark):
         dim = documents_dimension(docs.repartition(parts), path_col="path")
         win = dim.filter("match_key = 'readme'").collect()
         assert len(win) == 1 and win[0]["t2"] == "docB"  # max kb_id, stable
+
+
+def test_pii_redaction_and_counts(spark):
+    from knowledgebase_processor_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", "mail a.b+c@ex.co.uk or +1 (555) 123-4567"),
+         ("b", "ip 10.0.0.255 ssn 123-45-6789"),
+         ("c", "clean text 42")],
+        "id string, text string")
+    c = pii_counts(F.col("text"))
+    rows = {r.id: r for r in df.select(
+        "id", redact_pii(F.col("text")).alias("t"),
+        c["n_emails"].alias("e"), c["n_ips"].alias("i"),
+        c["n_ssns"].alias("s")).collect()}
+    assert rows["a"].t == "mail <EMAIL> or <PHONE>"
+    assert rows["b"].t == "ip <IP> ssn <SSN>"
+    assert rows["c"].t == "clean text 42"
+    assert (rows["a"].e, rows["b"].i, rows["b"].s) == (1, 1, 1)
+
+
+def test_canonical_url_rules(spark):
+    from knowledgebase_processor_spark.functions.text import canonical_url
+    from pyspark.sql import functions as F
+    cases = {
+        "HTTPS://Ex.COM/A/B/?utm_source=x&q=1#f": "https://ex.com/A/B?q=1",
+        "http://a.b//x///y/": "http://a.b/x/y",
+        "https://site.org/": "https://site.org/",      # root slash kept
+        "https://x.y/p?a=1&utm_b=2&c=3": "https://x.y/p?a=1&c=3",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == list(cases.values())
