@@ -609,26 +609,32 @@ def oracle_sql() -> dict[str, str]:
                 concat('https://example.com/docs/d', CAST(doc_id AS VARCHAR),
                        '#section')]) AS url
               FROM documents),
-            canon AS (
+            cleaned AS (
               SELECT regexp_replace(
                       regexp_replace(
                        regexp_replace(
                         regexp_replace(
                          regexp_replace(
-                          regexp_replace(
-                           concat(lower(regexp_extract(trim(url),
-                                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
-                                  substring(trim(url),
-                                   length(regexp_extract(trim(url),
-                                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)),
-                           '#.*$', ''),
-                          '(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*&?',
-                          '', 'g'),
-                         '\?&', '?'),
-                        '[?&]$', ''),
-                       '([^:/])/{2,}', '\1/', 'g'),
-                      '(://[^/]*/[^?#]+?)/(\?|$)', '\1\2') AS curl
+                          concat(lower(regexp_extract(trim(url),
+                                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)),
+                                 substring(trim(url),
+                                  length(regexp_extract(trim(url),
+                                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)),
+                          '#.*$', ''),
+                         '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*',
+                         '\1', 'g'),
+                        '&{2,}', '&', 'g'),
+                       '\?&', '?'),
+                      '[?&]$', '') AS u2
               FROM variants),
+            canon AS (
+              SELECT concat(
+                regexp_replace(
+                 regexp_replace(regexp_extract(u2, '^[^?#]*', 0),
+                  '([^:/])/{2,}', '\1/', 'g'),
+                 '(://[^/]*/.+?)/$', '\1'),
+                substring(u2, length(regexp_extract(u2, '^[^?#]*', 0)) + 1)) AS curl
+              FROM cleaned),
             per_url AS (
               SELECT curl, COUNT(*) AS n_variants FROM canon GROUP BY curl)
             SELECT n_variants, COUNT(*) AS n_urls

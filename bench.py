@@ -57,8 +57,8 @@ def _pipeline_throughput(spark, cpus: int) -> tuple[int, float]:
     """(n_triples, seconds) for the full documents->triples pipeline.
 
     The testdata ships as one parquet file = one input split, so the read
-    is repartitioned to cpus*4 — at production scale the table has
-    thousands of splits and this repartition disappears.
+    is repartitioned to cpus — at production scale the table has thousands
+    of splits and this repartition disappears.
     """
     from pyspark.sql import functions as F
     from knowledgebase_processor_spark.pipeline import documents_to_triples

@@ -150,7 +150,10 @@ def pii_counts(text: Column) -> dict[str, Column]:
 
 # --- URL canonicalization (crawl dedup) ------------------------------------
 
-_TRACKING_QUERY = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*"
+# anchored at a parameter boundary ([?&]) so 'ref' does not fire inside
+# longer names (href=, aref=) or path segments; the boundary char is kept
+# via $1 and the separator cleanup rules below collapse the leftovers.
+_TRACKING_QUERY = r"([?&])(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
@@ -168,9 +171,14 @@ def canonical_url(url: Column) -> Column:
     tail = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
     u2 = F.concat(F.lower(head), tail)
     u2 = F.regexp_replace(u2, r"#.*$", "")                      # fragment
-    u2 = F.regexp_replace(u2, _TRACKING_QUERY + r"&?", "")      # tracking params
+    u2 = F.regexp_replace(u2, _TRACKING_QUERY, r"$1")           # tracking params
+    u2 = F.regexp_replace(u2, r"&{2,}", "&")                    # separator debris
     u2 = F.regexp_replace(u2, r"\?&", "?")
     u2 = F.regexp_replace(u2, r"[?&]$", "")
-    u2 = F.regexp_replace(u2, r"([^:/])/{2,}", r"$1/")          # dup slashes
-    u2 = F.regexp_replace(u2, r"(://[^/]*/[^?#]+?)/(\?|$)", r"$1$2")  # trailing slash
-    return u2
+    # slash normalization applies to the PATH only — query values may
+    # legitimately carry slashes (redirect targets etc.)
+    path = F.regexp_extract(u2, r"^[^?#]*", 0)
+    query = F.substring(u2, F.length(path) + 1, F.lit(1 << 30))
+    path = F.regexp_replace(path, r"([^:/])/{2,}", r"$1/")      # dup slashes
+    path = F.regexp_replace(path, r"(://[^/]*/.+?)/$", r"$1")   # trailing slash
+    return F.concat(path, query)

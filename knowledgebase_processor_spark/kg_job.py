@@ -91,8 +91,10 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         openie_triples_df = spark.read.parquet(opath)
         metrics["n_openie"] = openie_triples_df.count()
 
-    # 4: triples
-    tpath = stage("triples")
+    # 4: triples — checkpoint name encodes the openie flag so resuming a
+    # work_dir built without OpenIE (or vice versa) recomputes the union
+    # instead of silently serving the other configuration's table
+    tpath = stage("triples_openie" if openie else "triples")
     if force or not os.path.exists(os.path.join(tpath, "_SUCCESS")):
         triples = explode_merged(entities)
         if mention_triples is not None:

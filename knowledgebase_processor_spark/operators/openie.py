@@ -76,12 +76,15 @@ def openie_to_kg_triples(relations: DataFrame) -> DataFrame:
     predicates — a consumer comparing against the reference's triple set
     (P/R gate) filters them with one predicate-prefix predicate.
     """
-    from ..uris import KB
+    from ..uris import BASE_URL, KB
     slug = lambda c: F.lower(F.regexp_replace(c, r"[^A-Za-z0-9]+", "_"))
+    # instance entities live under BASE_URL (like mention/wikilink entities,
+    # mentions.py:111) so canonicalization can join them; only the
+    # PREDICATE sits in the vocab namespace (kb:rel/...).
     return relations.select(
-        F.concat(F.lit(KB + "entity/"), slug(F.col("subj"))).alias("subj"),
+        F.concat(F.lit(BASE_URL + "entity/"), slug(F.col("subj"))).alias("subj"),
         F.concat(F.lit(KB + "rel/"), F.col("rel")).alias("pred"),
-        F.concat(F.lit(KB + "entity/"), slug(F.col("obj"))).alias("obj"),
+        F.concat(F.lit(BASE_URL + "entity/"), slug(F.col("obj"))).alias("obj"),
         F.lit(True).alias("obj_is_uri"),
         F.lit(None).cast("string").alias("obj_datatype"),
         F.col("doc_id").alias("source_doc"),

@@ -30,8 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .rdf_schema import KB_SOURCE_DOC
 from .sinks_ttl import _escape
-from .uris import XSD
+from .uris import XSD, resolve_uri
 
 SPARQL_DOC = StructType([StructField("source_doc", StringType()),
                          StructField("update", StringType())])
@@ -46,9 +47,15 @@ def _nt_term(value: str, is_uri: bool, datatype: str | None) -> str:
     return lit          # rdflib nt: xsd:string stays a plain literal
 
 
-def _delete_block(doc_uri: str, graph_uri: str | None) -> str:
-    """The reference's per-document delete (sparql_interface.py:338-380)."""
-    inner = (f"{{ ?entity kb:sourceDocument <{doc_uri}> . "
+def _delete_block(source_doc: str, graph_uri: str | None) -> str:
+    """The reference's per-document delete (sparql_interface.py:338-380),
+    rebased onto THIS pipeline's vocabulary: the source-document predicate
+    is ``<KB_SOURCE_DOC>`` (vocab#sourceDocument, rdf_schema.py:35) and the
+    matched object is the absolutized doc URI — exactly what the triple
+    emitter stores (operators/triples._resolve), so the DELETE actually
+    hits the previously-inserted rows."""
+    doc_uri = resolve_uri(source_doc)
+    inner = (f"{{ ?entity <{KB_SOURCE_DOC}> <{doc_uri}> . "
              f"?entity ?predicate ?object . }} UNION "
              f"{{ <{doc_uri}> ?docPredicate ?docObject . }}")
     tmpl = ("?entity ?predicate ?object .\n"
@@ -97,15 +104,22 @@ def write_sparql_update_files(triples: DataFrame, output_dir: str,
                               upsert: bool = True) -> int:
     """Write one ``<doc-stem>.ru`` SPARQL Update file per document
     (executor-side, foreachPartition — no driver collect)."""
+    import re
+
     os.makedirs(output_dir, exist_ok=True)
     updates = to_sparql_updates(triples, graph_uri, upsert)
 
-    def _write(rows) -> None:
+    def _write(rows):
+        n = 0
         for r in rows:
-            stem = r.source_doc.rstrip("/").rsplit("/", 1)[-1] or "graph"
+            # full-path sanitization (same scheme as sinks_ttl): docs from
+            # different directories with equal basenames must not collide
+            stem = re.sub(r"[^A-Za-z0-9._-]", "_", r.source_doc) or "graph"
             with open(os.path.join(output_dir, f"{stem}.ru"), "w",
                       encoding="utf-8") as f:
                 f.write(r.update)
+            n += 1
+        yield n
 
-    updates.foreachPartition(_write)
-    return updates.count()
+    # single job: write and count in the same partition pass
+    return sum(updates.rdd.mapPartitions(_write).collect())

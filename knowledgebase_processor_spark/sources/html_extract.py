@@ -52,9 +52,13 @@ class _Extractor(HTMLParser):
         self._buf: list[str] = []
         self._link_chars = 0
         self._total_chars = 0
-        self._drop_depth = 0
+        self._drop_stack: list[str] = []
         self._a_depth = 0
         self._pre_depth = 0
+
+    @property
+    def _drop_depth(self) -> int:
+        return len(self._drop_stack)
 
     def _flush(self) -> None:
         text = "".join(self._buf)
@@ -71,8 +75,14 @@ class _Extractor(HTMLParser):
             self.blocks.append(text)
 
     def handle_starttag(self, tag, attrs):
+        # HTML5 allows omitting </head>; html.parser does not synthesize
+        # it, so an open <head> would otherwise swallow the entire body.
+        # <body> (or any content block) implicitly closes an open head.
+        if self._drop_stack and self._drop_stack[-1] == "head" \
+                and (tag == "body" or tag in _BLOCK_TAGS):
+            self._drop_stack.pop()
         if tag in _DROP_SUBTREES:
-            self._drop_depth += 1
+            self._drop_stack.append(tag)
             return
         if self._drop_depth:
             return
@@ -86,7 +96,11 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in _DROP_SUBTREES:
-            self._drop_depth = max(0, self._drop_depth - 1)
+            if tag in self._drop_stack:
+                # pop to (and including) the matching open tag — tolerates
+                # unclosed inner drop-tags like <form> without </form>
+                while self._drop_stack and self._drop_stack.pop() != tag:
+                    pass
             return
         if self._drop_depth:
             return

@@ -67,3 +67,20 @@ def test_pages_with_text_cascade(spark):
     rows = {r.url: r.text for r in pages_with_text(pages).collect()}
     assert rows["u1"] == "shipped text"          # shipped text wins
     assert rows["u2"].startswith("extracted body text")
+
+
+def test_unclosed_head_and_form_do_not_swallow_body():
+    # HTML5-legal omitted </head>: body content must survive
+    page = (b"<html><head><title>T</title><meta charset=utf-8>"
+            b"<body><p>Long real article content paragraph here ok</p>")
+    assert "Long real article content" in extract_main_text(page)
+    # same without <body>: first content block closes head
+    page2 = (b"<html><head><title>T</title>"
+             b"<p>Another long enough content paragraph right here</p>")
+    assert "Another long enough" in extract_main_text(page2)
+    # unclosed <form> inside the page must not swallow the rest
+    page3 = (b"<body><form><input name=q>"
+             b"<p>should be dropped (inside form)</p></form>"
+             b"<p>content after the form block is long and kept fine</p>")
+    out3 = extract_main_text(page3)
+    assert "content after the form" in out3 and "inside form" not in out3

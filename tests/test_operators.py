@@ -272,3 +272,19 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == list(cases.values())
+
+
+def test_canonical_url_review_cases(spark):
+    # regression: anchored tracking params + path-only slash collapse
+    from knowledgebase_processor_spark.functions.text import canonical_url
+    from pyspark.sql import functions as F
+    cases = {
+        "https://x.y/p?href=https://other": "https://x.y/p?href=https://other",
+        "https://a.com/item?aref=1": "https://a.com/item?aref=1",
+        "https://x.y/p?next=/a//b": "https://x.y/p?next=/a//b",
+        "https://x.y/ref=sr_1_1/item": "https://x.y/ref=sr_1_1/item",
+        "https://x.y/p?utm_a=1&utm_b=2": "https://x.y/p",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == list(cases.values())

@@ -27,8 +27,15 @@ def test_upsert_statement_shape(spark):
     assert u.startswith("PREFIX kb: <http://example.org/kb/>")
     assert "DELETE {" in u and "WHERE {" in u and "INSERT DATA {" in u
     assert u.index("DELETE {") < u.index("INSERT DATA {")
-    # the DELETE targets exactly this document's entities
-    assert "kb:sourceDocument <" in u and "docs/a" in u.split("INSERT DATA")[0]
+    # the DELETE targets exactly this document's entities, with the SAME
+    # predicate + absolutized doc URI the emitter stores — so it actually
+    # matches previously-inserted rows (review fix)
+    from knowledgebase_processor_spark.rdf_schema import KB_SOURCE_DOC
+    from knowledgebase_processor_spark.uris import resolve_uri
+    delete_part = u.split("INSERT DATA")[0]
+    assert f"<{KB_SOURCE_DOC}> <{resolve_uri('docs/a')}>" in delete_part
+    # and the INSERT stores exactly that object for the sourceDocument rows
+    assert f"<{resolve_uri('docs/a')}>" in u.split("INSERT DATA")[1]
     # every INSERT line is valid N-Triples; escaped quote survives
     body = u.split("INSERT DATA {", 1)[1].rsplit("}", 1)[0].strip("\n")
     for line in body.splitlines():
@@ -49,5 +56,7 @@ def test_write_update_files(spark, tmp_path):
     out = str(tmp_path / "ru")
     n = write_sparql_update_files(_triples(spark), out)
     files = sorted(os.listdir(out))
-    assert n == 2 and files == ["a.ru", "b.ru"]
-    assert "INSERT DATA" in open(os.path.join(out, "a.ru")).read()
+    # full-path sanitized stems: same-basename docs in different dirs
+    # cannot collide (review fix)
+    assert n == 2 and files == ["docs_a.ru", "docs_b.ru"]
+    assert "INSERT DATA" in open(os.path.join(out, "docs_a.ru")).read()
