@@ -69,3 +69,49 @@ def test_deterministic(a, b):
     tb = entities_triples(extract_entities("d", b))
     if a == b:
         assert ta == tb
+
+
+# --- crawl-input kernels (html extraction, url canonicalization, openie) ---
+
+_HTML_BITS = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<script>", "</script>", "<head>",
+    "</head>", "<body>", "<form>", "</form>", "<a href='x'>", "</a>",
+    "<pre>", "</pre>", "<nav>", "</nav>", "<br>", "<!--", "-->", "&amp;",
+    "&#x27;", "<", ">", "\"", "'", "\n",
+])
+_HTML = st.lists(st.one_of(_HTML_BITS, _WORDS), min_size=0, max_size=50).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_HTML)
+def test_html_extraction_never_crashes_and_is_deterministic(html):
+    from knowledgebase_processor_spark.sources.html_extract import extract_main_text
+    out = extract_main_text(html)
+    assert isinstance(out, str)
+    assert out == extract_main_text(html)
+    # utf-8 bytes round trip through the binary-column path
+    assert extract_main_text(html.encode("utf-8")) == out
+
+
+_URL = st.one_of(
+    st.text(min_size=0, max_size=40),
+    st.builds(
+        lambda h, p, q: f"https://{h}/{p}" + (f"?{q}" if q else ""),
+        st.from_regex(r"[a-zA-Z0-9.-]{1,12}", fullmatch=True),
+        st.from_regex(r"[a-zA-Z0-9/_%.-]{0,20}", fullmatch=True),
+        st.from_regex(r"[a-zA-Z0-9=&_]{0,20}", fullmatch=True)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_URL, min_size=1, max_size=8, unique=True))
+def test_canonical_url_idempotent(spark, urls):
+    # canonical(canonical(u)) == canonical(u): canonicalization must be a
+    # projection, or recrawl dedup diverges between passes
+    from pyspark.sql import functions as F
+
+    from knowledgebase_processor_spark.functions.text import canonical_url
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    df2 = spark.createDataFrame([(c,) for c in once], "url string")
+    twice = [r.c for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert once == twice
