@@ -65,7 +65,12 @@ def session(app: str = "kgp-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # rows-AND-bytes bounded Arrow batches: 8192 rows amortizes per-batch
+        # pandas/Arrow conversion for small docs, while the bytes cap keeps
+        # 32 concurrent workers from holding ~32x80MB of 10KB-page batches
+        # in flight (GC pressure dominates the big-page pipeline otherwise)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
