@@ -36,8 +36,45 @@ if _missing:
 SF001 = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+_SPLITS_CACHE: dict[str, int] = {}
+
+
+def _parquet_splits(path: str) -> int:
+    """Row-group count from the parquet footers (driver-local, ~ms).
+
+    This is the scan's real max parallelism: Spark splits parquet by byte
+    range but a row group is read whole by one task.  (Do NOT probe via
+    df.rdd.getNumPartitions() — materializing the .rdd costs seconds.)
+    """
+    if path not in _SPLITS_CACHE:
+        import pyarrow.parquet as pq
+        files = ([path] if os.path.isfile(path) else
+                 [os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".parquet")])
+        _SPLITS_CACHE[path] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    return _SPLITS_CACHE[path]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
+    """Read a testdata table; `spread=True` for queries whose map-side work
+    (extraction UDFs, shingle explodes) dominates.
+
+    The test parquet ships as ONE row group, so the scan is one task and
+    map-side work single-threads no matter the cluster size.  Spreading
+    repartitions to the cluster's slot count when the scan has fewer
+    splits; at production scale the table has thousands of row groups and
+    the gate makes it a no-op.  Explicit numPartitions so AQE does not
+    coalesce the tiny exchange back down to one partition.  Kept opt-in:
+    for cheap scans the extra exchange costs more than it buys.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    slots = spark.sparkContext.defaultParallelism
+    if spread and _parquet_splits(path) < slots:
+        df = df.repartition(slots)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +289,7 @@ def _q19_event_windows(spark, sf):
 def _q20_minhash_lsh(spark, sf):
     # dedup/minhash+LSH candidate pairs (rows-only: engine-specific hashes).
     from knowledgebase_processor_spark.operators.dedup import minhash_lsh_pairs
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return (minhash_lsh_pairs(d, num_hashes=16, bands=4)
             .orderBy("doc_a", "doc_b"))
 
@@ -260,14 +297,14 @@ def _q20_minhash_lsh(spark, sf):
 def _q21_simhash_near_dups(spark, sf):
     # dedup/simhash near-dup pairs (rows-only: engine-specific hashes).
     from knowledgebase_processor_spark.operators.dedup import simhash_near_dups
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return simhash_near_dups(d, max_hamming=16).orderBy("doc_a", "doc_b")
 
 
 def _q22_triples_by_kind(spark, sf):
     # flagship KG pipeline (rows-only: extraction not SQL-expressible).
     from knowledgebase_processor_spark.pipeline import documents_to_triples
-    docs = _t(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents", spread=True).select(
         F.concat(F.lit("corpus/doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         "text")
     return (documents_to_triples(docs, resolve_links=True)
@@ -291,7 +328,7 @@ def _q24_todo_stats(spark, sf):
     # extraction not SQL-expressible).
     from knowledgebase_processor_spark.operators.extract_udf import extract_entities_df
     from knowledgebase_processor_spark.operators.stats import todo_statistics
-    docs = _t(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents", spread=True).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     return todo_statistics(extract_entities_df(docs))
 
