@@ -20,6 +20,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Above this estimated dimension size, stop forcing a broadcast and fall
+# back to a shuffled hash join.  A corpus-wide document registry fits in a
+# broadcast up to ~10^8 docs; at the 10^12-doc design point it is
+# terabytes and MUST shuffle.  SHUFFLE_HASH (not sort-merge) so the huge
+# entity fact side is hashed, never sorted.
+BROADCAST_CAP_BYTES = 256 << 20
+
+
+def _hinted_dim(dim: DataFrame, broadcast_cap: int) -> DataFrame:
+    """Broadcast the dimension when its optimizer-estimated size fits,
+    else hint SHUFFLE_HASH.  Estimation is driver-side plan metadata —
+    no job runs."""
+    size = None
+    try:
+        size = int(str(
+            dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        pass  # stats unavailable -> assume dimension-sized, broadcast
+    if size is None or size <= broadcast_cap:
+        return F.broadcast(dim)
+    return dim.hint("SHUFFLE_HASH")
+
 
 def documents_dimension(docs: DataFrame, doc_id_col: str = "doc_id",
                         path_col: str | None = None) -> DataFrame:
@@ -60,13 +82,14 @@ def documents_dimension(docs: DataFrame, doc_id_col: str = "doc_id",
                  F.max(F.when(F.col("priority") == 2, F.col("target_kb_id"))).alias("t2")))
 
 
-def resolve_wikilinks_merged(entities: DataFrame, dim: DataFrame) -> DataFrame:
+def resolve_wikilinks_merged(entities: DataFrame, dim: DataFrame,
+                             broadcast_cap: int = BROADCAST_CAP_BYTES) -> DataFrame:
     """resolve_wikilinks over the pre-merged (array-valued) entity frame:
     a wikilink carries exactly one target_path, so the join key is its
     single element and the resolved URI lands as a one-element array."""
     cond = ((F.col("kind") == "wikilink")
             & (F.try_element_at(F.col("target_path"), F.lit(1)) == F.col("match_key")))
-    out = entities.join(F.broadcast(dim), on=cond, how="left")
+    out = entities.join(_hinted_dim(dim, broadcast_cap), on=cond, how="left")
     hit = F.coalesce("t0", "t1", "t2")
     return (out.withColumn(
         "resolved_document_uri",
@@ -98,12 +121,13 @@ def resolve_by_suffix(wikilinks: DataFrame, docs_dim: DataFrame) -> DataFrame:
             .agg(F.min("suffix_target").alias("suffix_resolved_uri")))
 
 
-def resolve_wikilinks(entities: DataFrame, dim: DataFrame) -> DataFrame:
+def resolve_wikilinks(entities: DataFrame, dim: DataFrame,
+                      broadcast_cap: int = BROADCAST_CAP_BYTES) -> DataFrame:
     """Fill wikilink.resolved_document_uri via the 3-key lookup cascade
     (find_document_by_path, document_registry.py:58-74) — one broadcast
     left join with a precedence coalesce, single lineage, shuffle-free."""
     cond = (F.col("kind") == "wikilink") & (F.col("target_path") == F.col("match_key"))
-    out = entities.join(F.broadcast(dim), on=cond, how="left")
+    out = entities.join(_hinted_dim(dim, broadcast_cap), on=cond, how="left")
     return (out.withColumn(
         "resolved_document_uri",
         F.when(F.col("kind") == "wikilink",

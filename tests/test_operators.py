@@ -288,3 +288,37 @@ def test_canonical_url_review_cases(spark):
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == list(cases.values())
+
+
+def test_wikilink_resolution_shuffle_fallback(spark):
+    """Above the broadcast cap the dimension join must flip to a shuffled
+    hash join (the 10^12-doc registry cannot broadcast) with identical
+    resolution results."""
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.extract_udf import (
+        extract_merged_entities_df)
+    from knowledgebase_processor_spark.operators.triples import explode_merged
+    from knowledgebase_processor_spark.operators.wikilink_resolve import (
+        documents_dimension, resolve_wikilinks_merged)
+
+    docs = spark.createDataFrame(
+        [("docs/alpha", "See [[notes/alpha.md]] and [[alpha]] and [[nope]]",
+          "notes/alpha.md", "Alpha"),
+         ("docs/beta", "plain [[notes/alpha]]", "notes/beta.md", "Beta")],
+        "doc_id string, text string, path string, title string")
+    merged = extract_merged_entities_df(docs, "doc_id", "text", "path", "title")
+    dim = documents_dimension(docs, "doc_id", "path")
+
+    def resolved_set(cap):
+        t = explode_merged(resolve_wikilinks_merged(merged, dim, broadcast_cap=cap))
+        return {(r.subj, r.obj) for r in
+                t.filter(F.col("pred").endswith("resolvedDocument")).collect()}
+
+    broadcast_res = resolved_set(256 << 20)
+    shuffle_res = resolved_set(0)          # force the at-scale path
+    assert broadcast_res == shuffle_res and len(broadcast_res) == 3
+
+    plan = resolve_wikilinks_merged(merged, dim, broadcast_cap=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
