@@ -117,17 +117,27 @@ def _scale_worker(cpus: int, corpus: str) -> None:
     print(json.dumps({"cpus": cpus, "n": n, "sec": round(sec, 3)}))
 
 
-def _run_scale_level(cpus: int, corpus: str) -> dict:
+def _run_scale_level(cpus: int, corpus: str, repeats: int = 2) -> dict:
+    """Run one pinned level in a fresh process, `repeats` times, best-of.
+
+    The sandbox host has heavy noisy-neighbor variance (identical
+    back-to-back runs measured 2.5x apart); noise only ever ADDS time, so
+    best-of-process-repeats on top of the worker's best-of-3 filters it.
+    """
     import shutil
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__),
            "--_scale-worker", str(cpus), corpus]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
-    return {"sec": rec["sec"],
-            "triples_per_sec": round(rec["n"] / rec["sec"], 1)}
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or rec["sec"] < best["sec"]:
+            best = rec
+    return {"sec": best["sec"],
+            "triples_per_sec": round(best["n"] / best["sec"], 1)}
 
 
 def main() -> None:

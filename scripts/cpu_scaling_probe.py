@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Hardware scaling-ceiling probe (no Spark).
+
+Runs a pure-Python regex+hash workload — the same flavor of work as the
+extraction kernel — on N single-core-pinned processes and reports total
+work units.  Comparing levels gives the HOST's own scaling efficiency,
+independent of this engine: on a virtualized/shared box, 4x the vCPUs
+rarely yields 4x the sustained throughput (hypervisor overcommit,
+frequency scaling, shared memory bandwidth).  Pipeline efficiency numbers
+in BENCH/BASELINE.md should be read against this ceiling.
+
+Usage: python scripts/cpu_scaling_probe.py [levels, default "2,8,32"]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import subprocess
+import sys
+import time
+
+SECONDS = 8
+CORPUS = "/root/reference/specs/reference_corpus"
+
+
+def _worker() -> None:
+    files = sorted(f for f in os.listdir(CORPUS) if f.endswith(".md"))
+    text = open(os.path.join(CORPUS, files[0])).read() * 50
+    pat = re.compile(
+        r"\[\[([^\[\]\|\n]+?)(?:\|([^\[\]\n]+?))?\]\]|^(#{1,6})\s+(.+)$", re.M)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < SECONDS:
+        for _ in pat.finditer(text):
+            n += 1
+        hashlib.sha256(text.encode()).hexdigest()
+    print(n)
+
+
+def _level(n_procs: int) -> int:
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(i), sys.executable, __file__, "--_worker"],
+        stdout=subprocess.PIPE, text=True) for i in range(n_procs)]
+    return sum(int(p.communicate()[0].strip()) for p in procs)
+
+
+def main() -> None:
+    if "--_worker" in sys.argv:
+        _worker()
+        return
+    levels = [int(x) for x in
+              (sys.argv[1] if len(sys.argv) > 1 else "2,8,32").split(",")]
+    best: dict[int, int] = {}
+    for _ in range(3):                       # best-of-3 per level
+        for n in levels:
+            best[n] = max(best.get(n, 0), _level(n))
+    for n in levels:
+        print(f"{n} procs: {best[n]} work units")
+    for lo, hi in zip(levels, levels[1:]):
+        eff = (best[hi] / best[lo]) / (hi / lo)
+        print(f"hardware efficiency {lo}->{hi}: {eff:.2f}")
+
+
+if __name__ == "__main__":
+    main()
