@@ -20,26 +20,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Above this estimated dimension size, stop forcing a broadcast and fall
-# back to a shuffled hash join.  A corpus-wide document registry fits in a
+# Above this dimension size, stop forcing a broadcast and fall back to a
+# shuffled hash join.  A corpus-wide document registry fits in a
 # broadcast up to ~10^8 docs; at the 10^12-doc design point it is
 # terabytes and MUST shuffle.  SHUFFLE_HASH (not sort-merge) so the huge
 # entity fact side is hashed, never sorted.
 BROADCAST_CAP_BYTES = 256 << 20
 
+# Conservative bytes per dimension row in a broadcast hash relation
+# (match_key + 3 target ids + hashmap overhead).
+_DIM_ROW_BYTES = 256
+
 
 def _hinted_dim(dim: DataFrame, broadcast_cap: int) -> DataFrame:
-    """Broadcast the dimension when its optimizer-estimated size fits,
-    else hint SHUFFLE_HASH.  Estimation is driver-side plan metadata —
-    no job runs."""
-    size = None
+    """Broadcast the dimension when it provably fits, else SHUFFLE_HASH.
+
+    Two-tier gate:
+
+    1. Optimizer byte estimate (driver-side plan metadata, no job).  This
+       estimate tracks the SOURCE SCAN size scaled by schema-default
+       column widths, not real column content — for a text-heavy corpus
+       it overstates the id+path dimension ~1000x.  So it is only
+       trusted as a cheap YES: if even the overestimate fits the cap,
+       broadcast without running anything.
+    2. Otherwise run a pruned row count on the dimension (reads only the
+       key columns' parquet pages — cheap even on a petabyte corpus) and
+       decide on rows x _DIM_ROW_BYTES.  One small job, paid only by
+       corpora big enough that the answer actually matters.
+
+    Unknown size (stats or count failure) falls back to SHUFFLE_HASH —
+    the safe direction: a needless shuffle is slow, a terabyte broadcast
+    is an OOM.
+    """
     try:
-        size = int(str(
+        est = int(str(
             dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if est <= broadcast_cap:
+            return F.broadcast(dim)
+        if dim.count() * _DIM_ROW_BYTES <= broadcast_cap:
+            return F.broadcast(dim)
     except Exception:
-        pass  # stats unavailable -> assume dimension-sized, broadcast
-    if size is None or size <= broadcast_cap:
-        return F.broadcast(dim)
+        pass
     return dim.hint("SHUFFLE_HASH")
 
 

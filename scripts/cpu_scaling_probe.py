@@ -40,8 +40,11 @@ def _worker() -> None:
 
 
 def _level(n_procs: int) -> int:
+    import shutil
+    pin = bool(shutil.which("taskset"))
     procs = [subprocess.Popen(
-        ["taskset", "-c", str(i), sys.executable, __file__, "--_worker"],
+        ((["taskset", "-c", str(i)] if pin else [])
+         + [sys.executable, __file__, "--_worker"]),
         stdout=subprocess.PIPE, text=True) for i in range(n_procs)]
     return sum(int(p.communicate()[0].strip()) for p in procs)
 
@@ -59,6 +62,9 @@ def main() -> None:
     for n in levels:
         print(f"{n} procs: {best[n]} work units")
     for lo, hi in zip(levels, levels[1:]):
+        if best[lo] == 0:
+            print(f"hardware efficiency {lo}->{hi}: n/a (no work measured)")
+            continue
         eff = (best[hi] / best[lo]) / (hi / lo)
         print(f"hardware efficiency {lo}->{hi}: {eff:.2f}")
 

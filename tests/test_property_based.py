@@ -2,6 +2,7 @@
 crash on arbitrary text, always produce well-formed entities, and the
 pre-merged path must equal the flat path's deduplicated triple set."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from knowledgebase_processor_spark.extract.core import (
@@ -104,14 +105,31 @@ _URL = st.one_of(
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(_URL, min_size=1, max_size=8, unique=True))
-def test_canonical_url_idempotent(spark, urls):
+def test_canonical_url_idempotent(_url_pool, urls):
     # canonical(canonical(u)) == canonical(u): canonicalization must be a
-    # projection, or recrawl dedup diverges between passes
+    # projection, or recrawl dedup diverges between passes.  Hypothesis
+    # only accumulates the generated urls here; the two-job-per-example
+    # Spark check runs ONCE over the whole pool in
+    # test_canonical_url_idempotent_spark below (two Spark jobs total
+    # instead of ~200).
+    _url_pool.update(urls)
+
+
+@pytest.fixture(scope="module")
+def _url_pool():
+    return set()
+
+
+def test_canonical_url_idempotent_spark(spark, _url_pool):
     from pyspark.sql import functions as F
 
     from knowledgebase_processor_spark.functions.text import canonical_url
+    urls = sorted(_url_pool) or ["https://example.org/a?b=1"]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
-    once = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
-    df2 = spark.createDataFrame([(c,) for c in once], "url string")
-    twice = [r.c for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()]
-    assert once == twice
+    mismatches = (df.select(
+        F.col("url"),
+        canonical_url(F.col("url")).alias("once"),
+        canonical_url(canonical_url(F.col("url"))).alias("twice"))
+        .filter(F.col("once") != F.col("twice"))
+        .collect())
+    assert mismatches == []
