@@ -101,16 +101,19 @@ def coreference_edges(entities: DataFrame) -> DataFrame:
                           & F.col("resolved_document_uri").isNotNull())
           .select(F.col("kb_id").alias("src"),
                   F.col("resolved_document_uri").alias("dst")))
-    mentions = entities.filter(
-        F.col("kind").isin("person", "organization", "location"))
-    alias_groups = (mentions
-                    .select(F.col("kind"), F.lower(F.col("label")).alias("l"),
-                            F.col("kb_id"))
-                    .groupBy("kind", "l")
-                    .agg(F.min("kb_id").alias("rep"),
-                         F.collect_set("kb_id").alias("members")))
-    alias_edges = (alias_groups
+    mentions = (entities
+                .filter(F.col("kind").isin("person", "organization", "location"))
+                .select(F.col("kind"), F.lower(F.col("label")).alias("l"),
+                        F.col("kb_id")))
+    # Head-entity skew: a popular alias ("john smith") can carry millions
+    # of mention ids.  No collect_set — it would buffer a hot key's whole
+    # member list in one reducer.  Instead: representative per alias via
+    # min() (partial-aggregatable, so the hot key collapses map-side),
+    # then a join back to emit (rep -> member) star edges; AQE skew-join
+    # splits the hot aliases at runtime (enabled in pipeline.session).
+    reps = mentions.groupBy("kind", "l").agg(F.min("kb_id").alias("rep"))
+    alias_edges = (mentions.join(reps, on=["kind", "l"])
+                   .filter(F.col("kb_id") != F.col("rep"))
                    .select(F.col("rep").alias("src"),
-                           F.explode("members").alias("dst"))
-                   .filter(F.col("src") != F.col("dst")))
+                           F.col("kb_id").alias("dst")))
     return wl.unionByName(alias_edges)

@@ -11,7 +11,11 @@ entity key puts them all in one reducer.  Two complementary remedies:
   sub-keys, partially aggregates, then combines; for joins of a skewed
   fact against a dimension, the dimension is replicated ``salt`` ways.
 
-Used by the linking/canonicalization stages; exposed as generic operators.
+Exposed as generic operators for extension pipelines.  The built-in
+canonicalization stage avoids the hot-key aggregate entirely instead
+(components.coreference_edges: min-representative + join-back rather
+than collect_set), which beats salting when the aggregate can be
+reformulated; use these when it cannot (exact sets, percentiles).
 """
 
 from __future__ import annotations
