@@ -409,6 +409,19 @@ def _q28_canonical_urls(spark, sf):
             .orderBy("n_variants"))
 
 
+def _q29_minhash_portable(spark, sf):
+    # Portable MinHash (dedup family, fully oracle-checked): same salted
+    # md5 formula is recomputed by DuckDB, so the signature VALUES — not
+    # just row counts — are verified cross-engine.  q20 stays the faster
+    # engine-native xxhash64 variant.
+    from knowledgebase_processor_spark.operators.dedup import (
+        minhash_signatures_portable)
+    d = _t(spark, sf, "documents", spread=True)
+    s = minhash_signatures_portable(d)
+    cols = [F.element_at(F.col("sig"), i).alias(f"h{i}") for i in range(1, 9)]
+    return s.select("doc_id", *cols).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -439,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_openie_relations": _q26_openie_relations,
         "q27_pii_scrub": _q27_pii_scrub,
         "q28_canonical_urls": _q28_canonical_urls,
+        "q29_minhash_portable": _q29_minhash_portable,
     }
 
 
@@ -676,6 +690,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT curl, COUNT(*) AS n_variants FROM canon GROUP BY curl)
             SELECT n_variants, COUNT(*) AS n_urls
             FROM per_url GROUP BY n_variants ORDER BY n_variants""",
+        "q29_minhash_portable": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END AS shingles
+              FROM words),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(1, 9), s ->
+                       list_min(list_transform(shingles, g ->
+                         ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT
+                       ))) AS sg
+              FROM sh)
+            SELECT doc_id, sg[1] AS h1, sg[2] AS h2, sg[3] AS h3, sg[4] AS h4,
+                   sg[5] AS h5, sg[6] AS h6, sg[7] AS h7, sg[8] AS h8
+            FROM sig ORDER BY doc_id""",
         # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
         # extraction pipeline, not SQL-expressible).
     }

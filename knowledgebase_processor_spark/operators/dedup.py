@@ -189,3 +189,38 @@ def embedding_near_dups(vecs: DataFrame, id_col: str = "vec_id",
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(sim, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_hashes: int = 8) -> DataFrame:
+    """MinHash signatures from a PORTABLE hash formula — bit-identical
+    across engines, so an external system (DuckDB, Trino, any ANSI engine
+    with md5) can recompute and verify them.
+
+    Formula (word 3-gram shingles, salted md5 truncated to 60 bits):
+
+        h_s(doc) = min over shingles g of
+                   int(md5(f"{s}|{g}")[:15 hex chars], 16)
+
+    The engine-native ``minhash_signatures`` (xxhash64) is ~2x faster and
+    preferred in-pipeline; this variant exists for cross-system
+    verification and reproducible dataset releases, and doubles as the
+    oracle-checked driver query (q29).  All JVM-side column expressions —
+    no Python.
+    """
+    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                  lambda w: w != F.lit(""))
+    sh = F.when(
+        F.size(ws) >= 3,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                                          F.element_at(ws, i + 1),
+                                          F.element_at(ws, i + 2)))
+    ).otherwise(F.array(F.array_join(ws, " ")))
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda s: F.array_min(F.transform(sh, lambda g: F.conv(
+            F.substring(F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
+                        1, 15), 16, 10).cast("bigint"))))
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
