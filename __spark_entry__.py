@@ -422,6 +422,22 @@ def _q29_minhash_portable(spark, sf):
     return s.select("doc_id", *cols).orderBy("doc_id")
 
 
+def _q30_ngram_jaccard(spark, sf):
+    # Exact n-gram Jaccard verification (dedup family), value-checked:
+    # candidates = same-n_chars pairs (deterministic small groups), scored
+    # with the shared shingle formula DuckDB recomputes exactly.
+    from knowledgebase_processor_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    keyed = d.select("doc_id", "n_chars")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.n_chars") == F.col("b.n_chars"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    return (ngram_jaccard_pairs(d, cand, threshold=0.0)
+            .orderBy("doc_a", "doc_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -453,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_pii_scrub": _q27_pii_scrub,
         "q28_canonical_urls": _q28_canonical_urls,
         "q29_minhash_portable": _q29_minhash_portable,
+        "q30_ngram_jaccard": _q30_ngram_jaccard,
     }
 
 
@@ -712,6 +729,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sg[1] AS h1, sg[2] AS h2, sg[3] AS h3, sg[4] AS h4,
                    sg[5] AS h5, sg[6] AS h6, sg[7] AS h7, sg[8] AS h8
             FROM sig ORDER BY doc_id""",
+        "q30_ngram_jaccard": r"""
+            WITH ws AS (
+              SELECT doc_id, n_chars,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> w <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, n_chars, CASE WHEN len(w) >= 3
+                THEN list_distinct(list_transform(range(1, len(w)-1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                ELSE [array_to_string(w, ' ')] END AS s
+              FROM ws),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+              FROM sh a JOIN sh b
+                ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa, sb))::DOUBLE
+                         / greatest(len(list_distinct(sa || sb)), 1)::DOUBLE,
+                         6) AS jaccard
+            FROM cand ORDER BY doc_a, doc_b""",
         # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
         # extraction pipeline, not SQL-expressible).
     }
