@@ -27,8 +27,15 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def match_bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
-    """Evaluate a basic graph pattern; returns one column per variable."""
+def match_bgp(triples: DataFrame, patterns: list[Pattern],
+              with_meta: bool = False) -> DataFrame:
+    """Evaluate a basic graph pattern; returns one column per variable.
+
+    ``with_meta=True`` additionally carries ``<var>__is_uri`` /
+    ``<var>__datatype`` columns for variables first bound in object
+    position (subject/predicate bindings are always IRIs) — needed by
+    ``construct`` to emit faithful triples.
+    """
     if not patterns:
         raise ValueError("empty basic graph pattern")
     result: DataFrame | None = None
@@ -46,6 +53,9 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
                 else:
                     seen_vars[name] = col
                     sel.append(F.col(col).alias(name))
+                    if with_meta and col == "obj":
+                        sel.append(F.col("obj_is_uri").alias(f"{name}__is_uri"))
+                        sel.append(F.col("obj_datatype").alias(f"{name}__datatype"))
             elif term.startswith('"'):
                 t = t.filter((F.col(col) == term.strip('"')) & ~F.col("obj_is_uri")) \
                     if col == "obj" else t.filter(F.col(col) == term.strip('"'))
@@ -55,7 +65,11 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
         if result is None:
             result = part
         else:
-            shared = [c for c in part.columns if c in result.columns]
+            # a var re-bound in a later pattern keeps its FIRST meta cols
+            part = part.drop(*[c for c in part.columns
+                               if "__" in c and c in result.columns])
+            shared = [c for c in part.columns
+                      if c in result.columns and "__" not in c]
             result = result.join(part, on=shared, how="inner") if shared \
                 else result.crossJoin(part)
     return result.distinct()
@@ -80,3 +94,44 @@ def describe(triples: DataFrame, uri: str) -> DataFrame:
 def ask(triples: DataFrame, patterns: list[Pattern]) -> bool:
     """ASK { ... }: does the pattern have any solution."""
     return match_bgp(triples, patterns).limit(1).count() > 0
+
+
+def construct(triples: DataFrame, patterns: list[Pattern],
+              template: list[Pattern]) -> DataFrame:
+    """CONSTRUCT { template } WHERE { patterns }: emit new triples from
+    BGP bindings (Q5 parity, sparql_service.py dispatch).
+
+    Returns the TRIPLES shape minus source lineage: (subj, pred, obj,
+    obj_is_uri, obj_datatype), set-deduplicated like an RDF graph.
+    Object-position variables keep the is_uri/datatype of the triple
+    they were bound from; fixed template terms follow the same syntax as
+    patterns (``?var``, ``"literal"``, bare IRI).
+    """
+    from ..rdf_schema import XSD_STRING
+
+    bound = match_bgp(triples, patterns, with_meta=True)
+    parts = []
+    for (s, p, o) in template:
+        def _uri_term(term):
+            return F.col(term[1:]) if _is_var(term) else F.lit(term)
+        if _is_var(o):
+            v = o[1:]
+            obj = F.col(v)
+            is_uri = (F.col(f"{v}__is_uri")
+                      if f"{v}__is_uri" in bound.columns else F.lit(True))
+            dt = (F.col(f"{v}__datatype")
+                  if f"{v}__datatype" in bound.columns
+                  else F.lit(None).cast("string"))
+        elif o.startswith('"'):
+            obj, is_uri, dt = (F.lit(o.strip('"')), F.lit(False),
+                               F.lit(XSD_STRING))
+        else:
+            obj, is_uri, dt = F.lit(o), F.lit(True), F.lit(None).cast("string")
+        parts.append(bound.select(
+            _uri_term(s).alias("subj"), _uri_term(p).alias("pred"),
+            obj.alias("obj"), is_uri.alias("obj_is_uri"),
+            dt.alias("obj_datatype")))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out.distinct()

@@ -58,6 +58,32 @@ def test_graph_queries_over_kg(spark, tmp_path):
     if sec.count() > 0:
         assert set(sec.columns) == {"sec", "h", "lvl"}
 
+    # CONSTRUCT: rewrite completed todos into a summary vocabulary,
+    # carrying object metadata through variable bindings
+    from knowledgebase_processor_spark.operators.graph_query import construct
+    done = construct(
+        triples,
+        [("?s", RDF + "type", KB + "Document"),
+         ("?s", KB + "originalPath", "?c")],
+        [("?s", RDF + "type", KB + "ResolvedTask"),
+         ("?s", KB + "completionState", "?c"),
+         ("?s", KB + "reviewed", '"yes"')])
+    rows = done.collect()
+    assert rows, "construct produced no triples"
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r.pred, []).append(r)
+    types = by_pred[RDF + "type"]
+    assert {r.obj for r in types} == {KB + "ResolvedTask"}
+    assert all(r.obj_is_uri for r in types)
+    states = by_pred[KB + "completionState"]
+    # bound object variables keep literal-ness + datatype from the source
+    assert all((not r.obj_is_uri) and r.obj_datatype for r in states)
+    fixed = by_pred[KB + "reviewed"]
+    assert all(r.obj == "yes" and not r.obj_is_uri for r in fixed)
+    # graph-set semantics: one type triple per distinct todo subject
+    assert len(types) == len({r.subj for r in types})
+
 
 def test_kg_job_openie_stage(spark, tmp_path):
     docs_md = "Ada Lovelace wrote Notes on the Analytical Engine"
