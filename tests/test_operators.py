@@ -322,3 +322,22 @@ def test_wikilink_resolution_shuffle_fallback(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_cc_skewed_hub_and_chains(spark):
+    """Head-entity skew + diameter together: a 50k-degree hub (absorbed
+    by map-side partial min) and 300 disjoint 34-node chains (exercise
+    pointer jumping) must produce exactly 301 components."""
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.components import (
+        connected_components)
+    hub = spark.range(50_000).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("s"), F.col("id")).alias("dst"))
+    chain = spark.range(300 * 33).select(
+        F.concat(F.lit("c"), (F.col("id") / 33).cast("long"), F.lit("-"),
+                 F.pmod(F.col("id"), 33)).alias("src"),
+        F.concat(F.lit("c"), (F.col("id") / 33).cast("long"), F.lit("-"),
+                 F.pmod(F.col("id"), 33) + 1).alias("dst"))
+    labels = connected_components(hub.unionByName(chain))
+    assert labels.select("component").distinct().count() == 301
+    assert labels.count() == 50_001 + 300 * 34
