@@ -261,6 +261,12 @@ def _regex_headings_sections(content: str, id_start: int) -> List[Dict[str, Any]
 def _regex_code_quotes(content: str, id_start: int) -> List[Dict[str, Any]]:
     eid = id_start
     out: List[Dict[str, Any]] = []
+    # Incremental newline counting: matches arrive in order, so count only
+    # the span since the previous match (str.count with bounds scans the
+    # slice without copying).  A per-match content[:start].count() is
+    # O(doc^2) and made multi-MB documents take minutes.
+    nl_upto = 0
+    nl_count = 0
     for m in RE_CODE_FENCE.finditer(content):
         language = m.group(1).strip() if m.group(1) else None
         code = m.group(2)
@@ -271,7 +277,9 @@ def _regex_code_quotes(content: str, id_start: int) -> List[Dict[str, Any]]:
             code = "\n".join(
                 (ln[indent:] if len(ln) >= indent else ln) if ln.strip() else ln
                 for ln in lines)
-        start = content[: m.start()].count("\n")
+        nl_count += content.count("\n", nl_upto, m.start())
+        nl_upto = m.start()
+        start = nl_count
         eid += 1
         out.append({"etype": "code_block", "eid": eid, "language": language,
                     "code": code, "start": start,
@@ -348,6 +356,11 @@ ENTITY_FIELDS = [
     "resolved_document_uri", "heading_uri", "parent_list_uri", "original_path",
     "path_without_extension",
 ]
+
+# Everything except the merge key + source doc — the fields whose values
+# become ordered-distinct arrays in the merged representation.
+_VARYING_FIELDS = tuple(f for f in ENTITY_FIELDS
+                        if f not in ("kind", "kb_id", "source_document_uri"))
 
 
 def _entity(kind: str, kb_id: str, doc_id: str, label: Optional[str], **kw) -> Dict[str, Any]:
@@ -492,24 +505,50 @@ def extract_entities_merged(doc_id: str, content: str,
     naturally).  Downstream the pipeline needs NO dedup shuffle at all.
     """
     merged: Dict[tuple, Dict[str, Any]] = {}
+    # Ordered-distinct with two fast paths:
+    # * first occurrence of a key (the overwhelmingly common case) builds
+    #   the slot directly with no membership machinery;
+    # * subsequent occurrences dedup against a LAZILY-built seen-set per
+    #   field — `item not in list` membership is O(values-so-far), which
+    #   goes quadratic when thousands of identical elements (same
+    #   deterministic URI) merge into one entity, e.g. a page repeating
+    #   one heading 10k times accumulates 10k distinct positions.
+    seen: Dict[tuple, Dict[str, set]] = {}
     for ent in extract_entities(doc_id, content, original_path, title):
         key = (ent["kind"], ent["kb_id"])
         slot = merged.get(key)
         if slot is None:
             slot = {"kind": ent["kind"], "kb_id": ent["kb_id"],
                     "source_document_uri": ent["source_document_uri"]}
-            for f in ENTITY_FIELDS:
-                if f not in ("kind", "kb_id", "source_document_uri"):
+            for f in _VARYING_FIELDS:
+                v = ent[f]
+                if v is None:
                     slot[f] = []
+                elif f == "headers":
+                    hs: List[Any] = []
+                    hseen: set = set()
+                    for h in v:
+                        if h not in hseen:
+                            hseen.add(h)
+                            hs.append(h)
+                    slot[f] = hs
+                else:
+                    slot[f] = [v]
             merged[key] = slot
-        for f in ENTITY_FIELDS:
-            if f in ("kind", "kb_id", "source_document_uri"):
-                continue
+            continue
+        slot_seen = seen.get(key)
+        if slot_seen is None:
+            slot_seen = {f: set(slot[f]) for f in _VARYING_FIELDS}
+            seen[key] = slot_seen
+        for f in _VARYING_FIELDS:
             v = ent[f]
             if v is None:
                 continue
-            values = v if f == "headers" else [v]
+            values = v if f == "headers" else (v,)
+            sf = slot_seen[f]
+            lf = slot[f]
             for item in values:
-                if item not in slot[f]:
-                    slot[f].append(item)
+                if item not in sf:
+                    sf.add(item)
+                    lf.append(item)
     return list(merged.values())

@@ -192,9 +192,12 @@ def _kind_triples_merged(kind: str) -> Column:
     has_label = F.exists(F.col("label"), lambda x: F.trim(x) != "")
     fallback = F.lit(None).cast("string")
     for fb in reversed([f for f in rules["label_fallbacks"] if f != "label"]):
-        first_ok = F.element_at(
+        # try_element_at: the filtered fallback array is EMPTY whenever no
+        # candidate is non-blank, and ANSI element_at throws on that
+        # (surfaced by adversarial docs; goldens never hit it)
+        first_ok = F.try_element_at(
             F.filter(F.transform(F.col(fb), lambda x: _merged_lexical(fb, x)),
-                     lambda s: F.trim(s) != ""), 1)
+                     lambda s: F.trim(s) != ""), F.lit(1))
         fallback = F.coalesce(first_ok, fallback)
     scalars.append(F.when(~has_label & fallback.isNotNull(),
                           _triple(RDFS_LABEL, fallback, False, XSD_STRING)))

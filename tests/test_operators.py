@@ -341,3 +341,34 @@ def test_cc_skewed_hub_and_chains(spark):
     labels = connected_components(hub.unionByName(chain))
     assert labels.select("component").distinct().count() == 301
     assert labels.count() == 50_001 + 300 * 34
+
+
+def test_blank_label_fallback_does_not_throw(spark):
+    """An entity whose label fallback candidates are all blank used to hit
+    ANSI element_at on an empty array (goldens never exercise it): a bare
+    '>' blockquote has empty text, so the filtered fallback array is []."""
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([("d1", ">"), ("d2", "> \n>")],
+                                 "doc_id string, text string")
+    t = documents_to_triples(docs)
+    kinds = {r.obj for r in t.filter(F.col("pred").endswith("#type")).collect()}
+    assert any(k.endswith("Blockquote") for k in kinds)
+
+
+def test_large_document_is_linear():
+    """The extraction kernel must stay ~linear in document size: two
+    quadratic regressions (per-match prefix newline counts, list-membership
+    dedup of massively-duplicated URIs) once made multi-MB docs take
+    minutes.  3MB of markdown with 100k+ duplicate-URI elements must
+    extract in seconds."""
+    import time
+    from knowledgebase_processor_spark.extract.core import extract_entities_merged
+    unit = ("# Heading\n\ntext with [[Link]]\n\n- [ ] todo\n\n"
+            "```py\nc()\n```\n\n> q\n")
+    text = unit * (3_000_000 // len(unit))
+    t0 = time.perf_counter()
+    ents = extract_entities_merged("big", text)
+    dt = time.perf_counter() - t0
+    assert len(ents) > 100_000
+    assert dt < 60, f"3MB extraction took {dt:.0f}s — quadratic regression?"
