@@ -15,7 +15,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..extract.core import ENTITY_FIELDS, extract_entities, extract_entities_merged
 from ..schema import ENTITIES, ENTITIES_MERGED
@@ -53,7 +53,9 @@ def extract_entities_df(
         cols.append(path_col)
     if title_col:
         cols.append(title_col)
-    narrowed = docs.select(*cols)  # column pruning before the Python stage
+    # Column pruning before the Python stage; a null id has no KG identity
+    # (every URI embeds it) and would silently mint "None/..." nodes.
+    narrowed = docs.select(*cols).filter(F.col(doc_id_col).isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -94,7 +96,7 @@ def extract_merged_entities_df(
         cols.append(path_col)
     if title_col:
         cols.append(title_col)
-    narrowed = docs.select(*cols)
+    narrowed = docs.select(*cols).filter(F.col(doc_id_col).isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

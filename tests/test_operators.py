@@ -372,3 +372,16 @@ def test_large_document_is_linear():
     dt = time.perf_counter() - t0
     assert len(ents) > 100_000
     assert dt < 60, f"3MB extraction took {dt:.0f}s — quadratic regression?"
+
+
+def test_null_doc_id_rows_are_dropped(spark):
+    """A null document id has no KG identity (every URI embeds it); such
+    rows must be dropped, not minted as 'None/...' nodes."""
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    docs = spark.createDataFrame(
+        [(None, "# null id"), ("ok", "# fine"), (None, None)],
+        "doc_id string, text string")
+    t = documents_to_triples(docs, resolve_links=True)
+    assert t.filter(t.source_doc.isNull()).count() == 0
+    assert not [r for r in t.collect() if "None" in r.subj]
+    assert t.filter(t.source_doc == "ok").count() > 0
