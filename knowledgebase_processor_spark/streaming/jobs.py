@@ -48,6 +48,25 @@ def watch_documents(spark: SparkSession, input_dir: str, output_dir: str,
             .trigger(availableNow=True))
 
 
+def dedup_crawl_stream(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact-dedup of a crawl feed: drop re-crawls whose content
+    fingerprint was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event time
+    — the at-scale answer to "the same page arrives from N crawler shards
+    within hours of each other": state for a fingerprint is released once
+    the watermark passes it, so the store never grows unboundedly the way
+    a plain streaming ``dropDuplicates`` would.  Works identically on a
+    batch frame (where it degenerates to dropDuplicates on the keys).
+    """
+    fp = F.sha2(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                 r"\s+", " "), 256)
+    keyed = pages.withColumn("fingerprint", fp).withWatermark("warc_ts", watermark)
+    if keyed.isStreaming:
+        return keyed.dropDuplicatesWithinWatermark(["url", "fingerprint"])
+    return keyed.dropDuplicates(["url", "fingerprint"])
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling-window counts with late-data watermark.

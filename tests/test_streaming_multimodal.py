@@ -68,3 +68,35 @@ def test_windowed_event_counts_batch_parity(spark):
            for r in windowed_event_counts(events).collect()}
     assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01 11:00:00", "click")] == (1, 4.0)
+
+
+def test_dedup_crawl_stream(spark, tmp_path):
+    """Streaming fingerprint-dedup with bounded (watermarked) state: three
+    crawls of one url where two carry identical content keep 2 rows."""
+    import datetime as dt
+
+    from knowledgebase_processor_spark.streaming.jobs import dedup_crawl_stream
+
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("https://a", t, b"", "same content", "en"),
+            ("https://a", t + dt.timedelta(hours=1), b"", "same content", "en"),
+            ("https://a", t + dt.timedelta(hours=2), b"", "changed content", "en")]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    # batch degeneration: plain dropDuplicates on (url, fingerprint)
+    batch = dedup_crawl_stream(spark.createDataFrame(rows, schema))
+    assert batch.count() == 2
+
+    # streaming path: file source -> availableNow -> memory sink
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "batch0"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "batch0"))
+    q = (dedup_crawl_stream(stream).writeStream.format("memory")
+         .queryName("dedup_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_out").collect()
+    assert sorted(r.text for r in got) == ["changed content", "same content"]
