@@ -710,7 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "q29_minhash_portable": r"""
             WITH words AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
                                  w -> w <> '') AS ws
               FROM documents),
             sh AS (
@@ -732,7 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "q30_ngram_jaccard": r"""
             WITH ws AS (
               SELECT doc_id, n_chars,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
                                  w -> w <> '') AS w
               FROM documents),
             sh AS (

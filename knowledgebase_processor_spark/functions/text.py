@@ -110,8 +110,13 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-gram (word) shingles for Jaccard/MinHash dedup."""
-    words = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    """Array of n-gram (word) shingles for Jaccard/MinHash dedup.
+
+    The whitespace class is spelled out (no ``\\s``) because Java regex
+    counts \\x0B as whitespace and RE2 does not — the explicit class
+    keeps the DuckDB oracles (q29/q30) bit-identical."""
+    words = F.filter(F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+"),
+                     lambda x: x != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))

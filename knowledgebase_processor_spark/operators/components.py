@@ -101,8 +101,14 @@ def coreference_edges(entities: DataFrame) -> DataFrame:
                           & F.col("resolved_document_uri").isNotNull())
           .select(F.col("kb_id").alias("src"),
                   F.col("resolved_document_uri").alias("dst")))
+    # Null/blank labels are EXCLUDED deliberately: two unnamed person
+    # mentions share no evidence of coreference, so clustering them all
+    # into one blob (which a groupBy over null keys would do) is wrong.
+    # The explicit filter also documents that the equi-join below never
+    # matching null keys is intended, not an accident.
     mentions = (entities
                 .filter(F.col("kind").isin("person", "organization", "location"))
+                .filter(F.col("label").isNotNull() & (F.trim(F.col("label")) != ""))
                 .select(F.col("kind"), F.lower(F.col("label")).alias("l"),
                         F.col("kb_id")))
     # Head-entity skew: a popular alias ("john smith") can carry millions

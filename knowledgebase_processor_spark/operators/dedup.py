@@ -209,7 +209,10 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
     oracle-checked driver query (q29).  All JVM-side column expressions —
     no Python.
     """
-    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+    # Explicit whitespace class, not \s: Java regex counts \x0B as
+    # whitespace and RE2 (DuckDB) does not — \s would silently break the
+    # bit-identical guarantee on such input.
+    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
                   lambda w: w != F.lit(""))
     sh = F.when(
         F.size(ws) >= 3,
@@ -218,9 +221,13 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
                                           F.element_at(ws, i + 1),
                                           F.element_at(ws, i + 2)))
     ).otherwise(F.array(F.array_join(ws, " ")))
+    # Materialize the shingle array ONCE, then hash num_hashes ways —
+    # inlining `sh` into the seed transform would re-evaluate the whole
+    # shingling chain per seed (cf. minhash_signatures' same note).
+    shingled = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda s: F.array_min(F.transform(sh, lambda g: F.conv(
+        lambda s: F.array_min(F.transform(F.col("sh"), lambda g: F.conv(
             F.substring(F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
                         1, 15), 16, 10).cast("bigint"))))
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return shingled.select("doc_id", sig.alias("sig"))

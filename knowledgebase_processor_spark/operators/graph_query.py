@@ -27,35 +27,60 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _meta_cols(name: str) -> tuple[str, str]:
+    return f"{name}__is_uri", f"{name}__datatype"
+
+
 def match_bgp(triples: DataFrame, patterns: list[Pattern],
               with_meta: bool = False) -> DataFrame:
     """Evaluate a basic graph pattern; returns one column per variable.
 
-    ``with_meta=True`` additionally carries ``<var>__is_uri`` /
-    ``<var>__datatype`` columns for variables first bound in object
-    position (subject/predicate bindings are always IRIs) — needed by
-    ``construct`` to emit faithful triples.
+    Joins are TERM-aware, not merely lexical: object-position bindings
+    carry (is_uri, datatype) alongside the lexical value, shared
+    object-position variables join on all three, and a variable shared
+    between subject/predicate position (always a URI) and object
+    position additionally constrains the object binding to URI terms —
+    so a literal ``"http://x"`` never unifies with the URI ``http://x``.
+
+    ``with_meta=True`` keeps the ``<var>__is_uri`` / ``<var>__datatype``
+    columns in the output (datatype canonicalized to ``''`` for URIs /
+    plain literals) — used by ``construct`` to emit faithful triples.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    all_vars = {t[1:] for pat in patterns for t in pat if _is_var(t)}
+    for v in all_vars:
+        if any(m in all_vars for m in _meta_cols(v)):
+            raise ValueError(
+                f"variable name collides with ?{v}'s internal meta columns")
+
     result: DataFrame | None = None
+    res_meta: set[str] = set()     # vars whose term meta rides in `result`
     for i, (s, p, o) in enumerate(patterns):
         t = triples
         sel = []
         seen_vars: dict[str, str] = {}
+        part_meta: set[str] = set()
         for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
             if _is_var(term):
                 name = term[1:]
                 if name in seen_vars:
                     # repeated variable within one pattern => equality
-                    # constraint (SPARQL BGP semantics), single column
+                    # constraint (SPARQL BGP semantics); if one side is
+                    # the object, the term must be a URI to match the
+                    # subject/predicate occurrence
                     t = t.filter(F.col(col) == F.col(seen_vars[name]))
+                    if "obj" in (col, seen_vars[name]):
+                        t = t.filter(F.col("obj_is_uri"))
                 else:
                     seen_vars[name] = col
                     sel.append(F.col(col).alias(name))
-                    if with_meta and col == "obj":
-                        sel.append(F.col("obj_is_uri").alias(f"{name}__is_uri"))
-                        sel.append(F.col("obj_datatype").alias(f"{name}__datatype"))
+                    if col == "obj":
+                        mu, md = _meta_cols(name)
+                        sel.append(F.col("obj_is_uri").alias(mu))
+                        sel.append(F.coalesce(F.col("obj_datatype"),
+                                              F.lit("")).alias(md))
+                        part_meta.add(name)
             elif term.startswith('"'):
                 t = t.filter((F.col(col) == term.strip('"')) & ~F.col("obj_is_uri")) \
                     if col == "obj" else t.filter(F.col(col) == term.strip('"'))
@@ -63,15 +88,34 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
                 t = t.filter(F.col(col) == term)
         part = t.select(*sel) if sel else t.select(F.lit(i).alias(f"_m{i}"))
         if result is None:
-            result = part
-        else:
-            # a var re-bound in a later pattern keeps its FIRST meta cols
-            part = part.drop(*[c for c in part.columns
-                               if "__" in c and c in result.columns])
-            shared = [c for c in part.columns
-                      if c in result.columns and "__" not in c]
-            result = result.join(part, on=shared, how="inner") if shared \
-                else result.crossJoin(part)
+            result, res_meta = part, part_meta
+            continue
+
+        part_vars = set(part.columns).difference(
+            *[_meta_cols(v) for v in part_meta] or [()])
+        res_vars = set(result.columns).difference(
+            *[_meta_cols(v) for v in res_meta] or [()])
+        shared = sorted(part_vars & res_vars)
+        join_cols = list(shared)
+        for v in shared:
+            if v in part_meta and v in res_meta:
+                # object-position on both sides: term equality (datatype
+                # is ''-canonicalized so the key is never null)
+                join_cols += list(_meta_cols(v))
+            elif v in res_meta:
+                # this pattern binds v in subject/pred position -> URI
+                result = result.filter(F.col(_meta_cols(v)[0]))
+            elif v in part_meta:
+                mu, md = _meta_cols(v)
+                part = part.filter(F.col(mu)).drop(mu, md)
+                part_meta.discard(v)
+        result = result.join(part, on=join_cols, how="inner") if join_cols \
+            else result.crossJoin(part)
+        res_meta |= part_meta
+
+    if not with_meta:
+        result = result.drop(
+            *[c for v in res_meta for c in _meta_cols(v)])
     return result.distinct()
 
 
@@ -117,11 +161,12 @@ def construct(triples: DataFrame, patterns: list[Pattern],
         if _is_var(o):
             v = o[1:]
             obj = F.col(v)
-            is_uri = (F.col(f"{v}__is_uri")
-                      if f"{v}__is_uri" in bound.columns else F.lit(True))
-            dt = (F.col(f"{v}__datatype")
-                  if f"{v}__datatype" in bound.columns
-                  else F.lit(None).cast("string"))
+            mu, md = _meta_cols(v)
+            is_uri = F.col(mu) if mu in bound.columns else F.lit(True)
+            # match_bgp canonicalizes null datatypes to '' for join keys
+            dt = (F.when(F.col(md) == "", F.lit(None).cast("string"))
+                  .otherwise(F.col(md))
+                  if md in bound.columns else F.lit(None).cast("string"))
         elif o.startswith('"'):
             obj, is_uri, dt = (F.lit(o.strip('"')), F.lit(False),
                                F.lit(XSD_STRING))

@@ -106,7 +106,11 @@ def pages_to_documents(pages: DataFrame) -> DataFrame:
 
     Rows with null ``text`` fall back to boilerplate-stripped extraction
     from raw ``html`` (html_extract.pages_with_text); rows that ship text
-    bypass the HTML parser entirely."""
+    bypass the HTML parser entirely.  Null-url rows are dropped HERE, at
+    the shared entry point, so every downstream stage (extraction,
+    mentions, OpenIE) sees the invariant — a null id has no KG identity
+    and would otherwise mint null-subject triples."""
+    pages = pages.filter(F.col("url").isNotNull())
     if "html" in pages.columns:
         from .html_extract import pages_with_text
         pages = pages_with_text(pages)

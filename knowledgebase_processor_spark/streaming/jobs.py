@@ -62,9 +62,11 @@ def dedup_crawl_stream(pages: DataFrame, watermark: str = "24 hours") -> DataFra
     fp = F.sha2(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
                                  r"\s+", " "), 256)
     keyed = pages.withColumn("fingerprint", fp).withWatermark("warc_ts", watermark)
-    if keyed.isStreaming:
-        return keyed.dropDuplicatesWithinWatermark(["url", "fingerprint"])
-    return keyed.dropDuplicates(["url", "fingerprint"])
+    deduped = (keyed.dropDuplicatesWithinWatermark(["url", "fingerprint"])
+               if keyed.isStreaming
+               else keyed.dropDuplicates(["url", "fingerprint"]))
+    # preserve the caller's pages schema — the fingerprint is internal
+    return deduped.select(*pages.columns)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -13,34 +13,20 @@ Usage: python scripts/parity_report.py
 
 from __future__ import annotations
 
-import glob
 import os
-import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SPEC = "/root/reference/specs"
-
-
-def corpus_doc_id(stem: str) -> str:
-    return "test_corpus/" + re.sub(r"[ \-:]", "_", stem)
-
 
 def main() -> None:
-    from knowledgebase_processor_spark.goldens import load_golden
+    from knowledgebase_processor_spark.goldens import load_golden, spec_cases
     from knowledgebase_processor_spark.pipeline import documents_to_triples, session
 
-    cases = []
-    for d in sorted(glob.glob(f"{SPEC}/test_cases/*/")):
-        name = os.path.basename(d.rstrip("/"))
-        cases.append((f"test_cases/{name}", open(d + "input.md").read(),
-                      d + "expected_output.ttl"))
-    for md in sorted(glob.glob(f"{SPEC}/reference_corpus/*.md")):
-        stem = os.path.splitext(os.path.basename(md))[0]
-        cases.append((corpus_doc_id(stem), open(md).read(),
-                      md[:-3] + ".ttl"))
+    # same discovery + doc-id normalization the test suite uses
+    cases = [(doc_id, md.read_text(encoding="utf-8"), ttl)
+             for doc_id, md, ttl in spec_cases()]
 
     spark = session("parity", cpus=8, shuffle_partitions=8)
     docs = spark.createDataFrame([(c[0], c[1]) for c in cases],

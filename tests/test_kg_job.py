@@ -98,3 +98,39 @@ def test_kg_job_openie_stage(spark, tmp_path):
     # reference-parity namespace isolation: structural predicates unchanged
     assert final.filter(~F.col("pred").startswith(KB + "rel/")).count() == \
         m["n_triples"] - m["n_openie"]
+
+
+def test_bgp_term_semantics(spark):
+    """Shared variables must unify RDF TERMS, not lexical forms: a string
+    literal whose text looks like a URI never joins with that URI, and a
+    variable shared between subject and object position only binds URIs.
+    Also: variable names containing '__' must keep their join constraint."""
+    from knowledgebase_processor_spark.operators.graph_query import (
+        ask, construct, match_bgp)
+    rows = [
+        ("u:a", "u:p", "http://x", True, None, "d"),     # URI object
+        ("u:b", "u:q", "http://x", False,                 # literal, same text
+         "http://www.w3.org/2001/XMLSchema#string", "d"),
+        ("u:c", "u:p", "u:b", True, None, "d"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, "
+              "obj_datatype string, source_doc string")
+
+    # ?o is bound by both patterns; URI term vs literal term must NOT unify
+    assert not ask(t, [("?s", "u:p", "?o"), ("?t", "u:q", "?o")])
+    # subject-position ∩ object-position: ?x subject of u:q and object of
+    # u:p — only the URI binding u:b survives
+    sols = match_bgp(t, [("?x", "u:q", "?y"), ("?z", "u:p", "?x")]).collect()
+    assert [(r.x, r.z) for r in sols] == [("u:b", "u:c")]
+    # '__'-named variables still join (regression: the old meta-column
+    # heuristic dropped them from the join keys -> cartesian product)
+    two = match_bgp(t, [("?a__b", "u:p", "?v"), ("?a__b", "u:p", "?w")])
+    got = {(r.a__b, r.v, r.w) for r in two.collect()}
+    assert got == {("u:a", "http://x", "http://x"), ("u:c", "u:b", "u:b")}
+
+    # construct keeps literal-ness: the literal binding stays a literal
+    out = construct(t, [("?s", "u:q", "?o")],
+                    [("?s", "u:copied", "?o")]).collect()
+    assert len(out) == 1 and not out[0].obj_is_uri
+    assert out[0].obj_datatype == "http://www.w3.org/2001/XMLSchema#string"
