@@ -438,6 +438,15 @@ def _q30_ngram_jaccard(spark, sf):
             .orderBy("doc_a", "doc_b"))
 
 
+def _q31_simhash_portable(spark, sf):
+    # Portable SimHash (dedup family, fully oracle-checked): same md5 word
+    # hashes + bit sign-sums recomputed by DuckDB, so the 60-bit hash
+    # VALUES verify cross-engine.  q21 stays the engine-native scale path.
+    from knowledgebase_processor_spark.operators.dedup import simhash_portable
+    d = _t(spark, sf, "documents", spread=True)
+    return simhash_portable(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -470,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_canonical_urls": _q28_canonical_urls,
         "q29_minhash_portable": _q29_minhash_portable,
         "q30_ngram_jaccard": _q30_ngram_jaccard,
+        "q31_simhash_portable": _q31_simhash_portable,
     }
 
 
@@ -750,6 +760,25 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(list_distinct(sa || sb)), 1)::DOUBLE,
                          6) AS jaccard
             FROM cand ORDER BY doc_a, doc_b""",
+        "q31_simhash_portable": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                           '[ \t\n\r\f]+'),
+                                        x -> x <> '')) AS word
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+              FROM w),
+            bits AS (
+              SELECT doc_id, b, SUM(((hv >> b) % 2) * 2 - 1) AS score
+              FROM h, unnest(range(0, 60)) AS r(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
+                       ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id""",
         # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
         # extraction pipeline, not SQL-expressible).
     }

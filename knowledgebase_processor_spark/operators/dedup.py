@@ -231,3 +231,32 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
             F.substring(F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
                         1, 15), 16, 10).cast("bigint"))))
     return shingled.select("doc_id", sig.alias("sig"))
+
+
+def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """60-bit SimHash from a PORTABLE formula (salted-free md5 words) —
+    bit-identical across engines, like ``minhash_signatures_portable``.
+
+    sign-sum per bit b of the word-hash population:
+        score_b = sum over words of ((md5int60(word) >> b) % 2) * 2 - 1
+        simhash = sum of (1 << b) where score_b > 0
+
+    Shape: explode words x 60 bit positions -> two partial-aggregatable
+    groupBys.  This materializes |words| x 60 rows, so it is the
+    VERIFICATION path; the engine-native ``simhash`` (64-slot array
+    aggregate, zero explosion) is the in-pipeline scale path.
+    """
+    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
+                  lambda w: w != F.lit(""))
+    words = docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("word"))
+    h = words.select("doc_id", F.conv(
+        F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("hv"))
+    bits = (h.select("doc_id", "hv",
+                     F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+            .groupBy("doc_id", "b")
+            .agg(F.sum(F.expr("(shiftright(hv, b) % 2) * 2 - 1")).alias("score")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.expr(
+                "CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "ELSE 0 END")).alias("simhash")))
