@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, functions as F
 
 # Default noun-phrase: capitalized token sequences ("Ada Lovelace",
 # "New York").  Hyphens/digits allowed after the initial capital.
-NP_CAPITALIZED = r"[A-Z][A-Za-z0-9_-]*(?: [A-Z][A-Za-z0-9_-]*)*"
+# The continuation is BOUNDED ({0,5} -> max 6 words): an unbounded
+# (...)* recurses per token in Java's regex engine and a crawl page
+# containing a 200k-word capitalized run kills the executor with
+# StackOverflowError; NPs longer than 6 words are junk anyway.
+NP_CAPITALIZED = r"[A-Z][A-Za-z0-9_-]*(?: [A-Z][A-Za-z0-9_-]*){0,5}"
 
 # Default relation lexicon: copular + a small set of high-precision verb
 # frames (the ReVerb observation: a short verb lexicon covers most of the

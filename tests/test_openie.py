@@ -53,3 +53,17 @@ def test_openie_plan_is_jvm_only(spark):
     plan = openie_triples(docs)._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_openie_survives_giant_capitalized_runs(spark):
+    """A crawl page that is one long capitalized token run used to kill
+    the executor with StackOverflowError (Java regex recursion per token
+    under an unbounded NP continuation); the bounded NP must scan it."""
+    from knowledgebase_processor_spark.operators.openie import openie_triples
+    docs = spark.createDataFrame(
+        [("caps", "Word " * 200_000),
+         ("hits", "Ada Lovelace wrote Notes. " * 1_000)],
+        "doc_id string, text string")
+    counts = {r.doc_id: r["count"] for r in
+              openie_triples(docs).groupBy("doc_id").count().collect()}
+    assert counts.get("caps") is None and counts["hits"] == 1_000
