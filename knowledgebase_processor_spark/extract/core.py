@@ -75,7 +75,12 @@ RE_TODO_INLINE = re.compile(r"^\[([ xX])\]\s+(.+)$")               # markdown_pa
 RE_TODO_LINE = re.compile(r"^\s*-\s+\[([ xX])\]\s+(.+)$", re.M)    # todo_item.py:24
 RE_CODE_FENCE = re.compile(r"```([\w+-]*)?\s*\n(.*?)\n\s*```", re.S)  # code_quote.py:27-30
 RE_BLOCKQUOTE = re.compile(r"^[ \t]*(>+)[ ]?(.*?)$")               # code_quote.py:32-36
-RE_TABLE = re.compile(r"(\|[^\n]+\|\n\|[-:| ]+\|\n(?:\|[^\n]+\|\n)+)")  # list_table.py:68
+# list_table.py:68 — with the row classes BOUNDED ({1,2000} vs the
+# reference's unbounded +): each failed match attempt at one of n pipe
+# positions scans the whole remaining line, so a newline-free 100KB pipe
+# run costs O(n^2) (~40s measured).  Real table rows never approach 2000
+# chars; wider "rows" simply don't extract as tables.
+RE_TABLE = re.compile(r"(\|[^\n]{1,2000}\|\n\|[-:| ]{1,2000}\|\n(?:\|[^\n]{1,2000}\|\n)+)")
 RE_WIKILINK = re.compile(r"\[\[([^\[\]\|\n]+?)(?:\|([^\[\]\n]+?))?\]\]")  # wikilink_extractor.py:17
 
 

@@ -33,15 +33,21 @@ RE_FM_YAML = re.compile(r"^\s*---\s*\n(.*?)\n\s*---\s*\n", re.S)
 RE_FM_TOML = re.compile(r"^\s*\+\+\+\s*\n(.*?)\n\s*\+\+\+\s*\n", re.S)
 RE_HASHTAG = re.compile(r"(?:^|\s)#([a-zA-Z0-9_]+)\b")
 RE_CATEGORY_TAG = re.compile(r"@([a-zA-Z0-9_-]+)/([a-zA-Z0-9_-]+)")
-RE_INLINE_LINK = re.compile(r"\[([^\]]+)\]\(([^)\"]+)(?:\s+\"([^\"]+)\")?\)")
-RE_REF_LINK = re.compile(r"\[([^\]]+)\]\[([^\]]*)\](?!\()")
-RE_REF_DEF = re.compile(r"^\[([^\]]+)\]:\s+(\S+)(?:\s+\"([^\"]+)\")?$", re.M)
-RE_CITATION = re.compile(r"(?:\(([^)]+,\s*\d{4}[^)]*)\)|\[@([^\]]+)\])")
+# Link/citation char classes are BOUNDED (the reference uses unbounded
+# +/*): every "[" or "(" in the document is a candidate match start, and
+# an unbounded [^\]]+ scans the whole remaining text per failed start —
+# O(n^2), measured 73s on a 100KB bracket run.  No real link text/url/
+# citation approaches the bounds; longer ones just don't extract.
+RE_INLINE_LINK = re.compile(r"\[([^\]]{1,2000})\]\(([^)\"]{1,2000})(?:\s+\"([^\"]{1,2000})\")?\)")
+RE_REF_LINK = re.compile(r"\[([^\]]{1,2000})\]\[([^\]]{0,500})\](?!\()")
+RE_REF_DEF = re.compile(r"^\[([^\]]{1,2000})\]:\s+(\S+)(?:\s+\"([^\"]{1,2000})\")?$", re.M)
+RE_CITATION = re.compile(r"(?:\(([^)]{1,300},\s*\d{4}[^)]{0,300})\)|\[@([^\]]{1,300})\])")
 RE_FIRST_H1 = re.compile(r"^#\s+(.+)$", re.M)
 
-_MASKS = [re.compile(r"```.*?```", re.S), re.compile(r"`[^`]*`"),
-          re.compile(r"!\[[^\]]*\]\([^\)]*\)"), re.compile(r"\[[^\]]*\]\([^\)]*\)"),
-          re.compile(r"<[^>]+>")]
+_MASKS = [re.compile(r"```.*?```", re.S), re.compile(r"`[^`]{0,2000}`"),
+          re.compile(r"!\[[^\]]{0,2000}\]\([^\)]{0,2000}\)"),
+          re.compile(r"\[[^\]]{0,2000}\]\([^\)]{0,2000}\)"),
+          re.compile(r"<[^>]{1,500}>")]
 
 DOC_METADATA = StructType([
     StructField("doc_id", StringType()),

@@ -133,3 +133,21 @@ def test_canonical_url_idempotent_spark(spark, _url_pool):
         .filter(F.col("once") != F.col("twice"))
         .collect())
     assert mismatches == []
+
+
+def test_regex_bombs_complete_quickly():
+    """Pathological inputs that once drove the link/table regexes
+    quadratic (73s and 43s respectively) must stay near-linear: every
+    '[' / '(' / '|' is a candidate match start, so unbounded character
+    classes re-scan the whole tail per failed start."""
+    import time
+
+    from knowledgebase_processor_spark.extract.core import extract_entities_merged
+    from knowledgebase_processor_spark.operators.metadata import (
+        parse_document_metadata)
+
+    t0 = time.perf_counter()
+    parse_document_metadata("d", "[" * 100_000, "p.md")
+    parse_document_metadata("d", "(" * 100_000 + ", 2024", "p.md")
+    extract_entities_merged("d", "|" + "a|" * 100_000)
+    assert time.perf_counter() - t0 < 30
