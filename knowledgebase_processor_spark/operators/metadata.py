@@ -95,13 +95,28 @@ def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
     if not m:
         return {}, text, None
     raw = m.group(1)
+    # Crawl-hardening (deviations from the reference, pathological input
+    # only): (a) frontmatter beyond 128KB is not parsed — real
+    # frontmatter is a few KB, and YAML parse time on multi-MB blocks is
+    # pure cost amplification; (b) YAML aliases are forbidden — a
+    # 400-byte billion-laughs document expands to gigabytes under plain
+    # safe_load and OOMs the executor.
+    if len(raw) > 131_072:
+        return {}, text[m.end():], fmt
     try:
         if fmt == "toml":
             import tomllib
             parsed = tomllib.loads(raw)
         else:
             import yaml
-            parsed = yaml.safe_load(raw) or {}
+
+            class _NoAliasLoader(yaml.SafeLoader):
+                def compose_node(self, parent, index):
+                    if self.check_event(yaml.events.AliasEvent):
+                        raise yaml.YAMLError("aliases disallowed")
+                    return super().compose_node(parent, index)
+
+            parsed = yaml.load(raw, Loader=_NoAliasLoader) or {}
         if not isinstance(parsed, dict):
             parsed = {}
     except Exception:

@@ -151,3 +151,26 @@ def test_regex_bombs_complete_quickly():
     parse_document_metadata("d", "(" * 100_000 + ", 2024", "p.md")
     extract_entities_merged("d", "|" + "a|" * 100_000)
     assert time.perf_counter() - t0 < 30
+
+
+def test_yaml_frontmatter_bombs_are_inert():
+    """A billion-laughs alias bomb (400 bytes -> gigabytes under plain
+    safe_load) and multi-MB frontmatter must parse to nothing in
+    milliseconds, while normal frontmatter still parses."""
+    import time
+
+    from knowledgebase_processor_spark.operators.metadata import (
+        parse_document_metadata)
+
+    bomb = "---\n" + "a: &a [x,x,x,x,x,x,x,x,x]\n" + "\n".join(
+        f"{chr(98+i)}: &{chr(98+i)} ["
+        + ",".join(f"*{chr(97+i)}" for _ in range(9)) + "]"
+        for i in range(8)) + "\n---\nbody"
+    t0 = time.perf_counter()
+    m = parse_document_metadata("d", bomb, "p.md")
+    big = parse_document_metadata("d", "---\n" + "k: v\n" * 500_000 + "---\nb",
+                                  "p.md")
+    assert time.perf_counter() - t0 < 10
+    assert m["fm_custom"] in (None, "{}") and big["fm_custom"] in (None, "{}")
+    ok = parse_document_metadata("d", "---\ntitle: T\ntags: [a]\n---\nb", "p.md")
+    assert ok["title"] == "T" and ok["tags"] == ["a"]
