@@ -665,7 +665,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT
               SUM(len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS total_emails,
+                  '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}'))) AS total_emails,
               SUM(len(regexp_extract_all(text,
                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS total_ips,
               SUM(length(
@@ -673,10 +673,10 @@ def oracle_sql() -> dict[str, str]:
                  regexp_replace(
                   regexp_replace(
                    regexp_replace(text,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-                 '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g'))) AS total_redacted_len
+                 '\+?[0-9][0-9()\-. ]{7,20}[0-9]', '<PHONE>', 'g'))) AS total_redacted_len
             FROM salted""",
         "q28_canonical_urls": r"""
             WITH variants AS (

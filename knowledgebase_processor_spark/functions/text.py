@@ -127,9 +127,17 @@ def shingles(text: Column, n: int = 3) -> Column:
 # RE2-compatible (no lookaround) so the exact same patterns run in the
 # DuckDB oracle.  Ordering matters: emails before phones (an email local
 # part can contain digit runs), IPs before phones.
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# RFC-bounded quantifiers ({1,64} local part, {1,255} domain): the
+# local-part class includes ".", so on a long dot/digit run every
+# position is a match start and unbounded + re-scans the whole run
+# per start (O(n^2), half of a measured 200s on 200KB runs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+# Bounded {7,20}, not {7,}: the class includes space, so on a page of
+# space-separated digit runs every digit is a match start and an
+# unbounded quantifier re-scans + backtracks the whole run per start —
+# measured 228s on 500KB of digits. No phone number exceeds 22 chars.
+PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,20}[0-9]"
 PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 
 

@@ -153,6 +153,23 @@ def test_regex_bombs_complete_quickly():
     assert time.perf_counter() - t0 < 30
 
 
+def test_pii_patterns_are_bounded():
+    # unbounded email local-part / phone quantifiers went O(n^2) on long
+    # dot/digit runs (200s+ measured); RFC-style bounds keep them linear
+    import re
+    import time
+
+    from knowledgebase_processor_spark.functions.text import (
+        PII_EMAIL, PII_PHONE)
+    t0 = time.perf_counter()
+    for text in ("1" + "." * 200_000, "1234567890 " * 50_000):
+        re.findall(PII_EMAIL, text)
+        re.findall(PII_PHONE, text)
+    assert time.perf_counter() - t0 < 10
+    assert re.search(PII_EMAIL, "write a.b+c@example.co.uk now")
+    assert re.search(PII_PHONE, "+1 (555) 123-4567")
+
+
 def test_yaml_frontmatter_bombs_are_inert():
     """A billion-laughs alias bomb (400 bytes -> gigabytes under plain
     safe_load) and multi-MB frontmatter must parse to nothing in
