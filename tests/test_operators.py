@@ -385,3 +385,27 @@ def test_null_doc_id_rows_are_dropped(spark):
     assert t.filter(t.source_doc.isNull()).count() == 0
     assert not [r for r in t.collect() if "None" in r.subj]
     assert t.filter(t.source_doc == "ok").count() > 0
+
+
+def test_lsh_multiprobe_monotone_and_exhaustive(spark):
+    """Multi-probe LSH: probing more buckets can only add candidates
+    (recall monotone in `probes`), and probing all 2^bits buckets must
+    reproduce the exact brute-force top-k."""
+    from knowledgebase_processor_spark.operators.similarity import (
+        cosine_topk, lsh_topk)
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in vecs.first().embedding]
+    dim, bits = len(q), 4
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(vecs, q, k=10).collect()]
+    exhaustive = [(r.vec_id, r.cosine) for r in
+                  lsh_topk(vecs, q, dim=dim, k=10, bits=bits,
+                           probes=2 ** bits).collect()]
+    assert exhaustive == exact
+    exact_ids = {i for i, _ in exact}
+    prev = -1.0
+    for probes in (1, 4, 16):
+        got = {r.vec_id for r in lsh_topk(vecs, q, dim=dim, k=10, bits=bits,
+                                          probes=probes).collect()}
+        recall = len(got & exact_ids) / len(exact_ids)
+        assert recall >= prev
+        prev = recall
