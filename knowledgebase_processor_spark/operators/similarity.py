@@ -8,8 +8,8 @@
   The scale path: bucket cardinality ~ n / 2^bits, and the join is an
   equi-join on the bucket key.
 * ``ivf_topk`` — IVF-style coarse quantization: assign each vector to the
-  nearest of K seeded centroids (one broadcast join), probe only the
-  query's centroid cell.
+  nearest of K seeded centroids, probe the query's ``nprobe`` closest
+  cells (nprobe=K == exact brute force, tested).
 
 All hyperplanes/centroids derive from a fixed seed — deterministic across
 runs and executors.
@@ -158,3 +158,35 @@ def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
         best_sim = F.when(better, sim).otherwise(best_sim)
     return vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
                        best_cell.alias("cell"))
+
+
+def ivf_topk(vecs: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nprobe: int = 2) -> DataFrame:
+    """IVF approximate top-k: exact rescoring restricted to the
+    ``nprobe`` cells whose centroids are most cosine-similar to the
+    query (the classic IVF nprobe knob).  nprobe=len(centroids) probes
+    every cell and reproduces the brute-force top-k exactly.
+
+    Cell assignment is one broadcast-free column expression per vector
+    (``ivf_assign``); the query's cell ranking is plain Python over the
+    centroid list — no Spark job before the probe filter.
+    """
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / max(na * nb, 1e-12)
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda i: -_cos(query_vec, centroids[i]))
+    probe_cells = ranked[:max(1, nprobe)]
+    assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (assigned.filter(F.col("cell").isin(probe_cells))
+            .select("vec_id",
+                    F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))

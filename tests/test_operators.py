@@ -409,3 +409,25 @@ def test_lsh_multiprobe_monotone_and_exhaustive(spark):
         recall = len(got & exact_ids) / len(exact_ids)
         assert recall >= prev
         prev = recall
+
+
+def test_ivf_topk_nprobe_monotone_and_exhaustive(spark):
+    """IVF top-k: probing every cell reproduces brute force exactly, and
+    recall is monotone in nprobe."""
+    from knowledgebase_processor_spark.operators.similarity import (
+        cosine_topk, ivf_centroids, ivf_topk)
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in vecs.first().embedding]
+    cents = ivf_centroids(vecs, dim=len(q), k_cells=8)
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(vecs, q, k=10).collect()]
+    exhaustive = [(r.vec_id, r.cosine) for r in
+                  ivf_topk(vecs, q, cents, k=10, nprobe=len(cents)).collect()]
+    assert exhaustive == exact
+    exact_ids = {i for i, _ in exact}
+    prev = -1.0
+    for nprobe in (1, 2, 4, 8):
+        got = {r.vec_id for r in
+               ivf_topk(vecs, q, cents, k=10, nprobe=nprobe).collect()}
+        recall = len(got & exact_ids) / len(exact_ids)
+        assert recall >= prev
+        prev = recall
