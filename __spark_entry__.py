@@ -447,6 +447,18 @@ def _q31_simhash_portable(spark, sf):
     return simhash_portable(d).orderBy("doc_id")
 
 
+def _q32_ann_ivf(spark, sf):
+    # ANN scale path (rows-only: centroid sampling is engine-internal):
+    # IVF cell assignment + nprobe probing, exact rescoring inside cells.
+    from knowledgebase_processor_spark.operators.similarity import (
+        ivf_centroids, ivf_topk)
+    v = _t(spark, sf, "embeddings")
+    first = v.orderBy("vec_id").first()
+    q = [float(x) for x in first.embedding]
+    cents = ivf_centroids(v, dim=len(q), k_cells=8)
+    return ivf_topk(v, q, cents, k=10, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -480,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_minhash_portable": _q29_minhash_portable,
         "q30_ngram_jaccard": _q30_ngram_jaccard,
         "q31_simhash_portable": _q31_simhash_portable,
+        "q32_ann_ivf": _q32_ann_ivf,
     }
 
 
