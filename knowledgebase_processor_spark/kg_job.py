@@ -36,7 +36,7 @@ from .sources.web_pages import pages_to_documents
 
 def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         alias_dict: dict | None = None, force: bool = False,
-        openie: bool = False) -> dict:
+        openie: bool = False, coref_salt: int | None = 16) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -44,6 +44,12 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
     ``kb:rel/`` predicate namespace, disjoint from the reference's
     structural predicates, so the reference-parity P/R gate is unaffected
     (filter one predicate prefix to compare).
+
+    ``coref_salt`` is the north rule's explicit head-entity-skew salt for
+    the coreference member->representative join (components.py): a head
+    alias's members spread over ``coref_salt`` reducers instead of one.
+    Output is salt-invariant; set ``None`` to rely on AQE skew-join
+    splitting alone.
     """
     t_start = time.time()
     metrics: dict[str, float] = {}
@@ -119,7 +125,7 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
             edge_src = edge_src.unionByName(
                 mention_entities.select("kind", "kb_id", "source_document_uri",
                                         "resolved_document_uri", "label"))
-        edges = coreference_edges(edge_src)
+        edges = coreference_edges(edge_src, salt=coref_salt)
         labels = connected_components(edges)
         canon = canonical_entities(
             entities.select("kind", "kb_id", "source_document_uri"), labels)

@@ -91,11 +91,20 @@ def canonical_entities(entities: DataFrame, labels: DataFrame) -> DataFrame:
                         F.coalesce(F.col("canonical_id"), F.col("kb_id"))))
 
 
-def coreference_edges(entities: DataFrame) -> DataFrame:
+def coreference_edges(entities: DataFrame, salt: int | None = None) -> DataFrame:
     """Edge set for canonicalization from the entity table itself:
 
     * wikilink -> resolved document (kb:resolvedDocument)
     * same-label mention entities of the same kind (alias collision)
+
+    ``salt`` wires the north rule's explicit "salted keys for head-entity
+    skew" into the member->representative join: the reps dimension is
+    replicated ``salt`` ways and each mention row carries a deterministic
+    row-level salt, so a head alias's millions of members spread over
+    ``salt`` reducers regardless of AQE.  Output is provably independent
+    of ``salt`` (test_salted_coreference_edges_equal_unsalted); leave it
+    ``None`` when AQE skew-join splitting is available and trusted —
+    replication costs ``salt``x the dimension's shuffle volume.
     """
     wl = (entities.filter((F.col("kind") == "wikilink")
                           & F.col("resolved_document_uri").isNotNull())
@@ -118,7 +127,12 @@ def coreference_edges(entities: DataFrame) -> DataFrame:
     # then a join back to emit (rep -> member) star edges; AQE skew-join
     # splits the hot aliases at runtime (enabled in pipeline.session).
     reps = mentions.groupBy("kind", "l").agg(F.min("kb_id").alias("rep"))
-    alias_edges = (mentions.join(reps, on=["kind", "l"])
+    if salt:
+        from .skew import replicated_join
+        joined = replicated_join(mentions, reps, ["kind", "l"], salt=salt)
+    else:
+        joined = mentions.join(reps, on=["kind", "l"])
+    alias_edges = (joined
                    .filter(F.col("kb_id") != F.col("rep"))
                    .select(F.col("rep").alias("src"),
                            F.col("kb_id").alias("dst")))

@@ -50,16 +50,18 @@ def salted_collect_set(df: DataFrame, key: str, value: str,
             .agg(F.array_distinct(F.flatten(F.collect_list("_vs"))).alias("values")))
 
 
-def replicated_join(fact: DataFrame, dim: DataFrame, key: str,
+def replicated_join(fact: DataFrame, dim: DataFrame, key: str | list[str],
                     salt: int = 16, how: str = "inner") -> DataFrame:
     """Join a skewed fact table against a small dimension by replicating
     the dimension ``salt`` ways and salting the fact side — every hot key
     spreads over ``salt`` reducers.  Use when the dimension is too large
-    to broadcast but tiny relative to the fact table."""
+    to broadcast but tiny relative to the fact table.  ``key`` may be a
+    single column name or a list (composite equi-join key)."""
+    keys = [key] if isinstance(key, str) else list(key)
     # row-level salt (NOT a hash of the key — that would send every row of
     # a hot key to the same reducer again)
     fact_s = with_salt(fact, salt)
     dim_r = dim.crossJoin(
         F.broadcast(fact.sparkSession.range(salt)
                     .select(F.col("id").cast("long").alias("_salt"))))
-    return fact_s.join(dim_r, on=[key, "_salt"], how=how).drop("_salt")
+    return fact_s.join(dim_r, on=keys + ["_salt"], how=how).drop("_salt")

@@ -189,6 +189,30 @@ def test_skew_utilities(spark):
     assert j.filter("k = 'h'").select("attr").distinct().collect()[0][0] == 1
 
 
+def test_salted_coreference_edges_equal_unsalted(spark):
+    """The kg_job main path wires the north rule's explicit head-entity
+    salt into the coreference member->rep join (components.py); the edge
+    set must be identical for any salt, including the head alias that
+    carries most of the rows."""
+    # head alias 'ada lovelace' with 400 mention rows, plus cold aliases
+    rows = [("person", f"kb:m{i:04d}", f"kb:doc{i}", None, "Ada Lovelace")
+            for i in range(400)]
+    rows += [("person", "kb:x1", "kb:d1", None, "Grace Hopper"),
+             ("person", "kb:x2", "kb:d2", None, "grace hopper"),
+             ("organization", "kb:o1", "kb:d3", None, "ACME"),
+             ("wikilink", "kb:w1", "kb:d4", "kb:Document/home", None)]
+    ents = spark.createDataFrame(
+        rows, "kind string, kb_id string, source_document_uri string, "
+              "resolved_document_uri string, label string")
+    plain = {(r.src, r.dst) for r in coreference_edges(ents).collect()}
+    for s in (4, 16):
+        salted = {(r.src, r.dst)
+                  for r in coreference_edges(ents, salt=s).collect()}
+        assert salted == plain
+    # the head alias fans out as a star from its min representative
+    assert sum(1 for s, d in plain if s == "kb:m0000") == 399
+
+
 def test_cc_long_chain_converges(spark):
     """31-node chain: pointer jumping must converge in O(log n) rounds
     (plain 1-hop propagation returned 10 wrong components here)."""
