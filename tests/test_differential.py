@@ -1,0 +1,157 @@
+"""Differential tests: our Spark pipeline vs the LIVE reference implementation.
+
+tests/reference_runtime.py runs the reference's own document->graph path
+(/root/reference/src, tests/test_specifications.py:100-117 entry point)
+in-process via the rdflib shim, so parity is checked against the
+reference's ACTUAL behavior on arbitrary inputs — not just the stored
+golden TTLs.  This found that the 6 reference-corpus goldens are stale:
+the live reference itself disagrees with them (pre-anonymization wikilink
+hash IDs), while our output matches the live reference exactly on all 66
+fixtures.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from reference_runtime import reference_available, reference_triples  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(),
+    reason="reference source not runnable in this environment")
+
+
+def _ours(spark, docs: dict[str, str]) -> dict[str, set]:
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    out: dict[str, set] = {d: set() for d in docs}
+    for r in documents_to_triples(sdf).collect():
+        out[r.source_doc].add(
+            (r.subj, r.pred, r.obj, "uri" if r.obj_is_uri else r.obj_datatype))
+    return out
+
+
+def test_reference_harness_reproduces_stored_golden():
+    """Sanity gate for the harness itself: on a unit fixture the live
+    reference must bit-reproduce its stored golden, proving the shim
+    changes nothing about reference behavior."""
+    from knowledgebase_processor_spark.goldens import load_golden
+    base = Path("/root/reference/specs/test_cases/todo_05_mixed_todos")
+    got = reference_triples("test_cases/todo_05_mixed_todos",
+                            (base / "input.md").read_text(encoding="utf-8"))
+    assert got == load_golden(base / "expected_output.ttl")
+
+
+def test_all_fixtures_match_live_reference(spark):
+    """All 66 fixtures (60 unit + 6 corpus): ours == live reference,
+    triple for triple.  Also pins down WHY the corpus goldens score
+    below 1.0 against stored TTLs: the live reference disagrees with
+    those TTLs too (stale fixtures), so golden projection there is a
+    fixture artifact, not a pipeline error."""
+    from knowledgebase_processor_spark.goldens import load_golden, spec_cases
+    cases = [(d, md.read_text(encoding="utf-8"), ttl)
+             for d, md, ttl in spec_cases()]
+    ref = {d: reference_triples(d, text) for d, text, _ in cases}
+    ours = _ours(spark, {d: text for d, text, _ in cases})
+
+    mismatched = [d for d, _, _ in cases if ref[d] != ours[d]]
+    assert mismatched == [], f"live-reference mismatches: {mismatched}"
+
+    stale = [d for d, _, ttl in cases
+             if d.startswith("test_corpus/") and ref[d] != load_golden(ttl)]
+    assert len(stale) == 6, (
+        "corpus golden staleness changed — revisit parity_report projection")
+
+
+EDGE_DOCS = {
+    "edge/crlf": "# Title\r\n\r\n- [ ] task one\r\n- [x] done\r\n\r\n#tag1 [[Page One]]\r\n",
+    "edge/bom": "﻿# BOM Doc\n\n- [ ] todo after bom\n",
+    "edge/combining": "# Café naïve\n\n[[Zoë's Page]] #café\n- [ ] fix café bug\n",
+    "edge/emoji": "# Hello \U0001f30d\n\n- [ ] ship \U0001f680 feature\n[[Rocket \U0001f680]]\n",
+    "edge/tabs": "#\tTabbed\n\n-\t[ ] tab todo\n\t- nested\n",
+    "edge/trailing_ws": "# Trail   \n\n- [ ] todo   \n#tag  \n",
+    "edge/no_newline_eof": "# No EOF newline\n- [ ] last",
+    "edge/only_frontmatter": "---\ntitle: Only FM\ntags: [a, b]\n---\n",
+    "edge/heading_levels": "####### seven\n###### six\n# one\n",
+    "edge/empty_heading": "#\n##  \n# real\n",
+    "edge/mixed_eol": "# Mixed\r\n- [ ] a\n- [x] b\r\n",
+    "edge/old_mac_cr": "# CR only\r- [ ] cr todo\r",
+    "edge/wikilink_pipe": "[[A|B|C]] [[|empty target]] [[target|]]\n",
+    "edge/code_fence_tilde": "~~~python\nx = 1\n~~~\n",
+    "edge/html_in_md": "<div># not heading</div>\n<b>bold</b> #realtag\n",
+    "edge/numbered_list": "1. one\n2. two\n   1. nested\n",
+    "edge/blockquote_nested": "> quote\n>> deeper\n> > also deep\n",
+    "edge/table_ragged": "| a | b |\n|---|\n| 1 | 2 | 3 |\n",
+    "edge/setext": "Setext H1\n=========\nSetext H2\n---------\n",
+    "edge/ref_link": "[text][ref]\n\n[ref]: http://example.com \"Title\"\n",
+}
+
+
+def test_edge_inputs_match_live_reference(spark):
+    """Line endings (CRLF / bare CR), BOM, combining marks, astral-plane
+    emoji, tab indentation, degenerate headings/wikilinks/tables — no
+    stored goldens exist for these, only the live reference."""
+    ref = {d: reference_triples(d, t) for d, t in EDGE_DOCS.items()}
+    ours = _ours(spark, EDGE_DOCS)
+    mismatched = [d for d in EDGE_DOCS if ref[d] != ours[d]]
+    assert mismatched == [], f"edge-input mismatches: {mismatched}"
+
+
+def _fuzz_docs(seed: int, n: int) -> dict[str, str]:
+    rng = random.Random(seed)
+    words_pool = ["alpha", "Beta", "gamma-ray", "Zoë", "état",
+                  "naïve", "data", "Q4", "café", "東京", "plan"]
+
+    def words(n_):
+        return " ".join(rng.choice(words_pool) for _ in range(n_))
+
+    def fragment():
+        k = rng.randrange(12)
+        if k == 0:
+            return f"{'#' * rng.randint(1, 6)} {words(rng.randint(1, 4))}\n"
+        if k == 1:
+            return f"- [{rng.choice(' x')}] {words(rng.randint(1, 5))}\n"
+        if k == 2:
+            return f"[[{words(rng.randint(1, 2))}]]\n"
+        if k == 3:
+            return f"[[{words(1)}|{words(1)}]]\n"
+        if k == 4:
+            return f"#{rng.choice(['t1', 'Tag-2', 'x_y', 'café'])} {words(2)}\n"
+        if k == 5:
+            return f"```{rng.choice(['', 'python', 'js'])}\n{words(3)}\n```\n"
+        if k == 6:
+            return f"> {words(4)}\n"
+        if k == 7:
+            return f"- {words(2)}\n  - {words(2)}\n"
+        if k == 8:
+            return f"| h1 | h2 |\n|---|---|\n| {words(1)} | {words(1)} |\n"
+        if k == 9:
+            return f"[{words(1)}](http://ex.com/{rng.randrange(99)})\n"
+        if k == 10:
+            return f"{words(rng.randint(3, 10))}\n"
+        return "\n"
+
+    def doc():
+        fm = ""
+        if rng.random() < 0.4:
+            fm = f"---\ntitle: {words(2)}\ntags: [{words(1)}, {words(1)}]\n---\n"
+        return fm + "".join(fragment() for _ in range(rng.randint(1, 15)))
+
+    return {f"fuzz/d{i:03d}": doc() for i in range(n)}
+
+
+def test_seeded_fuzz_matches_live_reference(spark):
+    """60 generator-composed documents (headings, todos, wikilinks, tags,
+    fences, quotes, lists, tables, links, frontmatter in random order)
+    — deterministic seed so failures reproduce."""
+    docs = _fuzz_docs(seed=20260817, n=60)
+    ref = {d: reference_triples(d, t) for d, t in docs.items()}
+    ours = _ours(spark, docs)
+    mismatched = [d for d in docs if ref[d] != ours[d]]
+    assert mismatched == [], f"fuzz mismatches: {mismatched}"
