@@ -19,10 +19,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..extract.core import ENTITY_FIELDS, extract_entities, extract_entities_merged
 from ..schema import ENTITIES, ENTITIES_MERGED
+from .metadata import derive_title
 
 _INT_FIELDS = {"level", "item_count", "row_count", "column_count",
                "line_count", "position_start", "position_end"}
 _BOOL_FIELDS = {"is_completed", "ordered"}
+
+
+def _effective_title(title, text: str, path: str) -> str:
+    """Batch-mode reference semantics (pipeline_orchestrator phase 1 /
+    reader.py:125-136): a NULL title means "derive it" — frontmatter
+    title > filename stem > first heading for generic stems.  Passing a
+    non-null title (or no title column at all, which keeps the temp-doc
+    default) bypasses derivation."""
+    if title is None or (isinstance(title, float) and pd.isna(title)):
+        return derive_title(text, path)
+    return title
 
 
 def _to_frame(rows: list[dict]) -> pd.DataFrame:
@@ -64,7 +76,8 @@ def extract_entities_df(
                 doc_id = getattr(rec, doc_id_col)
                 text = getattr(rec, text_col) or ""
                 path = getattr(rec, path_col) if path_col else "temp_document.md"
-                title = getattr(rec, title_col) if title_col else "Temporary Document"
+                title = (_effective_title(getattr(rec, title_col), text, path)
+                         if title_col else "Temporary Document")
                 try:
                     rows.extend(extract_entities(doc_id, text, path, title))
                 except Exception as exc:  # per-document isolation
@@ -105,7 +118,8 @@ def extract_merged_entities_df(
                 doc_id = getattr(rec, doc_id_col)
                 text = getattr(rec, text_col) or ""
                 path = getattr(rec, path_col) if path_col else "temp_document.md"
-                title = getattr(rec, title_col) if title_col else "Temporary Document"
+                title = (_effective_title(getattr(rec, title_col), text, path)
+                         if title_col else "Temporary Document")
                 try:
                     rows.extend(extract_entities_merged(doc_id, text, path, title))
                 except Exception:

@@ -124,22 +124,29 @@ def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
     return parsed, text[m.end():], fmt
 
 
+def derive_title(text: str, path: str, _fm_body: tuple | None = None) -> str:
+    """Title precedence (reader.py:125-136): frontmatter title >
+    filename stem with ``_``/``-`` -> space > first ``# `` heading when
+    the stem is generic (readme/index/untitled).  This is what the
+    reference's batch mode labels every document node with."""
+    fm, body = _fm_body if _fm_body else _parse_frontmatter(text or "")[:2]
+    if fm.get("title") is not None:
+        return str(fm["title"])
+    stem = path.rsplit("/", 1)[-1]
+    stem = stem.rsplit(".", 1)[0] if "." in stem else stem
+    title = stem.replace("_", " ").replace("-", " ")
+    if not title or title.lower() in ("readme", "index", "untitled"):
+        h = RE_FIRST_H1.search(body)
+        if h:
+            title = h.group(1).strip()
+    return title
+
+
 def parse_document_metadata(doc_id: str, text: str, path: str) -> dict:
     """One document -> DOC_METADATA row (plain dict)."""
     text = text or ""
     fm, body, fmt = _parse_frontmatter(text)
-
-    # Title precedence (reader.py:125-136)
-    if fm.get("title") is not None:
-        title = str(fm["title"])
-    else:
-        stem = path.rsplit("/", 1)[-1]
-        stem = stem.rsplit(".", 1)[0] if "." in stem else stem
-        title = stem.replace("_", " ").replace("-", " ")
-        if not title or title.lower() in ("readme", "index", "untitled"):
-            h = RE_FIRST_H1.search(body)
-            if h:
-                title = h.group(1).strip()
+    title = derive_title(text, path, _fm_body=(fm, body))
 
     # Tags: frontmatter (+categories) + masked hashtags + @category/tag
     tags = _coerce_tags(fm.get("tags", []))

@@ -131,8 +131,9 @@ def web_pages_to_triples(pages: DataFrame, resolve_links: bool = True) -> DataFr
         F.col("url").alias("doc_id"),
         F.col("text"),
         F.regexp_extract(F.col("url"), r"([^/]+)$", 1).alias("path"),
-        F.regexp_replace(F.regexp_extract(F.col("url"), r"([^/]+)$", 1),
-                         r"\.[^.]*$", "").alias("title"),
+        # NULL title -> the extraction UDF derives it with the reference's
+        # batch precedence (extract_udf._effective_title, reader.py:125-136)
+        F.lit(None).cast("string").alias("title"),
     )
     return documents_to_triples(docs, "doc_id", "text", "path", "title",
                                 resolve_links=resolve_links)

@@ -102,7 +102,11 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
 
 def pages_to_documents(pages: DataFrame) -> DataFrame:
     """web_pages -> documents input of the KG pipeline: url as doc id,
-    basename as path, stem as title (pipeline.web_pages_to_triples).
+    basename as path, title NULL so the extraction UDF derives it with
+    the reference's batch precedence (frontmatter title > stem with
+    ``_``/``-`` -> space > first heading; reader.py:125-136 via
+    extract_udf._effective_title) — matching what the reference would
+    label these documents if crawled into its knowledge base.
 
     Rows with null ``text`` fall back to boilerplate-stripped extraction
     from raw ``html`` (html_extract.pages_with_text); rows that ship text
@@ -119,5 +123,5 @@ def pages_to_documents(pages: DataFrame) -> DataFrame:
         F.col("url").alias("doc_id"),
         "text",
         basename.alias("path"),
-        F.regexp_replace(basename, r"\.[^.]*$", "").alias("title"),
+        F.lit(None).cast("string").alias("title"),
     )

@@ -93,12 +93,9 @@ def _get_factory():
     return factory
 
 
-def reference_triples(doc_id: str, text: str) -> set[tuple[str, str, str, str]]:
-    """The reference's emitted triple set for one document, normalized to
-    the shared comparison format (timestamps stripped)."""
-    processor = _get_factory()()
-    from rdflib import Literal  # the shim, importable after _ensure_paths
-    graph = processor.process_content_to_graph(text, document_id=doc_id)
+def _graph_to_set(graph) -> set[tuple[str, str, str, str]]:
+    from rdflib import Literal  # the shim
+
     out: set[tuple[str, str, str, str]] = set()
     for s, p, o in graph:
         if str(p) in _TS_PREDS:
@@ -109,3 +106,46 @@ def reference_triples(doc_id: str, text: str) -> set[tuple[str, str, str, str]]:
         else:
             out.add((str(s), str(p), str(o), "uri"))
     return out
+
+
+def reference_corpus_triples(files: dict[str, str]) -> dict[str, set]:
+    """The reference's BATCH flow (pipeline_orchestrator.process_documents_
+    batch phases, minus file serialization): write ``files`` ({relative
+    path: markdown}) to a temp knowledge base, register every document
+    (phase 1), process each against the POPULATED registry (phase 2 —
+    this is what exercises cross-document wikilink resolution), and
+    return {relative path: triple set} in the shared comparison format."""
+    import os
+    import tempfile
+
+    _get_factory()  # ensure paths + imports
+    from pathlib import Path as _P
+
+    from knowledgebase_processor.reader.reader import Reader
+
+    with tempfile.TemporaryDirectory() as kb:
+        for rel, text in files.items():
+            p = os.path.join(kb, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(text)
+        processor = _get_factory()()
+        reader = Reader(kb)
+        data = processor.document_processor.read_and_register_documents(
+            reader, "**/*.md", _P(kb))
+        out: dict[str, set] = {}
+        for path, document, kb_doc in data:
+            entities, _ = processor.pipeline.process_single_document(
+                document, kb_doc)
+            graph = processor.pipeline.rdf_processor.entities_to_graph(entities)
+            rel = os.path.relpath(path, kb).replace(os.sep, "/")
+            out[rel] = _graph_to_set(graph)
+        return out
+
+
+def reference_triples(doc_id: str, text: str) -> set[tuple[str, str, str, str]]:
+    """The reference's emitted triple set for one document, normalized to
+    the shared comparison format (timestamps stripped)."""
+    processor = _get_factory()()
+    graph = processor.process_content_to_graph(text, document_id=doc_id)
+    return _graph_to_set(graph)

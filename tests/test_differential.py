@@ -20,7 +20,9 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from reference_runtime import reference_available, reference_triples  # noqa: E402
+from reference_runtime import (  # noqa: E402
+    reference_available, reference_corpus_triples, reference_triples,
+)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(),
@@ -144,6 +146,45 @@ def _fuzz_docs(seed: int, n: int) -> dict[str, str]:
         return fm + "".join(fragment() for _ in range(rng.randint(1, 15)))
 
     return {f"fuzz/d{i:03d}": doc() for i in range(n)}
+
+
+BATCH_FILES = {
+    "notes/alpha.md": "# Alpha\n\nLinks: [[beta]] [[notes/beta]] [[Beta Note]]\n- [ ] see [[gamma]]\n",
+    "notes/beta.md": "---\ntitle: Beta Note\n---\n# Beta\n\nBack to [[alpha]] and [[missing page]]\n",
+    "gamma.md": "# Gamma\n\n[[notes/alpha.md]] [[alpha]] [[delta|display text]]\n",
+    "deep/nested/delta.md": "# Delta\n\n[[gamma]] [[nested/delta]] [[delta]]\n",
+    "Ambig.md": "# Root ambig\n[[Ambig]]\n",
+    "other/Ambig.md": "# Other ambig\n[[Ambig]] [[other/Ambig]]\n",
+    "README.md": "# Real Title From Heading\ncontent [[alpha]]\n",
+    "proj/index.md": "# Index Heading\n[[README]]\n",
+}
+
+
+def test_batch_corpus_resolution_matches_live_reference(spark):
+    """The reference's BATCH mode (registry populated with the whole
+    corpus, then per-document processing) vs our distributed pipeline
+    with ``resolve_links=True`` on the same 8-file knowledge base:
+    cross-document wikilink resolution (path / basename / title keys,
+    nested dirs, ambiguous basenames, unresolvable targets) and derived
+    document titles (frontmatter > stem > first-heading-for-generic)
+    must agree triple for triple."""
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    from knowledgebase_processor_spark.uris import document_uri
+
+    ref = reference_corpus_triples(BATCH_FILES)
+    rows_in = [(document_uri(rel), text, rel, None)
+               for rel, text in BATCH_FILES.items()]
+    docs = spark.createDataFrame(
+        rows_in, "doc_id string, text string, path string, title string")
+    res = documents_to_triples(docs, "doc_id", "text", "path", "title",
+                               resolve_links=True).collect()
+    uri_to_rel = {document_uri(rel): rel for rel in BATCH_FILES}
+    ours: dict[str, set] = {rel: set() for rel in BATCH_FILES}
+    for r in res:
+        ours[uri_to_rel[r.source_doc]].add(
+            (r.subj, r.pred, r.obj, "uri" if r.obj_is_uri else r.obj_datatype))
+    mismatched = [rel for rel in BATCH_FILES if ref[rel] != ours[rel]]
+    assert mismatched == [], f"batch-mode mismatches: {mismatched}"
 
 
 def test_seeded_fuzz_matches_live_reference(spark):
