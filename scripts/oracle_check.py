@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Driver-style correctness self-check: run every `__spark_entry__.queries()`
+entry on Spark AND its `oracle_sql()` in DuckDB over the same parquet
+tables, then compare row count + column names + order-insensitive value
+hash (columns sorted by name, rows sorted, floats rounded) — the same
+protocol the round driver records in CORRECTNESS_r{N}.json.
+
+Usage: python scripts/oracle_check.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    if v is None:
+        return "\0"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _hash(rows: list[dict], cols: list[str]) -> str:
+    cols = sorted(cols)
+    lines = sorted("\x1f".join(_norm(r[c]) for c in cols) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8", "surrogatepass"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from knowledgebase_processor_spark.pipeline import session
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{p}')")
+
+    spark = session("oracle-check", cpus=8, shuffle_partitions=8)
+    failures = []
+    try:
+        for name, fn in qs.items():
+            sdf = fn(spark, sf)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = sdf.columns
+            if name not in oracles:
+                print(f"{name:<34} rows-only  n={len(srows)}")
+                continue
+            rel = con.execute(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
+            ok_n = len(srows) == len(orows)
+            ok_c = sorted(scols) == sorted(ocols)
+            ok_v = ok_n and ok_c and _hash(srows, scols) == _hash(orows, ocols)
+            status = "OK" if (ok_n and ok_c and ok_v) else "FAIL"
+            print(f"{name:<34} {status}  n={len(srows)}/{len(orows)} "
+                  f"cols={'=' if ok_c else 'DIFF'} vals={'=' if ok_v else 'DIFF'}")
+            if status == "FAIL":
+                failures.append(name)
+                if not ok_c:
+                    print(f"    spark cols: {sorted(scols)}")
+                    print(f"    duck  cols: {sorted(ocols)}")
+    finally:
+        spark.stop()
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
