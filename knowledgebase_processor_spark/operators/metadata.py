@@ -124,29 +124,73 @@ def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
     return parsed, text[m.end():], fmt
 
 
-def derive_title(text: str, path: str, _fm_body: tuple | None = None) -> str:
-    """Title precedence (reader.py:125-136): frontmatter title >
-    filename stem with ``_``/``-`` -> space > first ``# `` heading when
-    the stem is generic (readme/index/untitled).  This is what the
-    reference's batch mode labels every document node with."""
-    fm, body = _fm_body if _fm_body else _parse_frontmatter(text or "")[:2]
-    if fm.get("title") is not None:
-        return str(fm["title"])
+# The reader's own frontmatter pattern (reader.py:86) differs from the
+# extractor's: YAML only (no TOML fence) and the fence must start at
+# byte 0 (no leading whitespace).  Title derivation must use THIS one —
+# differential testing caught a TOML document whose `title =` key must
+# NOT become the document label, because the reference's reader never
+# parses TOML even though its frontmatter extractor does.
+RE_READER_FM = re.compile(r"^---\s*\n(.*?)\n---\s*\n", re.S)
+
+
+def _reader_frontmatter(text: str) -> dict | None:
+    """reader.parse_frontmatter semantics exactly: YAML only (never the
+    TOML fence the extractor supports), fence at byte 0, ``None`` on no
+    match or parse error.  Differential testing caught the asymmetry: a
+    ``+++`` TOML title must NOT become the document label because the
+    reference's reader never parses TOML even though its frontmatter
+    extractor does."""
+    m = RE_READER_FM.match(text)
+    if not m or len(m.group(1)) > 131_072:
+        return None
+    try:
+        import yaml
+        return yaml.safe_load(m.group(1)) or {}
+    except Exception:
+        return None
+
+
+def derive_title(text: str, path: str) -> str:
+    """Document label derivation for the reference's batch mode: the
+    composition of reader.read_file's title logic (reader.py:125-136)
+    with document_processor.create_document_entity's label fallback
+    (:53-57).  Truthy YAML title wins; a present-but-falsy title key
+    falls to the plain stem (NO heading fallback — read_file only
+    searches headings when the key is absent); otherwise stem with
+    ``_``/``-`` -> space, then the first ``# `` heading when the stem is
+    generic (readme/index/untitled), searched in the text left by the
+    reader's parse (frontmatter stripped only when YAML parsed)."""
+    t = text or ""
     stem = path.rsplit("/", 1)[-1]
     stem = stem.rsplit(".", 1)[0] if "." in stem else stem
-    title = stem.replace("_", " ").replace("-", " ")
-    if not title or title.lower() in ("readme", "index", "untitled"):
+    stem_title = stem.replace("_", " ").replace("-", " ")
+
+    m = RE_READER_FM.match(t)
+    # fast path: the parse can't produce a title key if the token never
+    # appears in the fence — skip the YAML load (~25% of kernel time on
+    # frontmatter documents, profiled) unless the heading fallback needs
+    # to know whether the fence strips
+    generic = not stem_title or stem_title.lower() in ("readme", "index",
+                                                       "untitled")
+    fm = (_reader_frontmatter(t)
+          if m and ("title" in m.group(1) or generic) else None)
+
+    if isinstance(fm, dict) and "title" in fm:
+        title = fm["title"]
+        return str(title) if title else stem_title
+    if generic:
+        body = t[m.end():] if (m and isinstance(fm, dict)) else t
         h = RE_FIRST_H1.search(body)
-        if h:
-            title = h.group(1).strip()
-    return title
+        if h and h.group(1).strip():
+            return h.group(1).strip()
+    return stem_title
 
 
 def parse_document_metadata(doc_id: str, text: str, path: str) -> dict:
     """One document -> DOC_METADATA row (plain dict)."""
     text = text or ""
     fm, body, fmt = _parse_frontmatter(text)
-    title = derive_title(text, path, _fm_body=(fm, body))
+    title = derive_title(text, path)
 
     # Tags: frontmatter (+categories) + masked hashtags + @category/tag
     tags = _coerce_tags(fm.get("tags", []))

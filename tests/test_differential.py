@@ -157,6 +157,15 @@ BATCH_FILES = {
     "other/Ambig.md": "# Other ambig\n[[Ambig]] [[other/Ambig]]\n",
     "README.md": "# Real Title From Heading\ncontent [[alpha]]\n",
     "proj/index.md": "# Index Heading\n[[README]]\n",
+    # title-derivation edges: the reader's YAML-only parse (TOML fence
+    # must NOT win), present-but-falsy title key (no heading fallback),
+    # invalid YAML on a generic stem (text unstripped for the heading
+    # search), indented fence (reader requires byte-0 fence)
+    "toml_title.md": "+++\ntitle = \"Toml Title\"\n+++\ntext\n",
+    "empty_title.md": "---\ntitle: \"\"\n---\n# Not The Label\n",
+    "index.md": "---\ntitle: [\ninvalid yaml\n---\n# Inside After\n",
+    "dir2/readme.md": "# Deep Readme H1\ntext\n",
+    "lead.md": "   ---\ntitle: indented fence\n---\ntext\n",
 }
 
 
