@@ -192,8 +192,61 @@ def test_batch_corpus_resolution_matches_live_reference(spark):
     for r in res:
         ours[uri_to_rel[r.source_doc]].add(
             (r.subj, r.pred, r.obj, "uri" if r.obj_is_uri else r.obj_datatype))
+
+    # note: [[Ambig]] here is NOT ambiguous — root Ambig.md's
+    # path-without-extension IS "Ambig", a priority-1 exact match in both
+    # engines; only basename-ONLY matches are order-dependent (separate
+    # test below)
     mismatched = [rel for rel in BATCH_FILES if ref[rel] != ours[rel]]
     assert mismatched == [], f"batch-mode mismatches: {mismatched}"
+
+
+def test_duplicate_basename_resolution_is_deterministic(spark):
+    """When a wikilink matches only the BASENAME index and several
+    documents share that basename, the reference's answer is UNDEFINED:
+    its registry keeps whichever file Path.glob enumerated last
+    (dict-assign overwrite, document_registry.py:36), and glob order is
+    filesystem-dependent.  We define it instead — deterministic max
+    kb_id (wikilink_resolve.documents_dimension) — so this test checks
+    (a) everything except the ambiguous object agrees with the live
+    reference, (b) the reference's winner is one of the candidates,
+    (c) ours is the max-kb_id candidate on every run."""
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    from knowledgebase_processor_spark.uris import document_uri
+
+    files = {
+        "d1/Page.md": "# One\n[[Page]]\n",
+        "d2/sub/Page.md": "# Two\ntext\n",
+        "linker.md": "[[Page]] and [[d1/Page]]\n",
+    }
+    candidates = {document_uri("d1/Page.md"), document_uri("d2/sub/Page.md")}
+    ref = reference_corpus_triples(files)
+    docs = spark.createDataFrame(
+        [(document_uri(rel), text, rel, None) for rel, text in files.items()],
+        "doc_id string, text string, path string, title string")
+    res = documents_to_triples(docs, "doc_id", "text", "path", "title",
+                               resolve_links=True).collect()
+    uri_to_rel = {document_uri(rel): rel for rel in files}
+    ours: dict[str, set] = {rel: set() for rel in files}
+    for r in res:
+        ours[uri_to_rel[r.source_doc]].add(
+            (r.subj, r.pred, r.obj, "uri" if r.obj_is_uri else r.obj_datatype))
+
+    def norm(ts):
+        return {(s, p, "<AMBIG>" if o in candidates
+                 and p.endswith("resolvedDocument") else o, f)
+                for (s, p, o, f) in ts}
+
+    for rel in files:
+        assert norm(ref[rel]) == norm(ours[rel]), rel
+        ref_winners = {o for (s, p, o, f) in ref[rel]
+                       if p.endswith("resolvedDocument") and o in candidates}
+        assert ref_winners <= candidates
+    our_winners = {o for rel in files for (s, p, o, f) in ours[rel]
+                   if p.endswith("resolvedDocument") and o in candidates}
+    # [[d1/Page]] is an exact priority-1 match; [[Page]] is basename-only
+    # and takes the max-kb_id candidate deterministically
+    assert our_winners == {document_uri("d1/Page.md"), max(candidates)}
 
 
 def test_seeded_fuzz_matches_live_reference(spark):
