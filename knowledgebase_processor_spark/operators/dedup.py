@@ -85,9 +85,20 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 32,
-                      bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 8, shingle_n: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: documents sharing any band
-    bucket.  Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b."""
+    bucket.  Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
+
+    Shape chosen for scale: ONE pass over the signatures — groupBy
+    (band, bucket) with map-side-combinable collect_list, then in-bucket
+    pair expansion — instead of a bucket self-join, which evaluates the
+    whole signature pipeline twice (its heaviest part) and shuffles it
+    twice.  Buckets larger than ``max_bucket`` are dropped whole: a
+    band-hash shared by thousands of documents is boilerplate, its
+    O(n^2) pairs are useless as near-dup candidates, and one such bucket
+    at web scale would otherwise emit billions of rows from a single
+    task (the standard LSH-dedup mega-bucket guard)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     banded = sigs.select(
@@ -97,16 +108,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                                           for r in range(rows)]))
             for b in range(bands)])).alias("band", "bucket"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(right,
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands_shared"))
-    )
+    members = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list("doc_id").alias("ds"))
+               .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+               .select(F.array_sort("ds").alias("ds")))
+    pairs = members.select(F.explode(F.flatten(F.transform(
+        F.col("ds"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ds"), i + 2, F.size("ds")),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+    return (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
+                          F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands_shared")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
