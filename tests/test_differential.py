@@ -249,6 +249,48 @@ def test_duplicate_basename_resolution_is_deterministic(spark):
     assert our_winners == {document_uri("d1/Page.md"), max(candidates)}
 
 
+def test_title_derivation_matches_reference_labels():
+    """Pure-Python property check (no Spark): derive_title equals the
+    label the live reference emits for the document node, across random
+    combinations of stems (incl. generic readme/index/untitled), YAML/
+    TOML/broken frontmatter, falsy titles, and heading placement."""
+    import random
+
+    from knowledgebase_processor_spark.operators.metadata import derive_title
+    from knowledgebase_processor_spark.uris import document_uri
+
+    rng = random.Random(1137)
+    stems = ["Alpha", "beta_note", "Gamma-Ray", "README", "index",
+             "untitled", "a.b", "x y", "2024-11-07"]
+    fms = ["", "---\ntitle: Simple T\n---\n", "---\ntitle: ''\n---\n",
+           "---\ntitle: null\n---\n", "---\ndate: 2024-01-01\n---\n",
+           "+++\ntitle = \"Toml\"\n+++\n", "---\nbroken: [\n---\n",
+           "---\ntitle: \"Q: x\"\n---\n"]
+    bodies = ["plain\n", "# First Heading\ntext\n", "text\n# Later Heading\n",
+              "#\n# Real\n", ""]
+    files = {}
+    for i in range(40):
+        d = rng.choice(["", "d/", "d/e/"])
+        rel = f"{d}{rng.choice(stems)}_{i}.md" if rng.random() < 0.5 \
+            else f"{d}{rng.choice(stems)}.md"
+        if rel in files:
+            continue
+        files[rel] = rng.choice(fms) + rng.choice(bodies)
+    ref = reference_corpus_triples(files)
+    label_pred = "http://www.w3.org/2000/01/rdf-schema#label"
+    bad = []
+    for rel, text in files.items():
+        doc_uri = document_uri(rel)
+        ref_labels = {o for (s, p, o, f) in ref[rel]
+                      if s == doc_uri and p == label_pred}
+        got = derive_title(text, rel)
+        # the reference emits no label triple when the label is empty
+        expect = {got} if got else set()
+        if ref_labels != expect:
+            bad.append((rel, ref_labels, got))
+    assert bad == [], bad
+
+
 def test_seeded_fuzz_matches_live_reference(spark):
     """60 generator-composed documents (headings, todos, wikilinks, tags,
     fences, quotes, lists, tables, links, frontmatter in random order)
