@@ -459,6 +459,19 @@ def _q32_ann_ivf(spark, sf):
     return ivf_topk(v, q, cents, k=10, nprobe=2)
 
 
+def _q33_dedup_corpus(spark, sf):
+    # The composed training-data dedup pipeline (rows-only: minhash LSH
+    # is engine-internal): exact fingerprint collapse -> LSH candidates
+    # over survivors -> exact Jaccard verify -> connected components ->
+    # canonical election.  Returns every doc's (canonical_id, reason).
+    from knowledgebase_processor_spark.operators.dedup import dedup_corpus
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return (dedup_corpus(d, num_hashes=16, bands=8, jaccard_threshold=0.6)
+            .groupBy("reason").agg(F.count("*").alias("n_docs"))
+            .orderBy("reason"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -493,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_ngram_jaccard": _q30_ngram_jaccard,
         "q31_simhash_portable": _q31_simhash_portable,
         "q32_ann_ivf": _q32_ann_ivf,
+        "q33_dedup_corpus": _q33_dedup_corpus,
     }
 
 
@@ -792,8 +806,9 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
                        ELSE 0 END) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id""",
-        # q20, q21, q22, q24: rows-only (engine-specific hashing / the KG
-        # extraction pipeline, not SQL-expressible).
+        # q20, q21, q22, q24, q32, q33: rows-only (engine-specific hashing /
+        # the KG extraction pipeline / engine-internal centroid sampling,
+        # not SQL-expressible).
     }
 
 

@@ -273,3 +273,64 @@ def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.sum(F.expr(
                 "CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
                 "ELSE 0 END")).alias("simhash")))
+
+
+def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", num_hashes: int = 32,
+                 bands: int = 8, shingle_n: int = 3,
+                 jaccard_threshold: float = 0.8,
+                 max_bucket: int = 1000) -> DataFrame:
+    """The standard training-data dedup pipeline, end to end:
+
+    1. exact      — fingerprint groupBy; every group keeps its min doc_id
+    2. candidates — banded MinHash LSH over the exact-canonical survivors
+                    (duplicates removed first so identical boilerplate
+                    can't flood the LSH buckets)
+    3. verify     — exact n-gram Jaccard on candidate pairs only
+    4. cluster    — connected components over verified edges (near-dup
+                    similarity is not transitive; CC closes the chains
+                    A~B~C so one canonical survives per cluster)
+    5. elect      — canonical = min doc_id of the cluster
+
+    Returns ``(doc_id, canonical_id, reason)`` for EVERY input document:
+    reason ``kept`` (doc_id == canonical_id), ``exact`` (byte-identical
+    content group), or ``near`` (verified near-duplicate cluster).
+    Filter ``doc_id = canonical_id`` for the keep-list.
+
+    Scale shape: two groupBys (fingerprint, bucket) + the capped
+    in-bucket pair expansion + CC's O(log n) iterations — no cross
+    products anywhere; every stage is an equi-shuffle on a
+    well-distributed key.
+    """
+    from .components import connected_components
+
+    fp = docs.select(F.col(id_col).alias("doc_id"),
+                     fingerprint(F.col(text_col)).alias("fp"))
+    exact_canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    exact_map = fp.join(exact_canon, "fp").select("doc_id", "canonical_id")
+
+    survivors = (docs.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("text"))
+                 .join(exact_map.filter(F.col("doc_id") == F.col("canonical_id"))
+                       .select("doc_id"), "doc_id"))
+    cands = minhash_lsh_pairs(survivors, "doc_id", "text", num_hashes,
+                              bands, shingle_n, max_bucket)
+    verified = ngram_jaccard_pairs(survivors, cands, "doc_id", "text",
+                                   shingle_n, jaccard_threshold)
+    near_labels = connected_components(
+        verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+
+    # exact representative -> its near-dup cluster label (if any) -> every
+    # member of the exact group follows its representative
+    canon = (exact_map
+             .join(near_labels.withColumnRenamed("node", "canonical_id")
+                   .withColumnRenamed("component", "near_canonical"),
+                   "canonical_id", "left")
+             .select("doc_id",
+                     F.coalesce("near_canonical", "canonical_id").alias("cid"),
+                     F.col("canonical_id").alias("exact_cid")))
+    return canon.select(
+        "doc_id", F.col("cid").alias("canonical_id"),
+        F.when(F.col("doc_id") == F.col("cid"), F.lit("kept"))
+         .when(F.col("doc_id") != F.col("exact_cid"), F.lit("exact"))
+         .otherwise(F.lit("near")).alias("reason"))

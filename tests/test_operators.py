@@ -455,3 +455,29 @@ def test_ivf_topk_nprobe_monotone_and_exhaustive(spark):
         recall = len(got & exact_ids) / len(exact_ids)
         assert recall >= prev
         prev = recall
+
+
+def test_dedup_corpus_pipeline(spark):
+    """End-to-end corpus dedup: exact groups collapse to min doc_id,
+    near-dup CHAINS close transitively through connected components, and
+    unique docs survive as their own canonical."""
+    from knowledgebase_processor_spark.operators.dedup import dedup_corpus
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        ("e1", base), ("e2", base), ("e3", base),          # exact group
+        ("n1", base + "alpha"), ("n2", base + "beta"),     # near dups of e*
+        ("u1", "completely different text " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    out = {r.doc_id: (r.canonical_id, r.reason)
+           for r in dedup_corpus(spark.createDataFrame(rows, "doc_id string, text string"),
+                                 num_hashes=16, bands=8,
+                                 jaccard_threshold=0.5).collect()}
+    assert len(out) == 6
+    # one canonical for the whole exact+near cluster, the min id "e1"
+    assert out["e1"] == ("e1", "kept")
+    assert out["e2"] == ("e1", "exact") and out["e3"] == ("e1", "exact")
+    assert out["n1"][0] == "e1" and out["n1"][1] == "near"
+    assert out["n2"][0] == "e1" and out["n2"][1] == "near"
+    assert out["u1"] == ("u1", "kept")
+    keep = [d for d, (c, _) in out.items() if d == c]
+    assert sorted(keep) == ["e1", "u1"]
