@@ -11,9 +11,13 @@ primitives:
 * embedding      — cosine near-dup over vector columns
 
 Scale shape: candidate generation is always *bucketed* (LSH bands, simhash
-prefixes) so the self-join is an equi-join on bucket keys, never a cross
-product.  Skewed buckets (boilerplate-heavy crawls) are handled by AQE
-skew-join splitting; the verify step runs only on candidate pairs.
+prefixes) so pair formation is grouped by bucket key, never a cross
+product; oversized buckets are dropped whole (``max_bucket``) and the
+exact-Jaccard verify runs only on surviving candidate pairs.  This is
+the filter-verify architecture of the set-similarity-join literature
+(e.g. "Scalable and Robust Set Similarity Join", ICDE 2018 — PAPERS.md):
+a cheap signature filter whose robustness depends on bounding the skewed
+signature groups, then exact verification of the candidate set.
 """
 
 from __future__ import annotations
