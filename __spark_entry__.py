@@ -592,12 +592,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY type_a, type_b ORDER BY type_a, type_b""",
         "q09_completion_stats": """
             SELECT event_type, COUNT(*) AS total,
-                   SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS completed,
+                   CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS completed,
                    ROUND(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END)::DOUBLE
                          / COUNT(*), 4) AS completion_rate
             FROM events GROUP BY event_type ORDER BY event_type""",
         "q10_content_stats": f"""
-            SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars,
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
                    ROUND(AVG({_WCOUNT}), 4) AS avg_words
             FROM documents GROUP BY lang ORDER BY lang""",
         "q11_token_counts": rf"""
@@ -691,10 +691,10 @@ def oracle_sql() -> dict[str, str]:
                             ELSE '' END) AS text
               FROM documents)
             SELECT
-              SUM(len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}'))) AS total_emails,
-              SUM(len(regexp_extract_all(text,
-                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS total_ips,
+              CAST(SUM(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}'))) AS BIGINT) AS total_emails,
+              CAST(SUM(len(regexp_extract_all(text,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT) AS total_ips,
               SUM(length(
                 regexp_replace(
                  regexp_replace(
@@ -703,7 +703,7 @@ def oracle_sql() -> dict[str, str]:
                     '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-                 '\+?[0-9][0-9()\-. ]{7,20}[0-9]', '<PHONE>', 'g'))) AS total_redacted_len
+                 '\+?[0-9][0-9()\-. ]{7,20}[0-9]', '<PHONE>', 'g'))) :: BIGINT AS total_redacted_len
             FROM salted""",
         "q28_canonical_urls": r"""
             WITH variants AS (
@@ -803,8 +803,8 @@ def oracle_sql() -> dict[str, str]:
               FROM h, unnest(range(0, 60)) AS r(b)
               GROUP BY doc_id, b)
             SELECT doc_id,
-                   SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
-                       ELSE 0 END) AS simhash
+                   CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
+                       ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id""",
         # q20, q21, q22, q24, q32, q33: rows-only (engine-specific hashing /
         # the KG extraction pipeline / engine-internal centroid sampling,

@@ -55,7 +55,10 @@ def main() -> None:
     from knowledgebase_processor_spark.pipeline import session
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
     for t in TABLES:
