@@ -158,6 +158,16 @@ def construct(triples: DataFrame, patterns: list[Pattern],
     for (s, p, o) in template:
         def _uri_term(term):
             return F.col(term[1:]) if _is_var(term) else F.lit(term)
+        # SPARQL CONSTRUCT skips instantiations whose subject (or
+        # predicate) is a literal: a variable bound in object position
+        # (meta columns in scope) may carry a literal binding, so filter
+        # those rows out of THIS template pattern before emitting.
+        rows = bound
+        for term in (s, p):
+            if _is_var(term):
+                mu = _meta_cols(term[1:])[0]
+                if mu in bound.columns:
+                    rows = rows.filter(F.col(mu))
         if _is_var(o):
             v = o[1:]
             obj = F.col(v)
@@ -172,7 +182,7 @@ def construct(triples: DataFrame, patterns: list[Pattern],
                                F.lit(XSD_STRING))
         else:
             obj, is_uri, dt = F.lit(o), F.lit(True), F.lit(None).cast("string")
-        parts.append(bound.select(
+        parts.append(rows.select(
             _uri_term(s).alias("subj"), _uri_term(p).alias("pred"),
             obj.alias("obj"), is_uri.alias("obj_is_uri"),
             dt.alias("obj_datatype")))

@@ -81,6 +81,23 @@ def _coerce_tags(value) -> list[str]:
     return []
 
 
+def _yaml_load_no_alias(raw: str):
+    """yaml.safe_load with aliases forbidden: a 400-byte billion-laughs
+    block expands to gigabytes under plain safe_load and OOMs the
+    executor.  Shared by BOTH frontmatter parse paths (extractor-style
+    `_parse_frontmatter` and reader-style `_reader_frontmatter`) so the
+    title-derivation path is equally inert to alias bombs."""
+    import yaml
+
+    class _NoAliasLoader(yaml.SafeLoader):
+        def compose_node(self, parent, index):
+            if self.check_event(yaml.events.AliasEvent):
+                raise yaml.YAMLError("aliases disallowed")
+            return super().compose_node(parent, index)
+
+    return yaml.load(raw, Loader=_NoAliasLoader)
+
+
 def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
     """-> (parsed dict, body_without_frontmatter, format)."""
     m = RE_FM_YAML.match(text)
@@ -108,15 +125,7 @@ def _parse_frontmatter(text: str) -> tuple[dict, str, str | None]:
             import tomllib
             parsed = tomllib.loads(raw)
         else:
-            import yaml
-
-            class _NoAliasLoader(yaml.SafeLoader):
-                def compose_node(self, parent, index):
-                    if self.check_event(yaml.events.AliasEvent):
-                        raise yaml.YAMLError("aliases disallowed")
-                    return super().compose_node(parent, index)
-
-            parsed = yaml.load(raw, Loader=_NoAliasLoader) or {}
+            parsed = _yaml_load_no_alias(raw) or {}
         if not isinstance(parsed, dict):
             parsed = {}
     except Exception:
@@ -144,8 +153,7 @@ def _reader_frontmatter(text: str) -> dict | None:
     if not m or len(m.group(1)) > 131_072:
         return None
     try:
-        import yaml
-        return yaml.safe_load(m.group(1)) or {}
+        return _yaml_load_no_alias(m.group(1)) or {}
     except Exception:
         return None
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
 from .rdf_schema import KB_SOURCE_DOC
-from .sinks_ttl import _escape
+from .sinks_ttl import _escape, _iri, doc_stem
 from .uris import XSD, resolve_uri
 
 SPARQL_DOC = StructType([StructField("source_doc", StringType()),
@@ -39,11 +39,14 @@ SPARQL_DOC = StructType([StructField("source_doc", StringType()),
 
 
 def _nt_term(value: str, is_uri: bool, datatype: str | None) -> str:
+    # URI terms go through _iri: crawled doc ids containing '>' or
+    # whitespace must not produce malformed N-Triples or inject extra
+    # SPARQL Update clauses (rdflib's nt serializer validates these).
     if is_uri:
-        return f"<{value}>"
+        return f"<{_iri(value)}>"
     lit = f'"{_escape(value)}"'
     if datatype and datatype != XSD + "string":
-        return f"{lit}^^<{datatype}>"
+        return f"{lit}^^<{_iri(datatype)}>"
     return lit          # rdflib nt: xsd:string stays a plain literal
 
 
@@ -54,13 +57,14 @@ def _delete_block(source_doc: str, graph_uri: str | None) -> str:
     matched object is the absolutized doc URI — exactly what the triple
     emitter stores (operators/triples._resolve), so the DELETE actually
     hits the previously-inserted rows."""
-    doc_uri = resolve_uri(source_doc)
+    doc_uri = _iri(resolve_uri(source_doc))
     inner = (f"{{ ?entity <{KB_SOURCE_DOC}> <{doc_uri}> . "
              f"?entity ?predicate ?object . }} UNION "
              f"{{ <{doc_uri}> ?docPredicate ?docObject . }}")
     tmpl = ("?entity ?predicate ?object .\n"
             f"    <{doc_uri}> ?docPredicate ?docObject .")
     if graph_uri:
+        graph_uri = _iri(graph_uri)
         return (f"DELETE {{ GRAPH <{graph_uri}> {{ {tmpl} }} }}\n"
                 f"WHERE {{ GRAPH <{graph_uri}> {{ {inner} }} }} ;")
     return f"DELETE {{ {tmpl} }}\nWHERE {{ {inner} }} ;"
@@ -70,12 +74,12 @@ def _format_update(pdf: pd.DataFrame, graph_uri: str | None,
                    upsert: bool) -> pd.DataFrame:
     doc = pdf["source_doc"].iloc[0]
     nt = "\n".join(
-        f"  <{r.subj}> <{r.pred}> "
+        f"  <{_iri(r.subj)}> <{_iri(r.pred)}> "
         f"{_nt_term(r.obj, bool(r.obj_is_uri), r.obj_datatype)} ."
         for r in sorted(pdf.itertuples(index=False),
                         key=lambda r: (r.subj, r.pred, r.obj)))
     if graph_uri:
-        insert = f"INSERT DATA {{ GRAPH <{graph_uri}> {{\n{nt}\n}} }}"
+        insert = f"INSERT DATA {{ GRAPH <{_iri(graph_uri)}> {{\n{nt}\n}} }}"
     else:
         insert = f"INSERT DATA {{\n{nt}\n}}"
     parts = ["PREFIX kb: <http://example.org/kb/>"]
@@ -104,17 +108,16 @@ def write_sparql_update_files(triples: DataFrame, output_dir: str,
                               upsert: bool = True) -> int:
     """Write one ``<doc-stem>.ru`` SPARQL Update file per document
     (executor-side, foreachPartition — no driver collect)."""
-    import re
-
     os.makedirs(output_dir, exist_ok=True)
     updates = to_sparql_updates(triples, graph_uri, upsert)
 
     def _write(rows):
         n = 0
         for r in rows:
-            # full-path sanitization (same scheme as sinks_ttl): docs from
-            # different directories with equal basenames must not collide
-            stem = re.sub(r"[^A-Za-z0-9._-]", "_", r.source_doc) or "graph"
+            # doc_stem appends a stable hash of the full id: sanitized
+            # stems alone collide ('docs/a' vs 'docs_a') and partitions
+            # would silently overwrite each other's files
+            stem = doc_stem(r.source_doc)
             with open(os.path.join(output_dir, f"{stem}.ru"), "w",
                       encoding="utf-8") as f:
                 f.write(r.update)

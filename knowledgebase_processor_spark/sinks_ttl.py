@@ -31,12 +31,28 @@ def _escape(lex: str) -> str:
     return "".join(_ESC.get(c, c) for c in lex)
 
 
+import re as _re
+
+_IRI_BAD = _re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def _iri(value: str) -> str:
+    """Percent-encode the characters the N-Triples IRIREF production
+    forbids (controls, space, ``<>"{}|^`\\``).  Doc ids come from crawled
+    URLs, so an adversarial id containing ``>`` or whitespace would
+    otherwise produce malformed N-Triples — or, in the SPARQL sink,
+    inject arbitrary Update text.  rdflib's nt serializer (which the
+    reference relies on, rdf_processor.py:126) performs the equivalent
+    validation."""
+    return _IRI_BAD.sub(lambda m: "%%%02X" % ord(m.group()), value)
+
+
 def _term(value: str, is_uri: bool, datatype: str | None) -> str:
     if is_uri:
-        return f"<{value}>"
+        return f"<{_iri(value)}>"
     lit = f'"{_escape(value)}"'
     if datatype and datatype != XSD + "string":
-        return f"{lit}^^<{datatype}>"
+        return f"{lit}^^<{_iri(datatype)}>"
     return f"{lit}^^xsd:string"
 
 
@@ -47,7 +63,7 @@ def _format_doc(pdf: pd.DataFrame) -> pd.DataFrame:
                   key=lambda r: (r.subj, r.pred, r.obj))
     for r in rows:
         obj = _term(r.obj, bool(r.obj_is_uri), r.obj_datatype)
-        lines.append(f"<{r.subj}> <{r.pred}> {obj} .")
+        lines.append(f"<{_iri(r.subj)}> <{_iri(r.pred)}> {obj} .")
     return pd.DataFrame({"source_doc": [pdf["source_doc"].iloc[0]],
                          "ttl": ["\n".join(lines) + "\n"]})
 
@@ -63,12 +79,23 @@ def write_turtle_files(triples: DataFrame, output_dir: str) -> int:
     keep the (source_doc, ttl) table instead — SURVEY.md §2.1 S4 notes
     TTL files only exist to diff against goldens)."""
     import os
-    import re
     os.makedirs(output_dir, exist_ok=True)
     n = 0
     for row in to_turtle(triples).toLocalIterator():
-        stem = re.sub(r"[^A-Za-z0-9._-]", "_", row["source_doc"])
-        with open(os.path.join(output_dir, stem + ".ttl"), "w", encoding="utf-8") as f:
+        with open(os.path.join(output_dir, doc_stem(row["source_doc"]) + ".ttl"),
+                  "w", encoding="utf-8") as f:
             f.write(row["ttl"])
         n += 1
     return n
+
+
+def doc_stem(source_doc: str) -> str:
+    """Filesystem-safe, collision-free stem for per-document sink files.
+    Sanitizing alone is lossy ('docs/a' and 'docs_a' both → 'docs_a', one
+    file silently overwriting the other), so a short stable hash of the
+    ORIGINAL id is appended as a uniqueness suffix."""
+    import hashlib
+    import re
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", source_doc) or "graph"
+    h = hashlib.sha256(source_doc.encode("utf-8", "surrogatepass")).hexdigest()[:8]
+    return f"{safe[:120]}-{h}"

@@ -134,3 +134,13 @@ def test_bgp_term_semantics(spark):
                     [("?s", "u:copied", "?o")]).collect()
     assert len(out) == 1 and not out[0].obj_is_uri
     assert out[0].obj_datatype == "http://www.w3.org/2001/XMLSchema#string"
+
+    # CONSTRUCT skips instantiations with a literal SUBJECT: ?o is bound
+    # from object position to both a URI ('http://x' via u:p) and a
+    # literal (same text via u:q); reused as template subject, only the
+    # URI binding may instantiate (SPARQL 11.2, review fix)
+    flipped = construct(t, [("?s", "?p", "?o")],
+                        [("?o", "u:from", "?s")]).collect()
+    subj_bindings = {r.subj for r in flipped}
+    assert subj_bindings == {"http://x", "u:b"}  # URI terms only
+    assert len(flipped) == 2

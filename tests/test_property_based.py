@@ -191,3 +191,16 @@ def test_yaml_frontmatter_bombs_are_inert():
     assert m["fm_custom"] in (None, "{}") and big["fm_custom"] in (None, "{}")
     ok = parse_document_metadata("d", "---\ntitle: T\ntags: [a]\n---\nb", "p.md")
     assert ok["title"] == "T" and ok["tags"] == ["a"]
+
+    # The reader-style path (derive_title -> _reader_frontmatter) must be
+    # equally inert: a bomb whose fence contains the token 'title' takes
+    # the title fast path on ANY stem, and a generic stem (index.md)
+    # forces the parse even without the token.  Both previously went
+    # through plain yaml.safe_load and expanded the aliases.
+    bomb_title = bomb.replace("a: &a", "title: t\na: &a", 1)
+    t0 = time.perf_counter()
+    mt = parse_document_metadata("d", bomb_title, "p.md")
+    mi = parse_document_metadata("d", bomb, "index.md")
+    assert time.perf_counter() - t0 < 10
+    # alias parse fails -> reader sees no frontmatter -> stem fallback
+    assert mt["title"] == "p" and mi["title"] == "index"

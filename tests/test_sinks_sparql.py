@@ -53,10 +53,33 @@ def test_plain_insert_and_named_graph(spark):
 
 
 def test_write_update_files(spark, tmp_path):
+    from knowledgebase_processor_spark.sinks_ttl import doc_stem
+
     out = str(tmp_path / "ru")
     n = write_sparql_update_files(_triples(spark), out)
     files = sorted(os.listdir(out))
-    # full-path sanitized stems: same-basename docs in different dirs
-    # cannot collide (review fix)
-    assert n == 2 and files == ["docs_a.ru", "docs_b.ru"]
-    assert "INSERT DATA" in open(os.path.join(out, "docs_a.ru")).read()
+    # hash-suffixed stems: 'docs/a' and a hypothetical 'docs_a' sanitize
+    # to the same prefix but get distinct suffixes (review fix)
+    assert n == 2
+    assert files == sorted(doc_stem(d) + ".ru" for d in ("docs/a", "docs/b"))
+    assert doc_stem("docs/a") != doc_stem("docs_a")
+    assert "INSERT DATA" in open(os.path.join(out, doc_stem("docs/a") + ".ru")).read()
+
+
+def test_iri_injection_is_neutralized(spark):
+    """An adversarial doc id with '>', whitespace, and SPARQL Update text
+    must not escape the <...> IRI term: every generated line still parses
+    as N-Triples and the injected DELETE never appears as a clause."""
+    evil = 'docs/x> . } ; DELETE WHERE { ?s ?p ?o } ; INSERT DATA { <u'
+    docs = spark.createDataFrame([(evil, "# T\n")], "doc_id string, text string")
+    u = to_sparql_updates(documents_to_triples(docs)).collect()[0].update
+    body = u.split("INSERT DATA {", 1)[1].rsplit("}", 1)[0].strip("\n")
+    for line in body.splitlines():
+        assert NT_LINE.match(line), line
+    # exactly the one structural DELETE clause emitted by the upsert
+    # template (the injected text survives only percent-encoded inside
+    # an IRI, so it can never form a 'DELETE {' / 'DELETE WHERE' clause)
+    assert u.count("DELETE {") == 1 and "DELETE WHERE" not in u
+    # no IRI term contains a raw illegal character
+    for m in re.finditer(r"<([^>]*)>", u):
+        assert not re.search(r'[\x00-\x20"{}|^`\\]', m.group(1)), m.group(0)
