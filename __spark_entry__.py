@@ -295,10 +295,16 @@ def _q20_minhash_lsh(spark, sf):
 
 
 def _q21_simhash_near_dups(spark, sf):
-    # dedup/simhash near-dup pairs (rows-only: engine-specific hashes).
-    from knowledgebase_processor_spark.operators.dedup import simhash_near_dups
+    # dedup/simhash near-dup pairs via pigeonhole-banded buckets, on the
+    # PORTABLE 60-bit simhash so DuckDB recomputes hashes, bands, and the
+    # final hamming-verified pair set value-for-value.  (The in-pipeline
+    # scale path is the engine-native `simhash_near_dups` — same banding
+    # code, xxhash64 word hashes, zero row explosion.)
+    from knowledgebase_processor_spark.operators.dedup import (
+        simhash_band_pairs, simhash_portable)
     d = _t(spark, sf, "documents", spread=True)
-    return simhash_near_dups(d, max_hamming=16).orderBy("doc_a", "doc_b")
+    return (simhash_band_pairs(simhash_portable(d), max_hamming=3, nbits=60)
+            .orderBy("doc_a", "doc_b"))
 
 
 def _q22_triples_by_kind(spark, sf):
@@ -424,16 +430,14 @@ def _q29_minhash_portable(spark, sf):
 
 def _q30_ngram_jaccard(spark, sf):
     # Exact n-gram Jaccard verification (dedup family), value-checked:
-    # candidates = same-n_chars pairs (deterministic small groups), scored
-    # with the shared shingle formula DuckDB recomputes exactly.
-    from knowledgebase_processor_spark.operators.dedup import ngram_jaccard_pairs
+    # candidates come from the BUCKETED portable-LSH filter (the real
+    # filter-verify architecture — a same-length self-join would form
+    # quadratic groups at scale), scored with the shared shingle formula
+    # DuckDB recomputes exactly, bands included.
+    from knowledgebase_processor_spark.operators.dedup import (
+        minhash_lsh_pairs_portable, ngram_jaccard_pairs)
     d = _t(spark, sf, "documents")
-    keyed = d.select("doc_id", "n_chars")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (a.join(b, (F.col("a.n_chars") == F.col("b.n_chars"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")))
+    cand = minhash_lsh_pairs_portable(d).select("doc_a", "doc_b")
     return (ngram_jaccard_pairs(d, cand, threshold=0.0)
             .orderBy("doc_a", "doc_b"))
 
@@ -457,6 +461,16 @@ def _q32_ann_ivf(spark, sf):
     q = [float(x) for x in first.embedding]
     cents = ivf_centroids(v, dim=len(q), k_cells=8)
     return ivf_topk(v, q, cents, k=10, nprobe=2)
+
+
+def _q34_minhash_lsh_portable(spark, sf):
+    # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
+    # DuckDB recomputes signatures (q29's formula), band buckets, and the
+    # pair set — the LSH *mechanism* itself is value-checked cross-engine.
+    from knowledgebase_processor_spark.operators.dedup import (
+        minhash_lsh_pairs_portable)
+    d = _t(spark, sf, "documents", spread=True)
+    return minhash_lsh_pairs_portable(d).orderBy("doc_a", "doc_b")
 
 
 def _q33_dedup_corpus(spark, sf):
@@ -507,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_simhash_portable": _q31_simhash_portable,
         "q32_ann_ivf": _q32_ann_ivf,
         "q33_dedup_corpus": _q33_dedup_corpus,
+        "q34_minhash_lsh_portable": _q34_minhash_lsh_portable,
     }
 
 
@@ -527,6 +542,24 @@ _QUALITY = (
     "              / greatest({w}, 1)::double) * 5.0, 1.0)"
 ).format(w=_WCOUNT, sw=_EN_SW,
          lw=r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')")
+
+
+
+# q32's oracle needs the engine-sampled IVF centroids as literals (the
+# seeded xxhash64 sampling is not SQL-expressible, but its OUTPUT on the
+# fixed sf0.01 embeddings table is deterministic — extracted once and
+# pinned here; see ORACLE_SF001_PINNED).  DuckDB then replicates cell
+# assignment, probe ranking, and rescoring with the same left-fold
+# summation order as the Spark column expressions.
+_Q32_CENTROID_VALUES = """\
+              (0, [0.0754503384232521, 0.09419266134500504, -0.06564699858427048, -0.11731939017772675, -0.2103220820426941, -0.02775951288640499, 0.06328524649143219, 0.02424367144703865, -0.02429385297000408, 0.13783062994480133, 0.17799466848373413, -0.0931270569562912, -0.10396683216094971, -0.005409106612205505, -0.07051610946655273, 0.19749252498149872, 0.14258888363838196, 0.0960536003112793, 0.12834356725215912, -0.0361388698220253, -0.04776456952095032, 0.10172321647405624, 0.0807778537273407, 0.3604643940925598, -0.018006889149546623, -0.06686379760503769, 0.049845121800899506, -0.00041186538874171674, 0.14369937777519226, 0.011197458952665329, 0.2941312789916992, -0.003736350918188691, 0.14637281000614166, 0.32945966720581055, 0.08869896084070206, 0.030713792890310287, 0.10977037250995636, -0.0649942085146904, -0.12151563912630081, 0.1321040242910385, -0.0914735496044159, 0.16951434314250946, -0.018004247918725014, -0.14465342462062836, 0.09539160877466202, 0.06190213933587074, 0.11483341455459595, 0.12499288469552994, 0.07411952316761017, 0.05054671689867973, -0.13185225427150726, -0.2401932328939438, 0.08567051589488983, -0.08647097647190094, -0.15770401060581207, 0.01357154082506895, -0.07687149196863174, -0.08783015608787537, -0.11124595999717712, 0.11780742555856705, 0.16902638971805573, -0.05087028443813324, 0.07654304802417755, -0.0688801109790802]::DOUBLE[]),
+              (1, [-0.13726019859313965, 0.06859798729419708, 0.04165762662887573, -0.21318136155605316, 0.13560500741004944, 0.23991292715072632, 0.16755594313144684, 0.02993670292198658, 0.11536946892738342, 0.08214633166790009, -0.17865444719791412, 0.11466674506664276, -0.18736928701400757, -0.07311703264713287, -0.12086453288793564, 0.0005554824601858854, -0.162364661693573, 0.202480286359787, -0.058497972786426544, -0.050991784781217575, 0.08925971388816833, -0.07963361591100693, 0.1455719769001007, -0.2186051309108734, -0.1337958425283432, -0.044195506721735, 0.03966949135065079, -0.10679522156715393, 0.11937423795461655, 0.038964249193668365, 0.18421395123004913, -0.01705959439277649, 0.11196673661470413, 0.07724130898714066, -0.16403257846832275, 0.14110994338989258, -0.08845140039920807, 0.25660160183906555, -0.013495598919689655, 0.10172493010759354, -0.0681794136762619, -0.05862080678343773, 0.06563332676887512, 0.1343272477388382, 0.16497135162353516, -0.03889006748795509, 0.20142580568790436, -0.005993464030325413, 0.10794222354888916, -0.16245324909687042, 0.10575684159994125, -0.1244787648320198, -0.11086756736040115, -0.010557140223681927, 0.042967915534973145, 0.1196078285574913, 0.19980449974536896, -0.06208480894565582, -0.09676209837198257, 0.09451322257518768, 0.07428186386823654, -0.0442013293504715, -0.06203453242778778, 0.22069883346557617]),
+              (2, [-0.08233782649040222, -0.11815283447504044, -0.006240792106837034, -0.013484959490597248, -0.03460196405649185, -0.28786006569862366, 0.3120688498020172, 0.06182345002889633, -0.21465492248535156, 0.04091758653521538, -0.07039625942707062, 0.004782651551067829, 0.08376885950565338, -0.17018385231494904, 0.005571891088038683, -0.029951518401503563, -0.03740779682993889, -0.13100336492061615, 0.09892262518405914, 0.07002986967563629, 0.24678847193717957, 0.1159096211194992, 0.23994848132133484, -0.08160796761512756, -0.12538909912109375, 0.08153574913740158, 0.17104722559452057, -0.06445878744125366, 0.04379314184188843, -0.20180188119411469, -0.053501781076192856, -0.0004567842115648091, 0.05855605751276016, -0.09369952231645584, 0.0645514503121376, -0.08073458075523376, -0.006414919160306454, -0.048636842519044876, 0.028308315202593803, 0.048806022852659225, 0.25058820843696594, -0.11066994816064835, -0.015289125964045525, -0.0459652878344059, 0.15189442038536072, -0.016558879986405373, 0.06650492548942566, 0.11628024280071259, 0.1432027369737625, 0.07609372586011887, 0.06430911272764206, 0.0001298859278904274, 0.05496704950928688, 0.1434675008058548, 0.11310216039419174, -0.08502692729234695, 0.07758935540914536, 0.061447273939847946, 0.25566452741622925, 0.2680054306983948, 0.18310244381427765, 0.07739771157503128, -0.15261073410511017, 0.002020095707848668]),
+              (3, [0.15541283786296844, 0.09687108546495438, -0.18619310855865479, 0.14320723712444305, -0.013748371042311192, 0.1902998983860016, -0.00497719831764698, 0.1317361742258072, 0.12146987020969391, -0.06999234110116959, 0.20843087136745453, 0.037860769778490067, 0.08918502181768417, -0.05116381123661995, 0.15744784474372864, -0.24934685230255127, 0.0040852162055671215, 0.0875801146030426, -0.033276788890361786, 0.0765935406088829, -0.08611302077770233, 0.09137559682130814, -0.13267286121845245, -0.05911567807197571, -0.0798833891749382, -0.05537585914134979, -0.10985992103815079, 0.16694341599941254, 0.030041804537177086, -0.048213329166173935, 0.09462805092334747, 0.011866823770105839, 0.25927260518074036, -0.019871488213539124, -0.2024131715297699, 0.13794615864753723, 0.013528106734156609, -0.2070663571357727, 0.1539875864982605, -0.24118970334529877, -0.09300201386213303, -0.16932013630867004, -0.05712174251675606, 0.25345534086227417, 0.16012834012508392, 0.06748969852924347, -0.24033676087856293, 0.023560527712106705, -0.19619864225387573, -0.1082836166024208, 0.024421675130724907, 0.026389658451080322, 0.03216858580708504, 0.14560407400131226, 0.05447354167699814, 0.043306879699230194, 0.10464701801538467, -0.07080428302288055, 0.04533618688583374, 0.15375980734825134, 0.011152262799441814, 0.008036536164581776, 0.10288629680871964, -0.07269125431776047]),
+              (4, [0.022451350465416908, -0.11807950586080551, -0.10105432569980621, -0.07772175222635269, -0.020632173866033554, 0.1724664270877838, -0.024609338492155075, 0.12213931977748871, 0.050935808569192886, -0.19364860653877258, -0.15031935274600983, 0.0938192754983902, 0.09520841389894485, 0.14343470335006714, -0.04332686588168144, 0.19037863612174988, -0.1636110097169876, 0.02009543776512146, -0.18387186527252197, -0.07051629573106766, -0.11949291080236435, -0.04045305401086807, -0.11424946039915085, 0.024917004629969597, -0.025051653385162354, -0.14939959347248077, 0.05758737772703171, -0.10268563032150269, -0.07261580228805542, -0.07689978182315826, 0.061075471341609955, 0.19167032837867737, 0.09214286506175995, -0.10548973828554153, -0.10097454488277435, 0.12414977699518204, -0.05241825431585312, 0.2578524649143219, -0.0789506658911705, 0.03160468861460686, -0.185468390583992, 0.150930255651474, -0.09807070344686508, 0.08555185049772263, -0.26320552825927734, -0.05168217420578003, 0.17268022894859314, 0.17790184915065765, -0.020587768405675888, -0.1455649733543396, 0.27118590474128723, 0.16279692947864532, 0.058881599456071854, 0.17074929177761078, -0.06296061724424362, -0.08347153663635254, 0.08954261243343353, 0.017307071015238762, 0.20565097033977509, 0.08461907505989075, 0.07931647449731827, -0.1646026074886322, 0.032023657113313675, 0.11717933416366577]),
+              (5, [0.09100360423326492, -0.28822386264801025, -0.05402462184429169, -0.014864343218505383, -0.04248567670583725, 0.019408905878663063, 0.21536438167095184, 0.04885191470384598, -0.05285777524113655, 0.28168001770973206, 0.09617612510919571, 0.05686764419078827, -0.06668395549058914, -0.01596781238913536, 0.11704234778881073, -0.19164736568927765, 0.0312926210463047, 0.028533387929201126, 0.2187695950269699, 0.0668174996972084, 0.045764219015836716, -0.10252231359481812, -0.06785862147808075, 0.11334086954593658, -0.035346806049346924, 0.059311047196388245, 0.12062107026576996, 0.041775111109018326, -0.13573846220970154, 0.11244920641183853, 0.019327109679579735, 0.08575376123189926, 0.287762314081192, -0.14321400225162506, 0.02022729068994522, -0.1674967110157013, -0.023769397288560867, 0.1821197271347046, 0.08003223687410355, 0.05667908862233162, 0.12396128475666046, -0.06813937425613403, 0.01659080572426319, 0.028953799977898598, 0.11666379868984222, -0.1688796430826187, 0.2274404764175415, -0.2701265513896942, -0.1389743834733963, -0.2020651400089264, 0.09209642559289932, 0.037846166640520096, -0.045220330357551575, -0.09709256887435913, 0.15597286820411682, -0.11284169554710388, 0.05661795660853386, 0.0653795450925827, -0.0410991907119751, -0.0420040562748909, 0.05632980540394783, 0.10277754068374634, 0.22981275618076324, 0.04017625004053116]),
+              (6, [-0.00020490022143349051, -0.1540915071964264, 0.038741931319236755, 0.060101550072431564, 0.014993463642895222, 0.19322238862514496, 0.1150100976228714, -0.09174414724111557, 0.051664188504219055, -0.01199275255203247, 0.1101711317896843, -0.11080501973628998, 0.0574953593313694, 0.11489946395158768, -0.1409047394990921, -0.188886359333992, 0.09254693984985352, 0.1455385684967041, 0.05314302071928978, -0.1034039556980133, -0.025570562109351158, -0.15693017840385437, 0.4222942590713501, -0.19439469277858734, -0.2785075008869171, -0.030570974573493004, -0.12491831928491592, 0.10773856192827225, 0.024284599348902702, 0.09824611991643906, -0.17457878589630127, 0.25559186935424805, 0.11069847643375397, 0.04969414696097374, 0.09037106484174728, 0.010354983620345592, 0.06359152495861053, -0.0906161293387413, 0.07636624574661255, 0.06139883026480675, 0.11902876943349838, -0.036539819091558456, 0.12842793762683868, 0.14776568114757538, 0.07102864235639572, -0.03418279066681862, -0.03177716210484505, -0.0009198452462442219, -0.1093539446592331, 0.1460648626089096, -0.1670628935098648, 0.11280082911252975, -0.09466613829135895, 0.02941320277750492, 0.028353886678814888, -0.169806107878685, -0.09697887301445007, 0.15235699713230133, 0.01838148757815361, 0.09907668828964233, -0.036696791648864746, 0.0988757312297821, -0.10966693609952927, 0.17612674832344055]),
+              (7, [0.2532672882080078, -0.034195560961961746, 0.15409405529499054, -0.04206995666027069, -0.06612168997526169, -0.016288595274090767, 0.008838837035000324, -0.002087501809000969, 0.08548540621995926, 0.10905612260103226, 0.0005050049512647092, -0.0744815394282341, 0.19332361221313477, 0.16046902537345886, -0.03810712322592735, -0.06871046870946884, 0.060448382049798965, 0.21880953013896942, -0.0767257884144783, -0.02458479255437851, -0.06657051295042038, -0.11724324524402618, -0.21167811751365662, -0.17314837872982025, 0.004684095270931721, -0.027684375643730164, 0.2840202748775482, -0.018405376002192497, -0.011520475149154663, -0.22522805631160736, -0.09116920828819275, -0.04964740574359894, -0.065663643181324, -0.06748871505260468, -0.053930848836898804, 0.280910462141037, -0.07915925979614258, -0.13912232220172882, 0.3040419816970825, -0.18241237103939056, 0.02785472199320793, 0.12257321178913116, -0.043732304126024246, -0.20635536313056946, 0.034349918365478516, -0.1343199610710144, -0.15163744986057281, -0.071645088493824, -0.1258695423603058, -0.043345432728528976, -0.19765789806842804, -0.1103982925415039, 0.03966229036450386, -0.10814601927995682, 0.045631155371665955, -0.05356727913022041, -0.11394452303647995, 0.04182560741901398, -0.16275964677333832, -0.01687600277364254, 0.060441870242357254, 0.11024648696184158, -0.13635633885860443, -0.05666535347700119])"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -768,25 +801,101 @@ def oracle_sql() -> dict[str, str]:
             FROM sig ORDER BY doc_id""",
         "q30_ngram_jaccard": r"""
             WITH ws AS (
-              SELECT doc_id, n_chars,
+              SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
                                  w -> w <> '') AS w
               FROM documents),
             sh AS (
-              SELECT doc_id, n_chars, CASE WHEN len(w) >= 3
+              SELECT doc_id, CASE WHEN len(w) >= 3
                 THEN list_distinct(list_transform(range(1, len(w)-1),
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
                 ELSE [array_to_string(w, ' ')] END AS s
               FROM ws),
+            sig AS (
+              SELECT doc_id, s,
+                     list_transform(range(1, 9), sd ->
+                       list_min(list_transform(s, g ->
+                         ('0x' || substr(md5(sd::VARCHAR || '|' || g), 1, 15))::BIGINT
+                       ))) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, s, band,
+                     sg[2*band+1]::VARCHAR || ',' || sg[2*band+2]::VARCHAR AS bucket
+              FROM sig, unnest([0, 1, 2, 3]) AS t(band)),
             cand AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-              FROM sh a JOIN sh b
-                ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.s AS sa, b.s AS sb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b,
                    round(len(list_intersect(sa, sb))::DOUBLE
                          / greatest(len(list_distinct(sa || sb)), 1)::DOUBLE,
                          6) AS jaccard
             FROM cand ORDER BY doc_a, doc_b""",
+        "q34_minhash_lsh_portable": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END AS shingles
+              FROM words),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(1, 9), s ->
+                       list_min(list_transform(shingles, g ->
+                         ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT
+                       ))) AS sg
+              FROM sh),
+            banded AS (
+              SELECT doc_id, band,
+                     sg[2*band+1]::VARCHAR || ',' || sg[2*band+2]::VARCHAR AS bucket
+              FROM sig, unnest([0, 1, 2, 3]) AS t(band))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_bands_shared
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+        "q21_simhash_near_dups": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                           '[ \t\n\r\f]+'),
+                                        x -> x <> '')) AS word
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv
+              FROM w),
+            bits AS (
+              SELECT doc_id, b, SUM(((hv >> b) % 2) * 2 - 1) AS score
+              FROM h, unnest(range(0, 60)) AS r(b)
+              GROUP BY doc_id, b),
+            sims AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
+                          ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (band * 15)) & 32767 AS bucket
+              FROM sims, unnest([0, 1, 2, 3]) AS t(band)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS sa, b.simhash AS sb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+            ORDER BY doc_a, doc_b""",
         "q31_simhash_portable": r"""
             WITH w AS (
               SELECT doc_id,
@@ -806,10 +915,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
                        ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id""",
-        # q20, q21, q22, q24, q32, q33: rows-only (engine-specific hashing /
-        # the KG extraction pipeline / engine-internal centroid sampling,
-        # not SQL-expressible).
+        # q22/q24/q33 outputs are DETERMINISTIC functions of the fixed
+        # sf0.01 corpus (the extraction pipeline / composed dedup are not
+        # SQL-expressible, but their expected values are), so the oracle
+        # is the precomputed expected output as a VALUES relation —
+        # valid at the driver's correctness scale (sf=0.01) only; see
+        # ORACLE_SF001_PINNED.
+        "q22_triples_by_kind": """
+            SELECT * FROM (VALUES
+              ('http://example.org/kb/vocab#originalPath',          CAST(500 AS BIGINT)),
+              ('http://example.org/kb/vocab#pathWithoutExtension',  500),
+              ('http://example.org/kb/vocab#sourceDocument',        500),
+              ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',   1500),
+              ('http://www.w3.org/2000/01/rdf-schema#label',        500),
+              ('http://www.w3.org/2000/01/rdf-schema#seeAlso',      500)
+            ) AS t(pred, n_triples) ORDER BY pred""",
+        "q24_todo_stats": """
+            SELECT CAST(0 AS BIGINT) AS total, CAST(0 AS BIGINT) AS completed,
+                   CAST(0 AS BIGINT) AS incomplete, CAST(0.0 AS DOUBLE) AS completion_rate""",
+        "q33_dedup_corpus": """
+            SELECT * FROM (VALUES
+              ('kept', CAST(476 AS BIGINT)),
+              ('near', 24)
+            ) AS t(reason, n_docs) ORDER BY reason""",
+        "q32_ann_ivf": f"""
+            WITH cents(cid, c) AS (VALUES
+{_Q32_CENTROID_VALUES}),
+            q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+                  FROM embeddings ORDER BY vec_id LIMIT 1),
+            vs AS (SELECT vec_id,
+                          list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings),
+            sims AS (
+              SELECT v.vec_id, v.e, c.cid,
+                     list_reduce(list_transform(range(1, len(v.e) + 1),
+                                                i -> v.e[i] * c.c[i]),
+                                 (x, y) -> x + y)
+                     / greatest(
+                         sqrt(list_reduce(list_transform(v.e, x -> x * x),
+                                          (x, y) -> x + y)) *
+                         sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                                          (x, y) -> x + y)),
+                         1e-12) AS sim
+              FROM vs v CROSS JOIN cents c),
+            acell AS (
+              SELECT vec_id, e, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cid) AS rn
+                FROM sims) WHERE rn = 1),
+            qsims AS (
+              SELECT c.cid,
+                     list_reduce(list_transform(range(1, len(q.qe) + 1),
+                                                i -> q.qe[i] * c.c[i]),
+                                 (x, y) -> x + y)
+                     / greatest(
+                         sqrt(list_reduce(list_transform(q.qe, x -> x * x),
+                                          (x, y) -> x + y)) *
+                         sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                                          (x, y) -> x + y)),
+                         1e-12) AS sim
+              FROM q CROSS JOIN cents c),
+            probe AS (SELECT cid FROM qsims ORDER BY sim DESC, cid LIMIT 2)
+            SELECT a.vec_id,
+                   round(list_reduce(list_transform(range(1, len(a.e) + 1),
+                                                    i -> a.e[i] * q.qe[i]),
+                                     (x, y) -> x + y)
+                         / greatest(
+                             sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                              (x, y) -> x + y)) *
+                             sqrt(list_reduce(list_transform(q.qe, x -> x * x),
+                                              (x, y) -> x + y)),
+                             1e-12), 6) AS cosine
+            FROM acell a CROSS JOIN q
+            WHERE a.cell IN (SELECT cid FROM probe)
+            ORDER BY cosine DESC, a.vec_id LIMIT 10""",
+        # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
+        # path (its portable twin q34 value-checks the identical mechanism).
     }
+
+
+# Oracles above that pin precomputed expected VALUES are only valid at
+# the driver's correctness scale; scripts/oracle_check.py skips them for
+# other sf dirs.
+ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
+                       "q33_dedup_corpus", "q32_ann_ivf"}
 
 
 if __name__ == "__main__":

@@ -87,6 +87,45 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                .select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _capped_bucket_members(banded: DataFrame, max_bucket: int,
+                           payload: str = "doc_id") -> DataFrame:
+    """(band, bucket, payload) -> (ds array<payload>) for buckets with
+    2..max_bucket members, with the cap enforced BEFORE any aggregation
+    buffer materializes a member list.
+
+    A boilerplate band-hash shared by 10^8 documents must never reach
+    ``collect_list`` — even if the list is filtered away afterwards, the
+    single aggregation buffer holding it is an executor OOM.  So the
+    bucket is truncated streaming first: ``row_number`` over
+    (band, bucket) runs in WindowExec, whose per-group buffer is a
+    spillable external sorter, and the ``rn <= max_bucket + 1`` filter
+    drops the tail of an oversized bucket row-by-row.  The surviving
+    sentinel row (rn == max_bucket + 1) marks the bucket oversized so it
+    is dropped whole after the now-bounded collect.  The groupBy reuses
+    the window's (band, bucket) hash partitioning — one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy(payload)
+    ranked = (banded
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= max_bucket + 1))
+    return (ranked.groupBy("band", "bucket")
+            .agg(F.collect_list(payload).alias("ds"),
+                 F.max("rn").alias("n"))
+            .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+            .select(F.array_sort("ds").alias("ds")))
+
+
+def _expand_bucket_pairs(members: DataFrame) -> DataFrame:
+    """(ds sorted array) -> one row per in-bucket pair (p.doc_a < p.doc_b)."""
+    return members.select(F.explode(F.flatten(F.transform(
+        F.col("ds"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ds"), i + 2, F.size("ds")),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
@@ -94,8 +133,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """Candidate near-dup pairs via banded LSH: documents sharing any band
     bucket.  Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
 
-    Shape chosen for scale: ONE pass over the signatures — groupBy
-    (band, bucket) with map-side-combinable collect_list, then in-bucket
+    Shape chosen for scale: ONE pass over the signatures — window-capped
+    bucket truncation (see ``_capped_bucket_members``) then in-bucket
     pair expansion — instead of a bucket self-join, which evaluates the
     whole signature pipeline twice (its heaviest part) and shuffles it
     twice.  Buckets larger than ``max_bucket`` are dropped whole: a
@@ -112,15 +151,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                                           for r in range(rows)]))
             for b in range(bands)])).alias("band", "bucket"),
     )
-    members = (banded.groupBy("band", "bucket")
-               .agg(F.collect_list("doc_id").alias("ds"))
-               .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
-               .select(F.array_sort("ds").alias("ds")))
-    pairs = members.select(F.explode(F.flatten(F.transform(
-        F.col("ds"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ds"), i + 2, F.size("ds")),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+    pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
     return (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
                           F.col("p.doc_b").alias("doc_b"))
             .agg(F.count("*").alias("n_bands_shared")))
@@ -175,20 +206,47 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
                .withColumn("prefix16", F.shiftrightunsigned("simhash", 48))
 
 
-def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs whose simhashes differ in <= max_hamming bits,
-    candidate-bucketed by the top-16-bit prefix."""
-    s = simhash(docs, id_col, text_col)
-    a, b = s.alias("a"), s.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
-    return (a.join(b, (F.col("a.prefix16") == F.col("b.prefix16"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    hamming.alias("hamming"))
+def simhash_band_pairs(sims: DataFrame, max_hamming: int = 3,
+                       nbits: int = 64, max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs over a (doc_id, simhash) frame via multi-segment
+    banding: the ``nbits`` hash splits into ``max_hamming + 1`` contiguous
+    bands, and any pair differing in <= max_hamming bits shares at least
+    one INTACT band (pigeonhole) — guaranteed recall, unlike the previous
+    single top-16-prefix bucket, which silently missed pairs whose
+    differing bits fell inside the prefix.  Buckets are capped exactly
+    like the MinHash path (window-truncated before any aggregation
+    buffer), so a degenerate corpus where many near-empty pages hash to
+    simhash≈0 stays bounded.  Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b, hamming <= max_hamming."""
+    nb = max_hamming + 1
+    base, extra = divmod(nbits, nb)
+    widths = [base + (1 if i < extra else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    segs = [F.shiftrightunsigned("simhash", offsets[i])
+             .bitwiseAND(F.lit((1 << widths[i]) - 1)) for i in range(nb)]
+    banded = sims.select(
+        F.struct("doc_id", "simhash").alias("m"),
+        F.posexplode(F.array(*segs)).alias("band", "bucket"))
+    pairs = _expand_bucket_pairs(
+        _capped_bucket_members(banded, max_bucket, payload="m"))
+    # a pair sharing several intact bands appears once per band; collapse
+    # before the (cheap) hamming verify
+    uniq = pairs.select(F.col("p.doc_a.doc_id").alias("doc_a"),
+                        F.col("p.doc_b.doc_id").alias("doc_b"),
+                        F.col("p.doc_a.simhash").alias("sim_a"),
+                        F.col("p.doc_b.simhash").alias("sim_b")).distinct()
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (uniq.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs whose simhashes differ in <= max_hamming bits
+    (banded multi-segment candidate generation, see simhash_band_pairs)."""
+    s = simhash(docs, id_col, text_col).select("doc_id", "simhash")
+    return simhash_band_pairs(s, max_hamming, 64, max_bucket)
 
 
 def embedding_near_dups(vecs: DataFrame, id_col: str = "vec_id",
@@ -248,6 +306,32 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
             F.substring(F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
                         1, 15), 16, 10).cast("bigint"))))
     return shingled.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs_portable(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", num_hashes: int = 8,
+                               bands: int = 4,
+                               max_bucket: int = 1000) -> DataFrame:
+    """Banded LSH candidate pairs over the PORTABLE MinHash signatures
+    (``minhash_signatures_portable``): the bucket key is the band's raw
+    signature values joined with ',' — no engine-native hash anywhere —
+    so an external ANSI engine with md5 can recompute the buckets AND the
+    resulting pair set bit-identically (the oracle-checked driver query
+    q34).  Same window-capped bucket guard as the native path.  Returns
+    (doc_a, doc_b, n_bands_shared), doc_a < doc_b."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_portable(docs, id_col, text_col, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                               for r in range(rows)])
+            for b in range(bands)])).alias("band", "bucket"),
+    )
+    pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
+    return (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
+                          F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands_shared")))
 
 
 def simhash_portable(docs: DataFrame, id_col: str = "doc_id",

@@ -70,7 +70,12 @@ def main() -> None:
     spark = session("oracle-check", cpus=8, shuffle_partitions=8)
     failures = []
     try:
+        pinned = getattr(entry, "ORACLE_SF001_PINNED", set())
+        at_sf001 = sf.rstrip("/").endswith("sf0.01")
         for name, fn in qs.items():
+            if name in pinned and not at_sf001:
+                print(f"{name:<34} skipped (oracle pinned to sf0.01)")
+                continue
             sdf = fn(spark, sf)
             srows = [r.asDict() for r in sdf.collect()]
             scols = sdf.columns

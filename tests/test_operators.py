@@ -58,6 +58,79 @@ def test_simhash_near_dups(spark):
     assert found.get(("d1", "d2")) == 0
 
 
+def test_simhash_band_recall_guarantee(spark):
+    """Pigeonhole recall: with max_hamming+1 bands any pair differing in
+    <= max_hamming bits shares an intact band and MUST be found —
+    including pairs whose differing bits fall in the top 16 bits, which
+    the old single-prefix16 bucketing silently missed.  Verified
+    exhaustively against brute force on deterministic pseudo-random
+    64-bit values."""
+    import random
+
+    from knowledgebase_processor_spark.operators.dedup import simhash_band_pairs
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rnd = random.Random(7)
+    uvals = {f"r{i:02d}": rnd.getrandbits(64) for i in range(40)}
+    # planted pairs: flips confined to the TOP-16 prefix (old blind spot)
+    base = rnd.getrandbits(64)
+    uvals["p0"] = base
+    uvals["p1"] = base ^ (1 << 63) ^ (1 << 55)         # 2 bits, both in prefix
+    uvals["p2"] = base ^ (7 << 48)                      # 3 bits, all in prefix
+    vals = {k: signed(u) for k, u in uvals.items()}
+    sims = spark.createDataFrame(list(vals.items()), "doc_id string, simhash long")
+
+    def ham(a, b):
+        return bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+
+    expected = {(a, b) for a in vals for b in vals
+                if a < b and ham(a, b) <= 3}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_band_pairs(sims, max_hamming=3).collect()}
+    assert set(got) == expected
+    assert ("p0", "p1") in got and got[("p0", "p1")] == 2
+    assert ("p0", "p2") in got and got[("p0", "p2")] == 3
+    for (a, b), h in got.items():
+        assert h == ham(a, b)
+
+
+def test_bucket_guard_runs_before_materialization(spark):
+    """Mega-bucket boundedness: (a) an oversized bucket is dropped whole
+    (degenerate corpus of identical simhashes yields no pairs instead of
+    O(n^2)); (b) the physical plan truncates buckets with a
+    row_number-window filter BEFORE the collect_list aggregate, so the
+    aggregation buffer never holds an unbounded member list (the window's
+    per-group buffer is a spillable external sorter)."""
+    from pyspark.sql import functions as F
+
+    from knowledgebase_processor_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_band_pairs)
+
+    degenerate = spark.range(5_000).select(
+        F.concat(F.lit("z"), F.col("id")).alias("doc_id"),
+        F.lit(0).cast("long").alias("simhash"))
+    assert simhash_band_pairs(degenerate, max_hamming=3,
+                              max_bucket=100).count() == 0
+
+    boiler = spark.range(500).select(
+        F.concat(F.lit("b"), F.col("id")).alias("doc_id"),
+        F.lit("same boilerplate page body repeated verbatim " * 5).alias("text"))
+    pairs = minhash_lsh_pairs(boiler, max_bucket=100)
+    assert pairs.count() == 0  # bucket of 500 identical sigs > cap -> dropped
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    agg_at = plan.index("collect_list")
+    win_at = plan.index("row_number")
+    # executed plans print top-down: the window (and its rn filter) must
+    # sit BELOW (after, in print order) the collecting aggregate
+    assert win_at > agg_at
+    filt_at = plan.index("(rn#", agg_at) if "(rn#" in plan else plan.find("rn#")
+    assert agg_at < filt_at
+
+
 def test_cosine_topk_and_lsh(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
