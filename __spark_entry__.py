@@ -141,11 +141,18 @@ def _q04_region_nations(spark, sf):
 
 
 def _q05_search(spark, sf):
-    # Q1 search: substring filter + deterministic top-20 (O2).
+    # Q1 search: substring filter + deterministic top-20 (O2), with the
+    # reference's fabricated decreasing result score (score = 0.9 - 0.1*i
+    # by rank, services/orchestrator.py:353-363).
+    from pyspark.sql import Window
     d = _t(spark, sf, "documents")
-    return (d.filter(F.col("text").contains("query"))
+    hits = (d.filter(F.col("text").contains("query"))
             .select("doc_id", "n_chars")
             .orderBy("doc_id").limit(20))
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    return hits.select(
+        "doc_id", "n_chars",
+        F.round(F.lit(0.9) - (rn - F.lit(1)) * F.lit(0.1), 6).alias("score"))
 
 
 def _q06_find_by_tag(spark, sf):
@@ -606,8 +613,14 @@ def oracle_sql() -> dict[str, str]:
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name""",
         "q05_search": """
-            SELECT doc_id, n_chars FROM documents
-            WHERE text LIKE '%query%' ORDER BY doc_id LIMIT 20""",
+            WITH hits AS (
+              SELECT doc_id, n_chars FROM documents
+              WHERE text LIKE '%query%' ORDER BY doc_id LIMIT 20)
+            SELECT doc_id, n_chars,
+                   round(0.9::DOUBLE
+                         - (row_number() OVER (ORDER BY doc_id) - 1) * 0.1::DOUBLE,
+                         6) AS score
+            FROM hits""",
         "q06_find_by_tag": """
             SELECT source, COUNT(DISTINCT doc_id) AS n_docs
             FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w

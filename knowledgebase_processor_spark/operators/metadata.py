@@ -158,6 +158,28 @@ def _reader_frontmatter(text: str) -> dict | None:
         return None
 
 
+def _parse_fm_date(value) -> str | None:
+    """TYPED frontmatter date, mirroring the reference's accepted-format
+    list exactly (extractor/frontmatter.py:138-164): YAML-native
+    datetime/date objects pass through (date -> midnight datetime),
+    strings try ``%Y-%m-%d``, ``%Y-%m-%d %H:%M:%S``, ``%Y/%m/%d``,
+    ``%d-%m-%Y`` in that order, anything else is None.  Emitted as the
+    ISO-8601 string of the parsed datetime so date filters compare
+    lexicographically == chronologically."""
+    import datetime as _dt
+    if isinstance(value, _dt.datetime):
+        return value.isoformat()
+    if isinstance(value, _dt.date):
+        return _dt.datetime.combine(value, _dt.time()).isoformat()
+    if isinstance(value, str):
+        for f in ("%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%Y/%m/%d", "%d-%m-%Y"):
+            try:
+                return _dt.datetime.strptime(value, f).isoformat()
+            except ValueError:
+                continue
+    return None
+
+
 def derive_title(text: str, path: str) -> str:
     """Document label derivation for the reference's batch mode: the
     composition of reader.read_file's title logic (reader.py:125-136)
@@ -242,12 +264,12 @@ def parse_document_metadata(doc_id: str, text: str, path: str) -> dict:
                       "is_internal": True, "link_kind": "citation"})
 
     import json
-    date_val = fm.get("date")
+    date_val = _parse_fm_date(fm.get("date"))
     custom = {k: v for k, v in fm.items() if k not in ("title", "date", "tags")}
     return {
         "doc_id": doc_id, "title": title,
         "fm_title": None if fm.get("title") is None else str(fm.get("title")),
-        "fm_date": None if date_val is None else str(date_val),
+        "fm_date": date_val,
         "fm_format": fmt,
         "tags": uniq,
         "fm_custom": json.dumps(custom, default=str, sort_keys=True),

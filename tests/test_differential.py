@@ -300,3 +300,38 @@ def test_seeded_fuzz_matches_live_reference(spark):
     ours = _ours(spark, docs)
     mismatched = [d for d in docs if ref[d] != ours[d]]
     assert mismatched == [], f"fuzz mismatches: {mismatched}"
+
+
+def test_frontmatter_date_matrix_matches_reference():
+    """_parse_fm_date mirrors the reference's FrontmatterExtractor
+    ._parse_date (extractor/frontmatter.py:138-164) on a value matrix
+    covering YAML-native datetime/date objects, every accepted string
+    format, and rejects — compared against the LIVE reference class."""
+    import datetime as dt
+
+    from reference_runtime import _ensure_paths
+    _ensure_paths()
+    from knowledgebase_processor.extractor.frontmatter import (
+        FrontmatterExtractor)
+
+    from knowledgebase_processor_spark.operators.metadata import _parse_fm_date
+
+    ref = FrontmatterExtractor()
+    matrix = [
+        dt.datetime(2024, 11, 7, 13, 45, 9),
+        dt.date(2024, 11, 7),
+        "2024-11-07",
+        "2024-11-07 13:45:09",
+        "2024/11/07",
+        "07-11-2024",
+        "November 7, 2024",      # not in the accepted list -> None
+        "2024-13-45",            # invalid -> None
+        "",
+        None,
+        42,
+        ["2024-11-07"],
+    ]
+    for v in matrix:
+        expect = ref._parse_date(v)
+        got = _parse_fm_date(v)
+        assert got == (expect.isoformat() if expect else None), (v, got, expect)

@@ -186,7 +186,8 @@ def test_doc_metadata_frontmatter_and_links(spark):
     meta = doc_metadata_df(docs, path_col="path").collect()[0]
     assert meta["title"] == "My Doc"
     assert meta["fm_format"] == "yaml"
-    assert meta["fm_date"] == "2024-11-07"
+    # typed date parse (reference format list), ISO-8601 normalized
+    assert meta["fm_date"] == "2024-11-07T00:00:00"
     tags = {r["tag"] for r in doc_tags_df(doc_metadata_df(docs, path_col="path")).collect()}
     assert {"a", "b", "tag1", "tag2"} <= tags
     assert "nottag" not in tags
