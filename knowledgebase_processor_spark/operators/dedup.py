@@ -253,8 +253,8 @@ def embedding_near_dups(vecs: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.  Brute-force O(n^2)
-    verify — at scale, feed it LSH-bucketed candidates instead (see
-    operators.similarity.cosine_lsh_buckets)."""
+    verify — the exactness baseline and the verify step; at scale use
+    ``embedding_near_dups_lsh`` (bucketed candidates, same verify)."""
     from .similarity import cosine_sim
     norm = vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     a, b = norm.alias("a"), norm.alias("b")
@@ -263,6 +263,44 @@ def embedding_near_dups(vecs: DataFrame, id_col: str = "vec_id",
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(sim, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_near_dups_lsh(vecs: DataFrame, dim: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, bits: int = 8,
+                            tables: int = 4, seed: int = 42,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    generate candidates, exact cosine verifies them — the same
+    filter-verify shape as the MinHash text path.
+
+    ``tables`` independent hyperplane sets (one band each): a true pair
+    at cosine >= threshold has per-table collision probability
+    (1 - theta/pi)^bits, so multiple tables multiply recall the same way
+    MinHash bands do (candidates are deduplicated across tables before
+    the verify join).  Buckets are window-capped like every other
+    candidate generator here, so a degenerate corpus (all-zero or
+    near-identical sketch regions) stays bounded.  O(n * tables) bucket
+    rows, pair formation grouped per bucket — never a cross product.
+    """
+    from .similarity import cosine_sim, lsh_bucket_expr, _hyperplanes
+
+    norm = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
+    banded = norm.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            lsh_bucket_expr(F.col("v"), _hyperplanes(dim, bits, seed + t))
+            for t in range(tables)])).alias("band", "bucket"))
+    pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
+    cand = (pairs.select(F.col("p.doc_a").alias("vec_a"),
+                         F.col("p.doc_b").alias("vec_b")).distinct())
+    va = norm.select(F.col("doc_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = norm.select(F.col("doc_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 

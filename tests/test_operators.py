@@ -131,6 +131,48 @@ def test_bucket_guard_runs_before_materialization(spark):
     assert agg_at < filt_at
 
 
+def test_embedding_near_dups_lsh_matches_brute_force(spark):
+    """The bucketed scale path must (a) report EXACTLY the brute-force
+    cosine for every pair it emits, (b) find all planted near-identical
+    pairs (multi-table recall), (c) stay bounded on a degenerate corpus
+    of identical vectors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from knowledgebase_processor_spark.operators.dedup import (
+        embedding_near_dups, embedding_near_dups_lsh)
+
+    rnd = random.Random(3)
+    dim = 16
+    rows = []
+    for i in range(30):
+        base = [rnd.gauss(0, 1) for _ in range(dim)]
+        rows.append((2 * i, base))
+        # planted near-dup: tiny perturbation -> cosine ~0.999
+        rows.append((2 * i + 1, [x + rnd.gauss(0, 0.02) for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in embedding_near_dups(vecs, threshold=0.95).collect()}
+    approx = {(r.vec_a, r.vec_b): r.cosine
+              for r in embedding_near_dups_lsh(vecs, dim=dim,
+                                               threshold=0.95).collect()}
+    # every reported pair carries the exact brute-force value
+    for pair, cos in approx.items():
+        assert exact[pair] == cos
+    # all planted pairs found
+    planted = {(2 * i, 2 * i + 1) for i in range(30)} & set(exact)
+    assert planted <= set(approx)
+    assert len(planted) >= 25        # sanity: perturbation kept them similar
+
+    degenerate = spark.range(5_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 4).alias("embedding"))
+    assert embedding_near_dups_lsh(degenerate, dim=4,
+                                   max_bucket=100).count() == 0
+
+
 def test_cosine_topk_and_lsh(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),

@@ -73,6 +73,33 @@ def test_header_decoders_on_real_bytes():
     assert decode_wav_meta(_wav_bytes(8000, 1, 1.0)[:16]) is None
 
 
+def test_header_decoders_hostile_bytes_fuzz():
+    """Adversarial-probe lane (round-1 discipline): random and
+    structure-adjacent hostile byte strings must never raise, never loop,
+    and finish fast — including truncations at every prefix length of
+    valid files and forged chunk/segment lengths."""
+    import random
+    import time
+
+    rnd = random.Random(99)
+    png, jpg, wav = _png_bytes(5, 7), _jpeg_bytes(9, 3), _wav_bytes(8000, 1, 0.5)
+    cases = [bytes(rnd.randrange(256) for _ in range(n))
+             for n in (0, 1, 7, 64, 4096) for _ in range(20)]
+    cases += [png[:i] for i in range(len(png))]
+    cases += [jpg[:i] for i in range(len(jpg))]
+    cases += [wav[:i] for i in range(0, len(wav), 97)]
+    # forged lengths: JPEG segment len 0 (must still terminate), WAV
+    # chunk size 0 and 0xFFFFFFFF (must not loop / overread)
+    cases.append(b"\xff\xd8\xff\xe0\x00\x00" + b"\xff" * 64)
+    cases.append(b"RIFF\x10\x00\x00\x00WAVE" + b"junk\x00\x00\x00\x00" * 50)
+    cases.append(b"RIFF\x10\x00\x00\x00WAVE" + b"fmt \xff\xff\xff\xff" + b"x" * 64)
+    t0 = time.perf_counter()
+    for b in cases:
+        decode_image_dims(b)
+        decode_wav_meta(b)
+    assert time.perf_counter() - t0 < 5
+
+
 def test_image_features_real_dims_and_stub_fallback(spark):
     feats = {r["media_id"]: r for r in image_features(_media(spark)).collect()}
     assert set(feats) == {"img1", "img2", "img3"}
