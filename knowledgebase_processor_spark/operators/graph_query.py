@@ -119,6 +119,123 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     return result.distinct()
 
 
+def _meta_vars(df: DataFrame) -> set[str]:
+    """Variables whose term meta (is_uri/datatype) rides in the frame."""
+    return {c[: -len("__is_uri")] for c in df.columns if c.endswith("__is_uri")}
+
+
+def _plain_vars(df: DataFrame) -> set[str]:
+    metas = {m for v in _meta_vars(df) for m in _meta_cols(v)}
+    return set(df.columns) - metas
+
+
+def optional_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL ``OPTIONAL`` (algebra LeftJoin) between two binding frames
+    produced by ``match_bgp(..., with_meta=True)``: left solutions always
+    survive; compatible right solutions extend them, incompatible ones
+    leave the optional variables unbound (null).
+
+    Term-aware like the inner joins: a variable bound in object position
+    on both sides unifies on (lexical, is_uri, datatype); bound
+    object-position on one side and subject/predicate-position (always a
+    URI) on the other, the join additionally requires the object binding
+    to be a URI term — without filtering the left frame, which must keep
+    its rows per OPTIONAL semantics.
+    """
+    lm, rm = _meta_vars(left), _meta_vars(right)
+    shared = sorted(_plain_vars(left) & _plain_vars(right))
+    if not shared:
+        return left.crossJoin(right)
+    renames = {}
+    r = right
+    for v in shared:
+        renames[v] = f"__r_{v}"
+        r = r.withColumnRenamed(v, renames[v])
+        if v in rm:
+            mu, md = _meta_cols(v)
+            if v in lm:
+                r = r.withColumnRenamed(mu, f"__r_{mu}") \
+                     .withColumnRenamed(md, f"__r_{md}")
+            else:
+                # left binds v in URI position: right's object binding
+                # must be a URI term to be compatible
+                r = r.filter(F.col(mu)).drop(mu, md)
+    cond = None
+    for v in shared:
+        c = F.col(v) == F.col(renames[v])
+        if v in lm and v in rm:
+            mu, md = _meta_cols(v)
+            c = c & (F.col(mu) == F.col(f"__r_{mu}")) \
+                  & (F.col(md) == F.col(f"__r_{md}"))
+        elif v in lm:
+            # right binds v in URI position: left's object binding must
+            # be a URI term — expressed in the JOIN condition so
+            # incompatible left rows stay (with unbound optional vars)
+            c = c & F.col(_meta_cols(v)[0])
+        # SPARQL compatibility: a left solution where v is UNBOUND (null
+        # from a prior OPTIONAL) is compatible with any right binding,
+        # and the merged solution takes the right value (coalesce below)
+        c = F.col(v).isNull() | c
+        cond = c if cond is None else cond & c
+    out = left.join(r, cond, "left")
+    for v in shared:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.col(renames[v])))
+        if v in lm and v in rm:
+            mu, md = _meta_cols(v)
+            out = (out.withColumn(mu, F.coalesce(F.col(mu), F.col(f"__r_{mu}")))
+                      .withColumn(md, F.coalesce(F.col(md), F.col(f"__r_{md}"))))
+    drop = [renames[v] for v in shared]
+    drop += [f"__r_{m}" for v in shared if v in rm and v in lm
+             for m in _meta_cols(v)]
+    return out.drop(*drop)
+
+
+def select_bgp(triples: DataFrame, patterns: list[Pattern],
+               optionals: list[list[Pattern]] | None = None,
+               filters: list[str] | None = None,
+               project: list[str] | None = None,
+               distinct: bool = True,
+               order_by: list[str] | None = None,
+               limit: int | None = None) -> DataFrame:
+    """SPARQL SELECT over the triples table: required BGP, any number of
+    ``OPTIONAL { ... }`` groups, ``FILTER`` expressions (Spark SQL syntax
+    over the variable columns, e.g. ``"n > 3"`` or
+    ``"starts_with(doc, 'http')"``), projection, DISTINCT, ORDER BY and
+    LIMIT — the full SELECT core the reference forwards to Fuseki
+    (query_interface/sparql_interface.py:58-224).
+
+    Filters are applied after the joins (SPARQL evaluates FILTER over
+    the group's solutions); an unbound (null) variable makes the filter
+    error -> false, matching SPARQL's type-error semantics, because
+    Spark predicates on null evaluate to null and null is not true.
+    """
+    bound = match_bgp(triples, patterns, with_meta=True)
+    for opt in optionals or []:
+        bound = optional_join(bound, match_bgp(triples, opt, with_meta=True))
+    for f in filters or []:
+        bound = bound.filter(F.expr(f))
+    out_vars = sorted(_plain_vars(bound)) if project is None else project
+    bound = bound.select(*out_vars)
+    if distinct:
+        bound = bound.distinct()
+    if order_by:
+        bound = bound.orderBy(*order_by)
+    if limit is not None:
+        bound = bound.limit(limit)
+    return bound
+
+
+def union_bgp(triples: DataFrame,
+              groups: list[list[Pattern]]) -> DataFrame:
+    """SPARQL ``{ A } UNION { B }``: solutions of any group, with
+    variables absent from a group left unbound (null), deduplicated."""
+    parts = [match_bgp(triples, g) for g in groups]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.distinct()
+
+
 def count_triples(triples: DataFrame) -> int:
     """A8: SELECT (COUNT(*) AS ?count) (sparql_interface.py:457-486)."""
     return triples.count()

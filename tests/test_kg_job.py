@@ -144,3 +144,64 @@ def test_bgp_term_semantics(spark):
     subj_bindings = {r.subj for r in flipped}
     assert subj_bindings == {"http://x", "u:b"}  # URI terms only
     assert len(flipped) == 2
+
+
+def test_sparql_select_optional_filter_union(spark):
+    """SPARQL SELECT surface: OPTIONAL keeps unmatched solutions with
+    unbound vars, FILTER drops null via error->false semantics, UNION
+    pads disjoint variables, and OPTIONAL joins stay term-aware."""
+    from knowledgebase_processor_spark.operators.graph_query import (
+        optional_join, match_bgp, select_bgp, union_bgp)
+    rows = [
+        ("u:d1", "rdf:type", "u:T", True, None, "g"),
+        ("u:d2", "rdf:type", "u:T", True, None, "g"),
+        ("u:d1", "p:label", "Doc One", False,
+         "http://www.w3.org/2001/XMLSchema#string", "g"),
+        ("u:d1", "p:tag", "t1", False,
+         "http://www.w3.org/2001/XMLSchema#string", "g"),
+        ("u:d2", "p:tag", "t2", False,
+         "http://www.w3.org/2001/XMLSchema#string", "g"),
+        # term trap: object binding 'u:d1' as a LITERAL must not make
+        # the optional subject join unify with node u:d1
+        ("u:d3", "p:ref", "u:d1", False,
+         "http://www.w3.org/2001/XMLSchema#string", "g"),
+        ("u:d4", "p:ref", "u:d1", True, None, "g"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, "
+              "obj_datatype string, source_doc string")
+
+    # OPTIONAL: d2 has no label -> kept with null
+    got = {(r.d, r.l) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?d", "p:label", "?l")]]).collect()}
+    assert got == {("u:d1", "Doc One"), ("u:d2", None)}
+
+    # FILTER over an optional var: null -> not true -> dropped
+    got = {(r.d, r.l) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?d", "p:label", "?l")]],
+        filters=["l = 'Doc One'"]).collect()}
+    assert got == {("u:d1", "Doc One")}
+
+    # projection + order + limit
+    got = [r.d for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")], project=["d"],
+        order_by=["d"], limit=1).collect()]
+    assert got == ["u:d1"]
+
+    # term-aware OPTIONAL: ?v bound in OBJECT position (mixed literal/
+    # URI) reused as the optional SUBJECT — only the URI binding unifies
+    left = match_bgp(t, [("?s", "p:ref", "?v")], with_meta=True)
+    right = match_bgp(t, [("?v", "rdf:type", "?k")], with_meta=True)
+    out = {(r.s, r.v, r.k) for r in optional_join(left, right)
+           .select("s", "v", "k").collect()}
+    assert out == {("u:d3", "u:d1", None),      # literal: kept, unbound
+                   ("u:d4", "u:d1", "u:T")}     # URI: extended
+
+    # UNION: disjoint vars null-padded, deduplicated
+    got = {(r.d, getattr(r, "l", None), getattr(r, "t", None))
+           for r in union_bgp(t, [[("?d", "p:label", "?l")],
+                                  [("?d", "p:tag", "?t")]]).collect()}
+    assert got == {("u:d1", "Doc One", None),
+                   ("u:d1", None, "t1"), ("u:d2", None, "t2")}
