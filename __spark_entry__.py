@@ -470,6 +470,21 @@ def _q32_ann_ivf(spark, sf):
     return ivf_topk(v, q, cents, k=10, nprobe=2)
 
 
+def _q35_winnowed_fingerprints(spark, sf):
+    # Winnowing local fingerprints (substring-level overlap detection,
+    # MOSS algorithm) — portable md5 formula, so DuckDB recomputes every
+    # fingerprint and the per-doc xor/count aggregate value-checks the
+    # whole mechanism.
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnowed_fingerprints)
+    d = _t(spark, sf, "documents", spread=True)
+    return (winnowed_fingerprints(d)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.expr("bit_xor(fp)").alias("fp_xor"))
+            .orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -529,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_ann_ivf": _q32_ann_ivf,
         "q33_dedup_corpus": _q33_dedup_corpus,
         "q34_minhash_lsh_portable": _q34_minhash_lsh_portable,
+        "q35_winnowed_fingerprints": _q35_winnowed_fingerprints,
     }
 
 
@@ -1002,6 +1018,26 @@ def oracle_sql() -> dict[str, str]:
             FROM acell a CROSS JOIN q
             WHERE a.cell IN (SELECT cid FROM probe)
             ORDER BY cosine DESC, a.vec_id LIMIT 10""",
+        "q35_winnowed_fingerprints": r"""
+            WITH d AS (
+              SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+                     ) AS hs
+              FROM d),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM g)
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                   CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+            FROM (SELECT doc_id, fps, unnest(fps) AS fp FROM w)
+            GROUP BY doc_id, fps ORDER BY doc_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

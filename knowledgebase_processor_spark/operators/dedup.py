@@ -401,6 +401,35 @@ def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
                 "ELSE 0 END")).alias("simhash")))
 
 
+def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8,
+                          window: int = 4) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every char k-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum, distinct.
+
+    Guarantee: two documents sharing any substring of length
+    >= k + window - 1 share at least one selected fingerprint — this is
+    the SUBSTRING-level (partial-overlap / quote / boilerplate-fragment)
+    detector that whole-document MinHash cannot provide.
+
+    Hash formula is the PORTABLE md5-prefix used by the other portable
+    twins, so DuckDB recomputes fingerprints bit-identically (driver
+    query q35).  All JVM-side column expressions; O(len) per document.
+    Returns (doc_id, fp) exploded.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))).alias("t"))
+    g = d.select("doc_id", F.expr(
+        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
+        f" i -> cast(conv(substr(md5(substr(t, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+    ).alias("hs"))
+    w = g.select("doc_id", F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {window - 1}, 1)),"
+        f" j -> array_min(slice(hs, j, {window}))))").alias("fps"))
+    return w.select("doc_id", F.explode("fps").alias("fp"))
+
+
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", num_hashes: int = 32,
                  bands: int = 8, shingle_n: int = 3,

@@ -131,6 +131,28 @@ def test_bucket_guard_runs_before_materialization(spark):
     assert agg_at < filt_at
 
 
+def test_winnowed_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing any substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint content
+    shares none; identical docs have identical fingerprint sets."""
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnowed_fingerprints)
+    k, w = 8, 4
+    shared = "x" * 0 + "the stolen paragraph appears verbatim here"  # 42 chars >= k+w-1
+    docs = spark.createDataFrame(
+        [("a", "unique preamble alpha. " + shared + " unique tail one."),
+         ("b", "totally different intro! " + shared + " other ending two."),
+         ("c", "no overlap with anything else at all, honestly."),
+         ("d", "unique preamble alpha. " + shared + " unique tail one.")],
+        "doc_id string, text string")
+    fps = {}
+    for r in winnowed_fingerprints(docs, k=k, window=w).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps["a"] & fps["b"]            # shared substring detected
+    assert not (fps["a"] & fps["c"])      # disjoint content: no collision
+    assert fps["a"] == fps["d"]           # identical docs: identical sets
+
+
 def test_embedding_near_dups_lsh_matches_brute_force(spark):
     """The bucketed scale path must (a) report EXACTLY the brute-force
     cosine for every pair it emits, (b) find all planted near-identical
