@@ -335,3 +335,73 @@ def test_frontmatter_date_matrix_matches_reference():
         expect = ref._parse_date(v)
         got = _parse_fm_date(v)
         assert got == (expect.isoformat() if expect else None), (v, got, expect)
+
+
+def _fuzz_docs_extended(seed: int, n: int) -> dict[str, str]:
+    """Round-2 vocabulary extension: setext headings, indented code,
+    HTML blocks, images, nested quotes, ordered lists, escapes,
+    reference links with definitions, thematic breaks (the setext trap),
+    inline code with hashes, .md/#anchor wikilinks, nested todos,
+    definition-list lookalikes, CRLF line endings, and frontmatter with
+    dates / categories / comma-string tags."""
+    rng = random.Random(seed)
+    pool = ["alpha", "Beta", "gamma-ray", "Zoë", "état", "data", "Q4",
+            "café", "東京"]
+
+    def words(k):
+        return " ".join(rng.choice(pool) for _ in range(k))
+
+    def fragment():
+        k = rng.randrange(14)
+        if k == 0:
+            u = "=" if rng.random() < .5 else "-"
+            return f"{words(2)}\n{u * 3}\n"
+        if k == 1:
+            return f"    {words(3)}\n    {words(2)}\n"
+        if k == 2:
+            return f"<div>\n{words(3)}\n</div>\n"
+        if k == 3:
+            return f"![{words(1)}](http://img.ex/{rng.randrange(9)}.png)\n"
+        if k == 4:
+            return f"> > {words(3)}\n> {words(2)}\n"
+        if k == 5:
+            return f"{rng.randrange(1, 4)}. {words(2)}\n2. {words(2)}\n"
+        if k == 6:
+            return "\\[\\[not a link\\]\\] \\# not heading\n"
+        if k == 7:
+            return (f"[{words(1)}][ref{rng.randrange(3)}]\n\n"
+                    f"[ref{rng.randrange(3)}]: http://r.ex/x\n")
+        if k == 8:
+            return f"***\n{words(2)}\n---\n"
+        if k == 9:
+            return f"`inline #code` and ``double `tick`` {words(2)}\n"
+        if k == 10:
+            return f"[[{words(1)}.md]] [[{words(1)}#section]]\n"
+        if k == 11:
+            return f"- [ ] outer\n  - [x] nested {words(1)}\n"
+        if k == 12:
+            return f"Term\n: definition {words(2)}\n"
+        return f"{words(rng.randint(3, 8))}\r\n"
+
+    def doc():
+        fm = ""
+        r = rng.random()
+        if r < 0.3:
+            fm = (f"---\ntitle: {words(2)}\n"
+                  f"date: 2024-0{rng.randrange(1, 9)}-1{rng.randrange(9)}\n"
+                  f"tags: [{words(1)}]\ncategories: [{words(1)}]\n---\n")
+        elif r < 0.4:
+            fm = f"---\ntags: {words(1)}, {words(1)}\n---\n"
+        return fm + "".join(fragment() for _ in range(rng.randint(1, 12)))
+
+    return {f"fuzz2/d{i:03d}": doc() for i in range(n)}
+
+
+def test_extended_fuzz_matches_live_reference(spark):
+    """100 documents from the extended round-2 vocabulary — every shape
+    above verified triple-for-triple against the live reference."""
+    docs = _fuzz_docs_extended(seed=11, n=100)
+    ref = {d: reference_triples(d, t) for d, t in docs.items()}
+    ours = _ours(spark, docs)
+    mismatched = [d for d in docs if ref[d] != ours[d]]
+    assert mismatched == [], f"extended fuzz mismatches: {mismatched}"
