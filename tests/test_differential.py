@@ -405,3 +405,30 @@ def test_extended_fuzz_matches_live_reference(spark):
     ours = _ours(spark, docs)
     mismatched = [d for d in docs if ref[d] != ours[d]]
     assert mismatched == [], f"extended fuzz mismatches: {mismatched}"
+
+
+def test_anchor_wikilinks_batch_resolution(spark):
+    """Anchor-form wikilinks ([[page#section]], [[page.md#x]],
+    [[page#a|label]]) through the BATCH registry flow — resolution
+    and targetPath/label triples must match the live reference."""
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    from knowledgebase_processor_spark.uris import document_uri
+
+    files = {
+        "notes/alpha.md": "# Alpha\ncontent\n",
+        "notes/beta.md": "# Beta\ncontent\n",
+        "linker.md": ("[[alpha#section]] [[notes/alpha#sec two]] "
+                      "[[alpha.md#x]] [[beta#a|label]] [[nope#y]]\n"),
+    }
+    ref = reference_corpus_triples(files)
+    docs = spark.createDataFrame(
+        [(document_uri(rel), text, rel, None) for rel, text in files.items()],
+        "doc_id string, text string, path string, title string")
+    res = documents_to_triples(docs, "doc_id", "text", "path", "title",
+                               resolve_links=True).collect()
+    uri_to_rel = {document_uri(rel): rel for rel in files}
+    ours: dict[str, set] = {rel: set() for rel in files}
+    for r in res:
+        ours[uri_to_rel[r.source_doc]].add(
+            (r.subj, r.pred, r.obj, "uri" if r.obj_is_uri else r.obj_datatype))
+    assert [rel for rel in files if ref[rel] != ours[rel]] == []
