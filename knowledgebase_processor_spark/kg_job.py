@@ -36,7 +36,8 @@ from .sources.web_pages import pages_to_documents
 
 def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         alias_dict: dict | None = None, force: bool = False,
-        openie: bool = False, coref_salt: int | None = 16) -> dict:
+        openie: bool = False, coref_salt: int | None = 16,
+        dedup: bool = False) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -50,6 +51,14 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
     alias's members spread over ``coref_salt`` reducers instead of one.
     Output is salt-invariant; set ``None`` to rely on AQE skew-join
     splitting alone.
+
+    ``dedup=True`` inserts stage 0: corpus dedup (exact fingerprint →
+    banded MinHash LSH → Jaccard verify → connected components →
+    canonical election, operators/dedup.dedup_corpus) BEFORE extraction,
+    keeping one canonical page per duplicate cluster.  At crawl scale a
+    large fraction of pages are boilerplate re-crawls; dropping them
+    ahead of the Arrow extraction stage is the single biggest cost lever
+    the job has.  Checkpointed like every other stage.
     """
     t_start = time.time()
     metrics: dict[str, float] = {}
@@ -58,6 +67,21 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         return os.path.join(work_dir, name)
 
     docs = pages_to_documents(pages)
+
+    # 0: corpus dedup ahead of extraction (optional)
+    if dedup:
+        from .operators.dedup import dedup_corpus
+        dpath = stage("dedup_keep")
+        if force or not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+            keep = (dedup_corpus(docs, "doc_id", "text")
+                    .filter(F.col("doc_id") == F.col("canonical_id"))
+                    .select("doc_id"))
+            keep.write.mode("overwrite").parquet(dpath)
+        keep = spark.read.parquet(dpath)
+        n_total = docs.count()
+        docs = docs.join(keep, "doc_id")
+        metrics["n_pages_in"] = n_total
+        metrics["n_pages_kept"] = keep.count()
 
     # 1+2: extraction (pre-merged) + wikilink resolution, checkpointed
     ents_path = stage("entities")

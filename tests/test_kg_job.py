@@ -205,3 +205,20 @@ def test_sparql_select_optional_filter_union(spark):
                                   [("?d", "p:tag", "?t")]]).collect()}
     assert got == {("u:d1", "Doc One", None),
                    ("u:d1", None, "t1"), ("u:d2", None, "t2")}
+
+
+def test_kg_job_dedup_stage(spark, tmp_path):
+    """Stage 0 corpus dedup: duplicate pages are dropped before
+    extraction (fewer entities/triples than the undeduped run), the
+    keep-list checkpoint resumes, and metrics report in/kept counts."""
+    base = fixture_pages(spark).limit(6)
+    dup = base.withColumn("url", F.concat(F.col("url"), F.lit("?recrawl=1")))
+    pages = base.unionByName(dup)     # every page crawled twice
+    work = str(tmp_path / "run_dedup")
+    m = kg_job.run(spark, pages, work, dedup=True)
+    assert m["n_pages_in"] == 12 and m["n_pages_kept"] == 6
+    plain = kg_job.run(spark, pages, str(tmp_path / "run_plain"))
+    assert m["n_triples"] < plain["n_triples"]
+    # resume: keep-list checkpoint short-circuits stage 0
+    m2 = kg_job.run(spark, pages, work, dedup=True)
+    assert m2["n_pages_kept"] == 6 and m2["n_triples"] == m["n_triples"]
