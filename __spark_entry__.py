@@ -1020,7 +1020,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, a.vec_id LIMIT 10""",
         "q35_winnowed_fingerprints": r"""
             WITH d AS (
-              SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+              SELECT doc_id,
+                     substr(lower(trim(coalesce(text, ''))), 1, 1000000) AS t
               FROM documents),
             g AS (
               SELECT doc_id,

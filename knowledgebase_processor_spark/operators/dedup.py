@@ -403,7 +403,8 @@ def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
 
 def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 8,
-                          window: int = 4) -> DataFrame:
+                          window: int = 4,
+                          max_chars: int = 1_000_000) -> DataFrame:
     """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the MOSS algorithm): hash every char k-gram, slide a window of
     ``window`` consecutive hashes, keep each window's minimum, distinct.
@@ -417,17 +418,37 @@ def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     twins, so DuckDB recomputes fingerprints bit-identically (driver
     query q35).  All JVM-side column expressions; O(len) per document.
     Returns (doc_id, fp) exploded.
+
+    ``max_chars`` caps the scanned prefix: the k-gram hash array holds
+    one long per character, so an adversarial multi-MB page would
+    otherwise materialize hundreds of MB of transient arrays in a single
+    row's expression evaluation.  1M chars (~200 printed pages) covers
+    any real document body; overlap within the prefix is still detected.
     """
     d = docs.select(F.col(id_col).alias("doc_id"),
-                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))).alias("t"))
-    g = d.select("doc_id", F.expr(
-        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
-        f" i -> cast(conv(substr(md5(substr(t, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+                    F.substring(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                                1, max_chars).alias("t"))
+    # k-grams via slices of a char ARRAY, not substr(t, i, k): UTF8String
+    # substring walks bytes from position 0 on every call, so the substr
+    # form is O(len^2) per document (measured 85 s at 200k chars); array
+    # slices are offset-indexed -> O(len·k) (1M chars in ~2 s).  Output
+    # proven equivalent incl. multi-byte chars.
+    g = d.select("doc_id", F.split("t", "").alias("cs")).select("doc_id", F.expr(
+        f"transform(sequence(1, greatest(size(cs) - {k - 1}, 1)),"
+        f" i -> cast(conv(substr(md5(array_join(slice(cs, i, {k}), '')), 1, 15),"
+        f" 16, 10) AS BIGINT))"
     ).alias("hs"))
     w = g.select("doc_id", F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(hs) - {window - 1}, 1)),"
         f" j -> array_min(slice(hs, j, {window}))))").alias("fps"))
-    return w.select("doc_id", F.explode("fps").alias("fp"))
+    # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
+    # add a `size(fps) > 0` filter that predicate pushdown then rewrites below
+    # the projections, alias-substituting the ENTIRE k-gram transform inside
+    # the window-min lambda — i.e. the full md5 pass re-evaluated per window
+    # position, O(len^2) per document (>200 s at 10k chars vs 0.5 s fused).
+    # fps always has >= 1 element (greatest(..., 1)), so outer adds no rows.
+    return w.select("doc_id", F.explode_outer("fps").alias("fp")).where(
+        F.col("fp").isNotNull())
 
 
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",

@@ -619,3 +619,21 @@ def test_dedup_corpus_pipeline(spark):
     assert out["u1"] == ("u1", "kept")
     keep = [d for d, (c, _) in out.items() if d == c]
     assert sorted(keep) == ["e1", "u1"]
+
+
+def test_winnowed_fingerprints_linear_on_big_doc(spark):
+    """Round-1 bug class (quadratic kernels on multi-MB docs) applied to
+    the new operator: the substr(t, i, k) form re-scanned the string from
+    byte 0 per position (O(n^2), 85s at 200k chars); the char-array slice
+    form must fingerprint a 10MB doc (capped at 1M chars) in seconds."""
+    import time
+
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnowed_fingerprints)
+    big = spark.createDataFrame([("b", "lorem ipsum dolor " * 600_000)],
+                                "doc_id string, text string")
+    t0 = time.perf_counter()
+    n = winnowed_fingerprints(big).count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 60, f"10MB winnowing took {dt:.0f}s — quadratic regression?"
