@@ -485,6 +485,20 @@ def _q35_winnowed_fingerprints(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q36_winnow_overlap(spark, sf):
+    # Substring-containment pairs from winnowed fingerprints: the
+    # partial-overlap detector (quotes / syndicated fragments / page A
+    # embedding page B) whole-document MinHash dilutes to noise.  Portable
+    # md5 formula end-to-end, so DuckDB recomputes fingerprints, the
+    # fp-equality self-join, shared counts and containment bit-identically.
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnow_overlap_pairs)
+    d = _t(spark, sf, "documents", spread=True)
+    return (winnow_overlap_pairs(d, min_shared=2)
+            .filter(F.col("containment") >= 0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -545,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dedup_corpus": _q33_dedup_corpus,
         "q34_minhash_lsh_portable": _q34_minhash_lsh_portable,
         "q35_winnowed_fingerprints": _q35_winnowed_fingerprints,
+        "q36_winnow_overlap": _q36_winnow_overlap,
     }
 
 
@@ -1039,6 +1054,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(fp) AS BIGINT) AS fp_xor
             FROM (SELECT doc_id, fps, unnest(fps) AS fp FROM w)
             GROUP BY doc_id, fps ORDER BY doc_id""",
+        "q36_winnow_overlap": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     substr(lower(trim(coalesce(text, ''))), 1, 1000000) AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+                     ) AS hs
+              FROM d),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM g),
+            f AS (
+              SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM w),
+            s AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared,
+                     MIN(LEAST(a.n, b.n)) AS mn
+              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, n_shared,
+                   n_shared / CAST(mn AS DOUBLE) AS containment
+            FROM s
+            WHERE n_shared >= 2 AND n_shared / CAST(mn AS DOUBLE) >= 0.5
+            ORDER BY doc_a, doc_b""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

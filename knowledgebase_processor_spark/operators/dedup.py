@@ -451,6 +451,50 @@ def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col("fp").isNotNull())
 
 
+def winnow_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         window: int = 4, min_shared: int = 2,
+                         max_bucket: int = 1000,
+                         max_chars: int = 1_000_000) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowed fingerprints: the
+    partial-containment detector (quotes, syndicated fragments, page A
+    embedding page B) that whole-document MinHash/SimHash cannot provide
+    — their signatures dilute a shared fragment to noise, while winnowing
+    guarantees any shared run of length >= k + window - 1 chars yields a
+    shared selected fingerprint (Schleimer et al., SIGMOD'03 §3).
+
+    Returns (doc_a, doc_b, n_shared, containment) with doc_a < doc_b;
+    ``containment`` = shared fps / min(|fps_a|, |fps_b|) — 1.0 means the
+    smaller document's fingerprint set is fully inside the larger's.
+
+    Scale shape mirrors the MinHash LSH path: one pass, fingerprint =
+    bucket, window-capped truncation BEFORE any member list materializes
+    (``_capped_bucket_members``), in-bucket expansion.  A fingerprint
+    shared by more than ``max_bucket`` documents is boilerplate (nav
+    chrome, license blocks) — its O(n^2) pairs are dropped whole, the
+    standard mega-bucket guard.  ``min_shared`` prunes the pair stream
+    before the count joins: one co-selected hash is a 11-char coincidence,
+    two already imply either two fragments or one long one.
+    """
+    fps = winnowed_fingerprints(docs, id_col, text_col, k, window, max_chars)
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    banded = fps.select("doc_id", F.lit(0).alias("band"),
+                        F.col("fp").alias("bucket"))
+    pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
+    shared = (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
+                            F.col("p.doc_b").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    a = counts.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fps").alias("_na"))
+    b = counts.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fps").alias("_nb"))
+    return (shared.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    (F.col("n_shared") /
+                     F.least("_na", "_nb").cast("double")).alias("containment")))
+
+
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", num_hashes: int = 32,
                  bands: int = 8, shingle_n: int = 3,

@@ -637,3 +637,42 @@ def test_winnowed_fingerprints_linear_on_big_doc(spark):
     dt = time.perf_counter() - t0
     assert n > 0
     assert dt < 60, f"10MB winnowing took {dt:.0f}s — quadratic regression?"
+
+
+def test_winnow_overlap_pairs_containment(spark):
+    """A document that is a contiguous substring of another shares ALL its
+    winnowed fingerprints (its hash array is a slice of the host's, so its
+    windows are a subset of the host's windows): containment must be
+    exactly 1.0.  A disjoint-alphabet document shares no 8-char run with
+    either, so it must produce no pair at all."""
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnow_overlap_pairs)
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark woods tonight without any warning")
+    docs = spark.createDataFrame(
+        [("A", base),
+         ("B", base[12:72]),                       # exact substring of A
+         ("C", "zzzz qqqq ffff gggg hhhh kkkk vvvv xxxx jjjj wwww")],
+        "doc_id string, text string")
+    out = {(r.doc_a, r.doc_b): r
+           for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
+    assert ("A", "B") in out
+    assert out[("A", "B")].containment == 1.0
+    assert not any("C" in k for k in out)
+
+
+def test_winnow_overlap_pairs_megabucket_guard(spark):
+    """A fingerprint shared by more than max_bucket documents is
+    boilerplate: its bucket must be dropped whole (no pair explosion),
+    same guard as the MinHash LSH path."""
+    from knowledgebase_processor_spark.operators.dedup import (
+        winnow_overlap_pairs)
+    rows = [(f"d{i}", "identical boilerplate navigation chrome sentence")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # every bucket holds all 6 docs: oversized at max_bucket=3 -> zero pairs
+    assert winnow_overlap_pairs(docs, max_bucket=3).count() == 0
+    # at max_bucket=10 the same corpus yields all 15 identical-pair rows
+    full = winnow_overlap_pairs(docs, max_bucket=10).collect()
+    assert len(full) == 15
+    assert all(r.containment == 1.0 for r in full)
