@@ -499,6 +499,30 @@ def _q36_winnow_overlap(spark, sf):
             .orderBy("doc_a", "doc_b"))
 
 
+def _q37_media_features(spark, sf):
+    # Multimodal decode as a first-class query: synthesize REAL PNG/WAV
+    # payloads deterministically from the first 8 documents
+    # (media_from_documents), then run the REAL pixel/PCM feature
+    # extraction — every output row must say embedding_kind pixels/pcm,
+    # i.e. the stub path is never taken for these containers.  Output is
+    # a deterministic function of the fixed corpus, so the oracle is the
+    # pinned expected VALUES at sf0.01 (ORACLE_SF001_PINNED).
+    from knowledgebase_processor_spark.operators.multimodal import (
+        audio_features, image_features, media_from_documents)
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .orderBy("doc_id").limit(8))
+    m = media_from_documents(d)
+    imgs = image_features(m).select(
+        "media_id", F.lit("image").alias("kind"), "format",
+        F.col("width").alias("dim1"), F.col("height").alias("dim2"),
+        "embedding", "embedding_kind")
+    auds = audio_features(m).select(
+        "media_id", F.lit("audio").alias("kind"), "format",
+        F.col("sample_rate").alias("dim1"),
+        F.col("channels").alias("dim2"), "embedding", "embedding_kind")
+    return imgs.unionByName(auds).orderBy("media_id")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -560,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_minhash_lsh_portable": _q34_minhash_lsh_portable,
         "q35_winnowed_fingerprints": _q35_winnowed_fingerprints,
         "q36_winnow_overlap": _q36_winnow_overlap,
+        "q37_media_features": _q37_media_features,
     }
 
 
@@ -982,6 +1007,42 @@ def oracle_sql() -> dict[str, str]:
               ('kept', CAST(476 AS BIGINT)),
               ('near', 24)
             ) AS t(reason, n_docs) ORDER BY reason""",
+        "q37_media_features": """
+            SELECT * FROM (VALUES
+              ('0#aud', 'audio', 'wav', CAST(8000 AS BIGINT), CAST(1 AS BIGINT),
+               [0.630323, 0.491935, 0.632519, 0.5, 0.63333, 0.5, 0.630368, 0.491935, 0.629983, 0.508065, 0.632076, 0.5, 0.634163, 0.5, 0.627102, 0.508065]::DOUBLE[], 'pcm'),
+              ('0#img', 'image', 'png', 8, 8,
+               [0.455637, 0.455637, 0.455637, 0.139495, 0.434477, 0.476797, 0.434477, 0.476797]::DOUBLE[], 'pixels'),
+              ('1#aud', 'audio', 'wav', 8000, 1,
+               [0.687099, 0.75, 0.686621, 0.75, 0.682303, 0.75, 0.688442, 0.75, 0.687971, 0.75, 0.683644, 0.75, 0.686757, 0.75, 0.687936, 0.75]::DOUBLE[], 'pcm'),
+              ('1#img', 'image', 'png', 8, 8,
+               [0.615441, 0.615441, 0.615441, 0.110957, 0.616503, 0.614379, 0.616503, 0.614379]::DOUBLE[], 'pixels'),
+              ('2#aud', 'audio', 'wav', 8000, 1,
+               [0.618581, 0.5, 0.627623, 0.5, 0.622345, 0.491935, 0.622284, 0.508065, 0.624402, 0.5, 0.62474, 0.5, 0.623807, 0.508065, 0.624216, 0.491935]::DOUBLE[], 'pcm'),
+              ('2#img', 'image', 'png', 8, 8,
+               [0.505392, 0.505392, 0.505392, 0.143855, 0.533824, 0.476961, 0.533824, 0.476961]::DOUBLE[], 'pixels'),
+              ('3#aud', 'audio', 'wav', 8000, 1,
+               [0.489188, 0.25, 0.487598, 0.25, 0.490709, 0.25, 0.489749, 0.25, 0.490994, 0.25, 0.490004, 0.25, 0.486441, 0.25, 0.495038, 0.25]::DOUBLE[], 'pcm'),
+              ('3#img', 'image', 'png', 8, 8,
+               [0.435784, 0.435784, 0.435784, 0.190597, 0.432516, 0.439052, 0.432516, 0.439052]::DOUBLE[], 'pixels'),
+              ('4#aud', 'audio', 'wav', 8000, 1,
+               [0.42628, 0.758065, 0.435616, 0.75, 0.43411, 0.75, 0.429667, 0.75, 0.435778, 0.741935, 0.43305, 0.75, 0.429381, 0.75, 0.437039, 0.75]::DOUBLE[], 'pcm'),
+              ('4#img', 'image', 'png', 8, 8,
+               [0.510784, 0.510784, 0.510784, 0.172537, 0.529902, 0.491667, 0.529902, 0.491667]::DOUBLE[], 'pixels'),
+              ('5#aud', 'audio', 'wav', 8000, 1,
+               [0.357377, 0.241935, 0.356105, 0.25, 0.359567, 0.258065, 0.35837, 0.241935, 0.356017, 0.258065, 0.357702, 0.25, 0.359147, 0.241935, 0.356019, 0.258065]::DOUBLE[], 'pcm'),
+              ('5#img', 'image', 'png', 8, 8,
+               [0.314951, 0.314951, 0.314951, 0.107844, 0.308333, 0.321569, 0.308333, 0.321569]::DOUBLE[], 'pixels'),
+              ('6#aud', 'audio', 'wav', 8000, 1,
+               [0.751865, 0.5, 0.748529, 0.5, 0.751686, 0.5, 0.75049, 0.5, 0.7509, 0.5, 0.752358, 0.5, 0.747548, 0.5, 0.751342, 0.5]::DOUBLE[], 'pcm'),
+              ('6#img', 'image', 'png', 8, 8,
+               [0.433333, 0.433333, 0.433333, 0.141745, 0.430882, 0.435784, 0.430882, 0.435784]::DOUBLE[], 'pixels'),
+              ('7#aud', 'audio', 'wav', 8000, 1,
+               [0.714662, 0.5, 0.711392, 0.5, 0.70704, 0.5, 0.714538, 0.5, 0.709115, 0.5, 0.709105, 0.5, 0.71405, 0.5, 0.70651, 0.5]::DOUBLE[], 'pcm'),
+              ('7#img', 'image', 'png', 8, 8,
+               [0.538725, 0.538725, 0.538725, 0.130756, 0.484477, 0.592974, 0.484477, 0.592974]::DOUBLE[], 'pixels')
+            ) AS t(media_id, kind, format, dim1, dim2, embedding, embedding_kind)
+            ORDER BY media_id""",
         "q32_ann_ivf": f"""
             WITH cents(cid, c) AS (VALUES
 {_Q32_CENTROID_VALUES}),
@@ -1093,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
 # the driver's correctness scale; scripts/oracle_check.py skips them for
 # other sf dirs.
 ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
+                       "q37_media_features",
                        "q33_dedup_corpus", "q32_ann_ivf"}
 
 

@@ -10,21 +10,35 @@ Decode status per kernel:
   GIF logical screen descriptor (``decode_image_dims``) and RIFF/WAVE
   fmt+data chunks (``decode_wav_meta``) need only ``struct``; they run
   on real file bytes and are tested against real fixtures.
-* **Pixel/sample decode stays a disclosed STUB** (``_pixel_embedding_stub``,
-  ``_audio_embedding_stub``): producing the actual raster / PCM stream
-  for arbitrary codecs needs Pillow/librosa/pyav, which are not in this
-  container.  The fake derives a stable embedding from the content hash
-  so tests exercise the real Arrow batch plumbing with stable outputs.
-  Swapping in the codec libs on a real cluster changes ONLY those two
-  function bodies.
+* **PNG pixel decode is REAL** (``decode_png_pixels``): IDAT inflate is
+  stdlib ``zlib`` and the five scanline filters (None/Sub/Up/Average/
+  Paeth) are unfiltered per the PNG spec §9, including PLTE indexed
+  color — so ``png_pixel_embedding`` pools ACTUAL pixels.  The inflate
+  is length-capped at exactly the raster size (decompression bombs
+  cannot expand past it) and ``max_pixels`` bounds the pure-Python
+  unfilter work on adversarial dimensions.
+* **WAV PCM decode is REAL** (``decode_wav_samples``): PCM8/PCM16
+  frames via ``numpy.frombuffer``, channel-mixed to mono, frame-capped;
+  ``wav_pcm_embedding`` is per-segment RMS + zero-crossing rate over
+  the actual samples.
+* **JPEG/GIF pixel decode and video frame decode stay disclosed STUBS**
+  (``_pixel_embedding_stub``, huffman/DCT and LZW/codec work needs
+  Pillow/pyav, not in this container).  The stub derives a stable
+  embedding from the content hash; ``embedding_kind`` in the output
+  says per-row which path produced the vector.  ``frame_sample`` emits
+  REAL (decodable) PNG frames whose pixel content is a deterministic
+  function of the payload hash — the sampling fan-out and the output
+  format are real, only the frame content is synthetic.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -49,6 +63,7 @@ IMAGE_FEATURES = StructType([
     StructField("width", LongType()),
     StructField("height", LongType()),
     StructField("embedding", ArrayType(DoubleType())),
+    StructField("embedding_kind", StringType()),  # pixels | hash-stub
 ])
 
 AUDIO_FEATURES = StructType([
@@ -58,6 +73,7 @@ AUDIO_FEATURES = StructType([
     StructField("channels", LongType()),
     StructField("duration_s", DoubleType()),
     StructField("embedding", ArrayType(DoubleType())),
+    StructField("embedding_kind", StringType()),  # pcm | hash-stub
 ])
 
 FRAME_SAMPLES = StructType([
@@ -135,18 +151,303 @@ def decode_wav_meta(payload: bytes) -> tuple[int, int, float] | None:
     return rate, channels, round(data_size / byte_rate, 6)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes,
+                      max_pixels: int = 4_000_000
+                      ) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL PNG raster decode — stdlib only (PNG spec §§5,9,11).
+
+    Returns ``(width, height, channels, raster)`` with ``raster`` a
+    ``uint8 (h, w, channels)`` array, or None for anything this no-deps
+    path cannot or should not decode: non-8-bit depth, Adam7 interlace,
+    corrupt streams, and rasters over ``max_pixels``.
+
+    Adversarial bounds (the round-1 bug-class discipline):
+
+    * the IDAT inflate uses ``zlib.decompressobj().decompress(data,
+      expected)`` with ``expected`` = exact raster byte count — a
+      crafted high-ratio stream can never allocate past the size its
+      own IHDR admits to;
+    * ``max_pixels`` rejects huge-dimension headers BEFORE any
+      allocation, bounding the pure-Python unfilter loop (the honest
+      no-Pillow cost, ~MB/s — swap a C decoder on a real cluster for
+      throughput, the semantics here are the contract);
+    * chunk walking is length-clamped, truncation returns None.
+    """
+    b = payload or b""
+    if not b.startswith(_PNG_SIG):
+        return None
+    ihdr = None
+    plte = b""
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + size]
+        if len(data) < size:
+            return None                     # truncated chunk
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + size                      # len + tag + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if (depth != 8 or color not in _PNG_CHANNELS or comp != 0
+            or filt != 0 or interlace != 0 or w <= 0 or h <= 0
+            or w * h > max_pixels):
+        return None
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    expected = h * (1 + stride)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+    except zlib.error:
+        return None
+    if len(raw) != expected or not d.eof:
+        return None                         # short stream, or data past
+                                            # the admitted raster (bomb)
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        f = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if f == 0:
+            pass
+        elif f == 1:                        # Sub
+            for k in range(ch, stride):
+                line[k] = (line[k] + line[k - ch]) & 255
+        elif f == 2:                        # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 255
+        elif f == 3:                        # Average
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                line[k] = (line[k] + ((a + prev[k]) >> 1)) & 255
+        elif f == 4:                        # Paeth
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                up = prev[k]
+                c = prev[k - ch] if k >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = c
+                line[k] = (line[k] + pred) & 255
+        else:
+            return None                     # invalid filter type
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    raster = np.frombuffer(bytes(out), np.uint8).reshape(h, w, ch)
+    if color == 3:                          # indexed: map through PLTE
+        if len(plte) < 3 or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = raster[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            return None                     # index past palette: corrupt
+        raster = pal[idx]
+        ch = 3
+    return w, h, ch, raster
+
+
+def png_pixel_embedding(payload: bytes,
+                        max_pixels: int = 4_000_000) -> list[float] | None:
+    """8-dim pooled-PIXEL embedding from a REAL PNG decode, or None when
+    the raster is not decodable (then callers fall back to the disclosed
+    hash stub and say so via ``embedding_kind``).
+
+    Layout: ``[mean_r, mean_g, mean_b, std_luma, tl, tr, bl, br]`` —
+    per-channel means, population std of luma, and the 2x2 quadrant luma
+    means (an empty quadrant slice on 1-pixel-wide/tall images falls
+    back to the global mean).  All values are /255 in [0, 1], rounded to
+    6 decimals to match the driver's float normalization.
+    """
+    dec = decode_png_pixels(payload, max_pixels)
+    if dec is None:
+        return None
+    w, h, ch, raster = dec
+    a = raster.astype(np.float64)
+    if ch >= 3:
+        r, g, bl_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    else:                                   # gray / gray+alpha
+        r = g = bl_ = a[:, :, 0]
+    luma = (r + g + bl_) / 3.0
+    gm = float(luma.mean())
+
+    def qmean(x: np.ndarray) -> float:
+        return float(x.mean()) if x.size else gm
+
+    qh, qw = (h + 1) // 2, (w + 1) // 2
+    vals = [float(r.mean()), float(g.mean()), float(bl_.mean()),
+            float(luma.std()),
+            qmean(luma[:qh, :qw]), qmean(luma[:qh, qw:]),
+            qmean(luma[qh:, :qw]), qmean(luma[qh:, qw:])]
+    return [round(v / 255.0, 6) for v in vals]
+
+
+def encode_png(raster: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder (filter 0, 8-bit gray/RGB/RGBA) — the
+    inverse fixture for ``decode_png_pixels`` and the emitter behind
+    ``frame_sample``'s real-format frames.  ``raster``: uint8 (h, w) or
+    (h, w, {1,3,4})."""
+    a = np.asarray(raster, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_wav_samples(payload: bytes,
+                       max_frames: int = 2_000_000) -> np.ndarray | None:
+    """REAL PCM sample decode for RIFF/WAVE (format 1, 8- or 16-bit):
+    float64 mono samples in [-1, 1], channel-mixed by mean, capped at
+    ``max_frames`` frames (a forged data-chunk size cannot force a large
+    allocation — only bytes actually present are read).  None for
+    non-PCM/compressed codecs (they need real audio libs)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        (size,) = struct.unpack("<I", b[i + 4:i + 8])
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt = struct.unpack("<HHIIHH", b[i + 8:i + 24])
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + size]    # clamped by slicing
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, _rate, _br, block_align, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    bps = bits // 8
+    if block_align != channels * bps:
+        return None
+    n_frames = min(len(data) // block_align, max_frames)
+    if n_frames == 0:
+        return np.zeros(0)
+    data = data[:n_frames * block_align]
+    if bits == 16:
+        s = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    return s.reshape(n_frames, channels).mean(axis=1)
+
+
+def wav_pcm_embedding(payload: bytes, segments: int = 8) -> list[float] | None:
+    """16-dim embedding from the REAL PCM stream: the track is split into
+    ``segments`` equal spans and each contributes [RMS, zero-crossing
+    rate] — the classic no-FFT envelope+pitch proxy pair.  None when the
+    payload is not decodable PCM (caller falls back to the hash stub)."""
+    s = decode_wav_samples(payload)
+    if s is None:
+        return None
+    out: list[float] = []
+    for seg in np.array_split(s, segments):
+        if seg.size == 0:
+            out += [0.0, 0.0]
+            continue
+        rms = float(np.sqrt(np.mean(seg * seg)))
+        if seg.size > 1:
+            signs = np.signbit(seg)
+            zcr = float(np.mean(signs[1:] != signs[:-1]))
+        else:
+            zcr = 0.0
+        out += [round(rms, 6), round(zcr, 6)]
+    return out
+
+
 def _pixel_embedding_stub(payload: bytes) -> list[float]:
-    """STUB: pooled-pixel embedding requires a real raster decode
-    (Pillow) — not in this container.  Deterministic hash-derived fake."""
+    """STUB — now only the JPEG/GIF/unknown fallback (PNG takes the REAL
+    ``png_pixel_embedding`` path): huffman/DCT and LZW decode need
+    Pillow, not in this container.  Deterministic hash-derived fake."""
     h = hashlib.sha256(payload or b"").digest()
     return [round(x / 255.0, 6) for x in h[2:10]]
 
 
 def _audio_embedding_stub(payload: bytes) -> list[float]:
-    """STUB: mel-spectrogram pooling requires PCM decode (librosa) — not
-    in this container.  Deterministic hash-derived fake."""
+    """STUB — now only the non-PCM fallback (PCM WAV takes the REAL
+    ``wav_pcm_embedding`` path): compressed codecs need real audio libs.
+    Deterministic hash-derived fake."""
     h = hashlib.sha256(payload or b"").digest()
     return [round(x / 255.0, 6) for x in h[:16]]
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000,
+                     channels: int = 1) -> bytes:
+    """Minimal REAL PCM16 WAV encoder — inverse fixture for
+    ``decode_wav_samples``.  ``samples``: int16 array, frame-major."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic media synthesis: one REAL 8x8 PNG image and one REAL
+    PCM16 WAV clip per document, pixels/samples derived from the md5 of
+    the document text.  This is how the multimodal path is exercised (and
+    benchmarked, at any scale) in a corpus that has no binary media store
+    — the payloads are genuine container files that any decoder reads,
+    only their CONTENT is synthetic.  Runs as one Arrow-batched
+    ``mapInPandas`` pass, two output rows per input row.
+    """
+    narrowed = docs.select(docs[id_col].alias("doc_id"),
+                           docs[text_col].alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for rec in batch.itertuples(index=False):
+                digest = hashlib.md5(
+                    (rec.text or "").encode("utf-8", "surrogatepass")).digest()
+                raster = np.frombuffer((digest * 12)[:192],
+                                       np.uint8).reshape(8, 8, 3)
+                pcm = np.frombuffer((digest * 125)[:2000], "<i2")
+                out.append({"media_id": f"{rec.doc_id}#img", "kind": "image",
+                            "payload": encode_png(raster),
+                            "mime": "image/png", "meta_width": 8,
+                            "meta_height": 8, "meta_duration_s": None})
+                out.append({"media_id": f"{rec.doc_id}#aud", "kind": "audio",
+                            "payload": encode_wav_pcm16(pcm),
+                            "mime": "audio/wav", "meta_width": None,
+                            "meta_height": None,
+                            "meta_duration_s": round(len(pcm) / 8000, 6)})
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
+
+    return narrowed.mapInPandas(run, schema=MEDIA)
 
 
 def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
@@ -154,8 +455,10 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     Dimensions come from the REAL header parse (PNG/JPEG/GIF); unknown
     formats fall back to hash-derived pseudo-dimensions (format
-    'unknown') so the pipeline shape stays total.  The embedding is the
-    disclosed pixel-decode stub.
+    'unknown') so the pipeline shape stays total.  PNG embeddings come
+    from the REAL pixel decode (``png_pixel_embedding``); JPEG/GIF/
+    unknown fall back to the disclosed hash stub — ``embedding_kind``
+    records which path produced each row.
     """
     narrowed = media.filter(media.kind == "image").select("media_id", "payload")
 
@@ -170,9 +473,13 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 else:
                     d = hashlib.sha256(payload or b"").digest()
                     fmt, w, h = "unknown", 64 + d[0], 64 + d[1]
+                emb = png_pixel_embedding(payload) if fmt == "png" else None
                 out.append({"media_id": rec.media_id, "format": fmt,
                             "width": w, "height": h,
-                            "embedding": _pixel_embedding_stub(payload)})
+                            "embedding": emb if emb is not None
+                            else _pixel_embedding_stub(payload),
+                            "embedding_kind": "pixels" if emb is not None
+                            else "hash-stub"})
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES.fields])
 
     return narrowed.mapInPandas(run, schema=IMAGE_FEATURES)
@@ -181,9 +488,12 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """media(kind='video') -> sampled frames at ``every_s`` intervals.
 
-    STUB decode: frame bytes are a deterministic function of
-    (payload sha256, frame index); the fan-out shape (one row per sampled
-    frame, duration-driven) is real.
+    Codec decode is the one remaining STUB (pyav not in this container):
+    frame PIXELS are a deterministic function of (payload sha256, frame
+    index).  Everything around it is real — the duration-driven fan-out
+    (one row per sampled frame) and the output format: each ``frame_png``
+    is a genuine 8x8 RGB PNG (``encode_png``) that ``decode_png_pixels``
+    / any PNG reader round-trips.
     """
     narrowed = media.filter(media.kind == "video") \
                     .select("media_id", "payload", "meta_duration_s")
@@ -196,10 +506,13 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                 n = max(1, int(dur / every_s))
                 seed = hashlib.sha256(rec.payload or b"").digest()
                 for i in range(n):
+                    px = hashlib.sha256(seed + bytes([i % 256]))
+                    raw = (px.digest() * 6)[:8 * 8 * 3]
+                    raster = np.frombuffer(raw, np.uint8).reshape(8, 8, 3)
                     out.append({
                         "media_id": rec.media_id, "frame_idx": i,
                         "frame_ts_s": round(i * every_s, 6),
-                        "frame_png": hashlib.sha256(seed + bytes([i % 256])).digest(),
+                        "frame_png": encode_png(raster),
                     })
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLES.fields])
 
@@ -209,7 +522,9 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
 def audio_features(media: DataFrame) -> DataFrame:
     """media(kind='audio') -> (media_id, format, sample_rate, channels,
     duration_s, embedding).  RIFF/WAVE metadata is the REAL header parse;
-    the embedding is the disclosed PCM-decode stub."""
+    PCM WAV embeddings come from the REAL sample decode
+    (``wav_pcm_embedding``), non-PCM payloads fall back to the disclosed
+    hash stub — ``embedding_kind`` records which."""
     narrowed = media.filter(media.kind == "audio").select("media_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,10 +535,14 @@ def audio_features(media: DataFrame) -> DataFrame:
                 meta = decode_wav_meta(payload)
                 fmt, rate, ch, dur = ("wav", *meta) if meta else \
                     ("unknown", 0, 0, 0.0)
+                emb = wav_pcm_embedding(payload) if fmt == "wav" else None
                 out.append({"media_id": rec.media_id, "format": fmt,
                             "sample_rate": rate, "channels": ch,
                             "duration_s": dur,
-                            "embedding": _audio_embedding_stub(payload)})
+                            "embedding": emb if emb is not None
+                            else _audio_embedding_stub(payload),
+                            "embedding_kind": "pcm" if emb is not None
+                            else "hash-stub"})
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES.fields])
 
     return narrowed.mapInPandas(run, schema=AUDIO_FEATURES)

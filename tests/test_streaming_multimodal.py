@@ -190,3 +190,259 @@ def test_dedup_crawl_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT text FROM dedup_out").collect()
     assert sorted(r.text for r in got) == ["changed content", "same content"]
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / PCM decode kernels
+# ---------------------------------------------------------------------------
+
+def _chunk(tag, data):
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_with_filters(raster, color_type, filters, palette=b""):
+    """Encode a ground-truth raster applying the GIVEN per-row filter
+    types (the forward transforms of PNG spec §9) so every decode filter
+    path is exercised against known pixels."""
+    import numpy as np
+    a = np.asarray(raster, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch)
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        recon = [int(v) for v in flat[y]]
+        line = []
+        for k in range(w * ch):
+            left = recon[k - ch] if k >= ch else 0
+            up = prev[k]
+            ul = prev[k - ch] if k >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            line.append((recon[k] - pred) & 255)
+        raw.append(f)
+        raw.extend(line)
+        prev = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if palette:
+        body += _chunk(b"PLTE", palette)
+    return (b"\x89PNG\r\n\x1a\n" + body
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
+
+
+def test_png_pixel_decode_all_filters_exact():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and every color
+    type (gray, RGB, palette, gray+alpha, RGBA) decodes back to the
+    exact source raster — REAL pixels, not a stub."""
+    import random
+
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_png_pixels)
+
+    rnd = random.Random(7)
+    for color_type, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            h, w = rnd.randrange(1, 9), rnd.randrange(1, 9)
+            src = np.array([[ [rnd.randrange(256) for _ in range(ch)]
+                              for _ in range(w)] for _ in range(h)],
+                           dtype=np.uint8)
+            png = _png_with_filters(src, color_type, filters)
+            dec = decode_png_pixels(png)
+            assert dec is not None, (color_type, filters)
+            dw, dh, dch, raster = dec
+            assert (dw, dh, dch) == (w, h, ch)
+            assert np.array_equal(raster, src), (color_type, filters)
+    # indexed color maps through PLTE to RGB
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    png = _png_with_filters(idx, 3, [0, 1], palette=pal)
+    dec = decode_png_pixels(png)
+    assert dec is not None
+    _, _, dch, raster = dec
+    assert dch == 3
+    assert raster[0, 0].tolist() == [255, 0, 0]
+    assert raster[0, 1].tolist() == [0, 255, 0]
+    assert raster[1, 0].tolist() == [0, 0, 255]
+
+
+def test_png_pixel_embedding_known_values():
+    """Hand-computed pooled embedding on a 2x2 RGB image."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        png_pixel_embedding)
+
+    src = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    emb = png_pixel_embedding(_png_with_filters(src, 2, [0]))
+    # channel means: r=(255+0+0+255)/4, g=(0+255+0+255)/4, b=(0+0+255+255)/4
+    assert emb[:3] == [round(127.5 / 255, 6)] * 3
+    # luma per pixel = 85, 85, 85, 255 -> quadrants are the 4 pixels
+    assert emb[4:] == [round(85 / 255, 6)] * 3 + [1.0]
+    lumas = np.array([85.0, 85, 85, 255])
+    assert emb[3] == round(float(lumas.std()) / 255, 6)
+
+
+def test_png_decode_guards_and_unsupported():
+    """Adversarial bounds: huge-dimension headers refuse BEFORE
+    allocating, decompression output is capped at the admitted raster
+    size, corrupt/interlaced/1-bit streams return None (stub fallback)."""
+    import time
+
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_png_pixels)
+
+    ok = _png_with_filters(np.zeros((4, 4), dtype=np.uint8), 0, [0])
+
+    # forged 100k x 100k IHDR: must return None fast, no allocation
+    huge = bytearray(ok)
+    huge[16:24] = struct.pack(">II", 100_000, 100_000)
+    t0 = time.perf_counter()
+    assert decode_png_pixels(bytes(huge)) is None
+    assert time.perf_counter() - t0 < 0.1
+
+    # zlib bomb: 64MB of zeros claiming to be a 4x4 gray image — inflate
+    # is capped at the 20-byte raster, never materializes the bomb
+    bomb_idat = zlib.compress(b"\x00" * (64 << 20), 9)
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", bomb_idat) + _chunk(b"IEND", b""))
+    t0 = time.perf_counter()
+    assert decode_png_pixels(bomb) is None  # len(raw) != expected
+    assert time.perf_counter() - t0 < 1.0
+
+    # interlaced / non-8-bit / bad filter byte / short stream / OOB palette
+    inter = bytearray(ok); inter[28] = 1           # interlace flag
+    assert decode_png_pixels(bytes(inter)) is None
+    depth1 = _png_bytes(16, 16)                    # 1-bit fixture above
+    assert decode_png_pixels(depth1) is None
+    badf = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x09\x00"))
+            + _chunk(b"IEND", b""))
+    assert decode_png_pixels(badf) is None
+    assert decode_png_pixels(ok[:40]) is None
+    oob = _png_with_filters(np.array([[5]], dtype=np.uint8), 3, [0],
+                            palette=bytes([1, 2, 3]))
+    assert decode_png_pixels(oob) is None
+
+
+def test_encode_png_roundtrip_and_frame_reality(spark):
+    """encode_png output is a genuine PNG (our decoder and the header
+    parser both read it), and frame_sample frames are now real PNGs."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_image_dims, decode_png_pixels, encode_png, frame_sample)
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        src = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        png = encode_png(src)
+        assert decode_image_dims(png) == ("png", 7, 5)
+        dec = decode_png_pixels(png)
+        assert dec is not None and np.array_equal(dec[3], src.reshape(5, 7, ch))
+
+    frames = frame_sample(_media(spark), every_s=1.0).collect()
+    assert len(frames) == 3
+    for f in frames:
+        dec = decode_png_pixels(bytes(f["frame_png"]))
+        assert dec is not None and dec[:3] == (8, 8, 3)
+
+
+def test_wav_pcm_embedding_real_samples():
+    """RMS/ZCR computed from the ACTUAL PCM stream: a full-scale square
+    wave has RMS ~1 and the expected crossing rate; silence is all
+    zeros; stereo channels mix by mean; 8-bit decodes too."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_wav_samples, wav_pcm_embedding)
+
+    rate, n = 8000, 8000
+    # square wave, period 16 samples -> sign change every 8 samples
+    sq = np.where(np.arange(n) % 16 < 8, 30000, -30000).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", n * 2) + sq.tobytes())
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    emb = wav_pcm_embedding(wav)
+    assert len(emb) == 16
+    rms, zcr = emb[0], emb[1]
+    assert abs(rms - 30000 / 32768) < 1e-6
+    assert abs(zcr - 1 / 8) < 0.01
+    # silence fixture from above
+    sil = wav_pcm_embedding(_wav_bytes(8000, 1, 1.0))
+    assert sil == [0.0] * 16
+    # stereo: L = +16384, R = -16384 -> mono mean = 0 everywhere
+    st = np.empty(2 * 1000, dtype="<i2")
+    st[0::2], st[1::2] = 16384, -16384
+    fmt2 = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    body2 = (b"WAVEfmt " + struct.pack("<I", len(fmt2)) + fmt2
+             + b"data" + struct.pack("<I", st.nbytes) + st.tobytes())
+    s = decode_wav_samples(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    assert s is not None and np.all(s == 0.0)
+    # 8-bit unsigned: constant 192 -> (192-128)/128 = 0.5
+    fmt3 = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    body3 = (b"WAVEfmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 100) + bytes([192] * 100))
+    s8 = decode_wav_samples(b"RIFF" + struct.pack("<I", len(body3)) + body3)
+    assert s8 is not None and np.allclose(s8, 0.5)
+    # non-PCM (format 3 = IEEE float) -> None (stub fallback)
+    fmtf = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    bodyf = (b"WAVEfmt " + struct.pack("<I", len(fmtf)) + fmtf
+             + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    assert wav_pcm_embedding(b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf) is None
+    # forged data size: only bytes present are read, no big allocation
+    forged = (b"RIFF\x24\x00\x00\x00WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00\x00" * 4)
+    s4 = decode_wav_samples(forged)
+    assert s4 is not None and len(s4) == 4
+
+
+def test_feature_udfs_report_embedding_kind(spark):
+    """The mapInPandas operators route decodable payloads through the
+    REAL kernels and only fall back to the disclosed stub otherwise."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        encode_png, image_features, audio_features, png_pixel_embedding,
+        wav_pcm_embedding)
+
+    rng = np.random.default_rng(11)
+    png8 = encode_png(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+    wav = _wav_bytes(8000, 1, 0.5)
+    media = spark.createDataFrame(
+        [("p8", "image", png8, "image/png", None, None, None),
+         ("p1", "image", _png_bytes(16, 16), "image/png", None, None, None),
+         ("j1", "image", _jpeg_bytes(32, 32), "image/jpeg", None, None, None),
+         ("a1", "audio", wav, "audio/wav", None, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    imgs = {r["media_id"]: r for r in image_features(media).collect()}
+    assert imgs["p8"]["embedding_kind"] == "pixels"
+    assert imgs["p8"]["embedding"] == png_pixel_embedding(png8)
+    assert imgs["p1"]["embedding_kind"] == "hash-stub"   # 1-bit depth
+    assert imgs["j1"]["embedding_kind"] == "hash-stub"   # JPEG: disclosed
+    auds = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert auds["a1"]["embedding_kind"] == "pcm"
+    assert auds["a1"]["embedding"] == wav_pcm_embedding(wav)
