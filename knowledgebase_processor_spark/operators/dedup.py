@@ -425,6 +425,23 @@ def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     row's expression evaluation.  1M chars (~200 printed pages) covers
     any real document body; overlap within the prefix is still detected.
     """
+    w = _winnowed_fp_arrays(docs, id_col, text_col, k, window, max_chars)
+    # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
+    # add a `size(fps) > 0` filter that predicate pushdown then rewrites below
+    # the projections, alias-substituting the ENTIRE k-gram transform inside
+    # the window-min lambda — i.e. the full md5 pass re-evaluated per window
+    # position, O(len^2) per document (>200 s at 10k chars vs 0.5 s fused).
+    # fps always has >= 1 element (greatest(..., 1)), so outer adds no rows.
+    return w.select("doc_id", F.explode_outer("fps").alias("fp")).where(
+        F.col("fp").isNotNull())
+
+
+def _winnowed_fp_arrays(docs: DataFrame, id_col: str, text_col: str,
+                        k: int, window: int, max_chars: int) -> DataFrame:
+    """(doc_id, fps array<bigint>) — the per-document winnowed
+    fingerprint SET before explosion (so callers that also need the set
+    size read it via ``size(fps)`` instead of re-aggregating the
+    exploded stream)."""
     d = docs.select(F.col(id_col).alias("doc_id"),
                     F.substring(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                                 1, max_chars).alias("t"))
@@ -438,17 +455,9 @@ def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         f" i -> cast(conv(substr(md5(array_join(slice(cs, i, {k}), '')), 1, 15),"
         f" 16, 10) AS BIGINT))"
     ).alias("hs"))
-    w = g.select("doc_id", F.expr(
+    return g.select("doc_id", F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(hs) - {window - 1}, 1)),"
         f" j -> array_min(slice(hs, j, {window}))))").alias("fps"))
-    # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
-    # add a `size(fps) > 0` filter that predicate pushdown then rewrites below
-    # the projections, alias-substituting the ENTIRE k-gram transform inside
-    # the window-min lambda — i.e. the full md5 pass re-evaluated per window
-    # position, O(len^2) per document (>200 s at 10k chars vs 0.5 s fused).
-    # fps always has >= 1 element (greatest(..., 1)), so outer adds no rows.
-    return w.select("doc_id", F.explode_outer("fps").alias("fp")).where(
-        F.col("fp").isNotNull())
 
 
 def winnow_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -467,32 +476,38 @@ def winnow_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``containment`` = shared fps / min(|fps_a|, |fps_b|) — 1.0 means the
     smaller document's fingerprint set is fully inside the larger's.
 
-    Scale shape mirrors the MinHash LSH path: one pass, fingerprint =
-    bucket, window-capped truncation BEFORE any member list materializes
-    (``_capped_bucket_members``), in-bucket expansion.  A fingerprint
-    shared by more than ``max_bucket`` documents is boilerplate (nav
-    chrome, license blocks) — its O(n^2) pairs are dropped whole, the
-    standard mega-bucket guard.  ``min_shared`` prunes the pair stream
-    before the count joins: one co-selected hash is a 11-char coincidence,
-    two already imply either two fragments or one long one.
+    Scale shape mirrors the MinHash LSH path: ONE scan — each exploded
+    fingerprint row carries its document's set size (``size(fps)`` read
+    off the pre-explosion array, free), so the pair stream already holds
+    (n_a, n_b) and no per-doc count table is joined back (the join-based
+    form re-evaluated the whole fingerprint pipeline three times).
+    Fingerprint = bucket, window-capped truncation BEFORE any member
+    list materializes (``_capped_bucket_members``), in-bucket expansion.
+    A fingerprint shared by more than ``max_bucket`` documents is
+    boilerplate (nav chrome, license blocks) — its O(n^2) pairs are
+    dropped whole, the standard mega-bucket guard.  ``min_shared``
+    prunes the pair stream: one co-selected hash is an 11-char
+    coincidence, two already imply either two fragments or one long one.
     """
-    fps = winnowed_fingerprints(docs, id_col, text_col, k, window, max_chars)
-    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
-    banded = fps.select("doc_id", F.lit(0).alias("band"),
-                        F.col("fp").alias("bucket"))
-    pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
-    shared = (pairs.groupBy(F.col("p.doc_a").alias("doc_a"),
-                            F.col("p.doc_b").alias("doc_b"))
-              .agg(F.count("*").alias("n_shared"))
+    arrs = _winnowed_fp_arrays(docs, id_col, text_col, k, window, max_chars)
+    fps = (arrs.select("doc_id", F.size("fps").alias("n_fps"),
+                       F.explode_outer("fps").alias("fp"))
+           .where(F.col("fp").isNotNull()))
+    banded = fps.select(
+        F.struct(F.col("doc_id").alias("doc_id"),
+                 F.col("n_fps").alias("n_fps")).alias("m"),
+        F.lit(0).alias("band"), F.col("fp").alias("bucket"))
+    pairs = _expand_bucket_pairs(
+        _capped_bucket_members(banded, max_bucket, payload="m"))
+    shared = (pairs.groupBy(F.col("p.doc_a.doc_id").alias("doc_a"),
+                            F.col("p.doc_b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared"),
+                   F.min(F.least(F.col("p.doc_a.n_fps"),
+                                 F.col("p.doc_b.n_fps"))).alias("_mn"))
               .filter(F.col("n_shared") >= min_shared))
-    a = counts.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_fps").alias("_na"))
-    b = counts.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_fps").alias("_nb"))
-    return (shared.join(a, "doc_a").join(b, "doc_b")
-            .select("doc_a", "doc_b", "n_shared",
-                    (F.col("n_shared") /
-                     F.least("_na", "_nb").cast("double")).alias("containment")))
+    return shared.select(
+        "doc_a", "doc_b", "n_shared",
+        (F.col("n_shared") / F.col("_mn").cast("double")).alias("containment"))
 
 
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
