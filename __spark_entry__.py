@@ -887,10 +887,14 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(sd::VARCHAR || '|' || g), 1, 15))::BIGINT
                        ))) AS sg
               FROM sh),
-            banded AS (
+            banded0 AS (
               SELECT doc_id, s, band,
                      sg[2*band+1]::VARCHAR || ',' || sg[2*band+2]::VARCHAR AS bucket
               FROM sig, unnest([0, 1, 2, 3]) AS t(band)),
+            -- mega-bucket guard, replicated from the Spark side
+            banded AS (
+              SELECT doc_id, s, band, bucket FROM banded0
+              QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                               a.s AS sa, b.s AS sb
@@ -921,10 +925,15 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT
                        ))) AS sg
               FROM sh),
-            banded AS (
+            banded0 AS (
               SELECT doc_id, band,
                      sg[2*band+1]::VARCHAR || ',' || sg[2*band+2]::VARCHAR AS bucket
-              FROM sig, unnest([0, 1, 2, 3]) AS t(band))
+              FROM sig, unnest([0, 1, 2, 3]) AS t(band)),
+            -- mega-bucket guard, replicated: Spark drops buckets with
+            -- > 1000 members whole (boilerplate), so must the oracle
+            banded AS (
+              SELECT doc_id, band, bucket FROM banded0
+              QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    COUNT(*) AS n_bands_shared
             FROM banded a JOIN banded b
@@ -951,10 +960,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << b)
                           ELSE 0 END) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id),
-            banded AS (
+            banded0 AS (
               SELECT doc_id, simhash, band,
                      (simhash >> (band * 15)) & 32767 AS bucket
               FROM sims, unnest([0, 1, 2, 3]) AS t(band)),
+            -- mega-bucket guard, replicated from the Spark side
+            banded AS (
+              SELECT doc_id, simhash, band, bucket FROM banded0
+              QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                               a.simhash AS sa, b.simhash AS sb
@@ -1132,8 +1145,13 @@ def oracle_sql() -> dict[str, str]:
                        range(1, greatest(len(hs) - 3, 1) + 1),
                        j -> list_min(hs[j:j+3]))) AS fps
               FROM g),
-            f AS (
+            f0 AS (
               SELECT doc_id, len(fps) AS n, unnest(fps) AS fp FROM w),
+            -- mega-bucket guard, replicated: a fingerprint shared by
+            -- > 1000 docs is dropped whole on the Spark side
+            f AS (
+              SELECT doc_id, n, fp FROM f0
+              QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
             s AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(COUNT(*) AS BIGINT) AS n_shared,

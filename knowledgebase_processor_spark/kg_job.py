@@ -72,13 +72,21 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
     if dedup:
         from .operators.dedup import dedup_corpus
         dpath = stage("dedup_keep")
+        # the input count is persisted beside the keep-list (underscore
+        # name: ignored by the parquet reader) so a checkpoint RESUME
+        # does not re-scan and re-parse the whole crawl input just to
+        # fill this metric
+        meta_f = os.path.join(dpath, "_n_total")
         if force or not os.path.exists(os.path.join(dpath, "_SUCCESS")):
             keep = (dedup_corpus(docs, "doc_id", "text")
                     .filter(F.col("doc_id") == F.col("canonical_id"))
                     .select("doc_id"))
             keep.write.mode("overwrite").parquet(dpath)
+            with open(meta_f, "w") as fh:
+                fh.write(str(docs.count()))
         keep = spark.read.parquet(dpath)
-        n_total = docs.count()
+        n_total = (int(open(meta_f).read()) if os.path.exists(meta_f)
+                   else docs.count())     # pre-sidecar checkpoints
         docs = docs.join(keep, "doc_id")
         metrics["n_pages_in"] = n_total
         metrics["n_pages_kept"] = keep.count()

@@ -116,6 +116,15 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     if not with_meta:
         result = result.drop(
             *[c for v in res_meta for c in _meta_cols(v)])
+    # fully-ground patterns contribute `_m{i}` placeholder columns so the
+    # join above keeps their existence-check semantics; they are not
+    # solution variables and must not leak into the binding schema.  An
+    # all-ground BGP keeps them (zero-column frames are degenerate; ask()
+    # only counts rows).
+    placeholders = [c for c in result.columns
+                    if c.startswith("_m") and c[2:].isdigit()]
+    if len(placeholders) < len(result.columns):
+        result = result.drop(*placeholders)
     return result.distinct()
 
 
@@ -126,7 +135,8 @@ def _meta_vars(df: DataFrame) -> set[str]:
 
 def _plain_vars(df: DataFrame) -> set[str]:
     metas = {m for v in _meta_vars(df) for m in _meta_cols(v)}
-    return set(df.columns) - metas
+    return {c for c in set(df.columns) - metas
+            if not (c.startswith("_m") and c[2:].isdigit())}
 
 
 def optional_join(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -145,7 +155,12 @@ def optional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     lm, rm = _meta_vars(left), _meta_vars(right)
     shared = sorted(_plain_vars(left) & _plain_vars(right))
     if not shared:
-        return left.crossJoin(right)
+        # LeftJoin on disjoint variables: every compatible pair (all
+        # pairs) — but left solutions MUST survive an empty optional
+        # group with the optional vars unbound, so this is a left outer
+        # join on true, NOT a crossJoin (which annihilates left rows
+        # when the optional pattern matches nothing).
+        return left.join(right, F.lit(True), "left")
     renames = {}
     r = right
     for v in shared:
@@ -179,6 +194,19 @@ def optional_join(left: DataFrame, right: DataFrame) -> DataFrame:
         cond = c if cond is None else cond & c
     out = left.join(r, cond, "left")
     for v in shared:
+        if v in lm and v not in rm:
+            # left-null v filled from a right side that binds v in
+            # subject/predicate position (no meta cols on the right):
+            # the filled term is a URI by construction, so the meta must
+            # say so — leaving it null makes every later join on v's
+            # meta silently incompatible.  Evaluated BEFORE the value
+            # coalesce overwrites v.
+            mu, md = _meta_cols(v)
+            filled = F.col(v).isNull() & F.col(renames[v]).isNotNull()
+            out = (out.withColumn(mu, F.when(filled, F.lit(True))
+                                       .otherwise(F.col(mu)))
+                      .withColumn(md, F.when(filled, F.lit(""))
+                                       .otherwise(F.col(md))))
         out = out.withColumn(v, F.coalesce(F.col(v), F.col(renames[v])))
         if v in lm and v in rm:
             mu, md = _meta_cols(v)

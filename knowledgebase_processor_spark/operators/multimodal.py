@@ -485,7 +485,8 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return narrowed.mapInPandas(run, schema=IMAGE_FEATURES)
 
 
-def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+def frame_sample(media: DataFrame, every_s: float = 1.0,
+                 max_frames: int = 10_000) -> DataFrame:
     """media(kind='video') -> sampled frames at ``every_s`` intervals.
 
     Codec decode is the one remaining STUB (pyav not in this container):
@@ -503,7 +504,11 @@ def frame_sample(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             out = []
             for rec in batch.itertuples(index=False):
                 dur = float(rec.meta_duration_s or 0.0)
-                n = max(1, int(dur / every_s))
+                # max_frames bounds the per-record fan-out: a crawled row
+                # with a forged multi-year duration must not expand into
+                # an unbounded in-memory frame list (same adversarial
+                # discipline as max_pixels / max_chars elsewhere)
+                n = min(max(1, int(dur / every_s)), max_frames)
                 seed = hashlib.sha256(rec.payload or b"").digest()
                 for i in range(n):
                     px = hashlib.sha256(seed + bytes([i % 256]))

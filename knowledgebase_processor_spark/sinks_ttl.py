@@ -33,17 +33,27 @@ def _escape(lex: str) -> str:
 
 import re as _re
 
-_IRI_BAD = _re.compile(r'[\x00-\x20<>"{}|^`\\]')
+_IRI_BAD = _re.compile(r'[\x00-\x20<>"{}|^`\\]|%(?![0-9A-Fa-f]{2})')
 
 
 def _iri(value: str) -> str:
     """Percent-encode the characters the N-Triples IRIREF production
-    forbids (controls, space, ``<>"{}|^`\\``).  Doc ids come from crawled
-    URLs, so an adversarial id containing ``>`` or whitespace would
-    otherwise produce malformed N-Triples — or, in the SPARQL sink,
-    inject arbitrary Update text.  rdflib's nt serializer (which the
-    reference relies on, rdf_processor.py:126) performs the equivalent
-    validation."""
+    forbids (controls, space, ``<>"{}|^`\\``) plus any stray ``%`` that
+    does not start a well-formed escape sequence.  Doc ids come from
+    crawled URLs, so an adversarial id containing ``>`` or whitespace
+    would otherwise produce malformed N-Triples — or, in the SPARQL
+    sink, inject arbitrary Update text.  rdflib's nt serializer (which
+    the reference relies on, rdf_processor.py:126) performs the
+    equivalent validation.
+
+    Well-formed ``%XX`` sequences pass through untouched (a legitimate
+    ``http://h/a%20b`` serializes byte-identically to rdflib).  The
+    consequence is URI NORMALIZATION, not injectivity: ids that differ
+    only in whether a forbidden character is raw or pre-escaped
+    (``a>b`` vs ``a%3Eb``) denote the same URI after percent-decoding
+    and deliberately coalesce to one IRI — per-document upserts treat
+    them as one document, which is the correct reading of two crawled
+    URLs that differ only in escaping."""
     return _IRI_BAD.sub(lambda m: "%%%02X" % ord(m.group()), value)
 
 

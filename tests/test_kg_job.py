@@ -207,6 +207,62 @@ def test_sparql_select_optional_filter_union(spark):
                    ("u:d1", None, "t1"), ("u:d2", None, "t2")}
 
 
+def test_sparql_optional_disjoint_and_meta_chain(spark):
+    """Three LeftJoin regressions from the round-2 review:
+
+    (a) an OPTIONAL group sharing NO variables with the left frame must
+    keep every left solution when the group matches nothing (crossJoin
+    annihilated them);
+    (b) a variable filled from a right frame that binds it in
+    subject/predicate position must get is_uri/datatype meta so later
+    OPTIONALs on that variable still extend;
+    (c) a fully-ground pattern acts as an existence check without
+    leaking its internal _m{i} placeholder column."""
+    from knowledgebase_processor_spark.operators.graph_query import (
+        select_bgp)
+    rows = [
+        ("u:d1", "rdf:type", "u:T", True, None, "g"),
+        ("u:d2", "rdf:type", "u:T", True, None, "g"),
+        ("u:x", "p:kind", "u:K", True, None, "g"),
+        ("u:q", "p:ref3", "u:x", True, None, "g"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, "
+              "obj_datatype string, source_doc string")
+
+    # (a) disjoint OPTIONAL matching nothing: left solutions survive
+    got = {(r.d, r.x) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?x", "p:nonexistent", "?y")]],
+        project=["d", "x"]).collect()}
+    assert got == {("u:d1", None), ("u:d2", None)}
+    # ... and when it does match, it cross-extends every left solution
+    got = {(r.d, r.v) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?v", "p:kind", "u:K")]],
+        project=["d", "v"]).collect()}
+    assert got == {("u:d1", "u:x"), ("u:d2", "u:x")}
+
+    # (b) opt1 leaves ?v unbound; opt2 fills v=u:x from SUBJECT position;
+    # opt3 binds ?v in OBJECT position (URI term u:x) and must extend
+    got = {(r.d, r.v, r.w) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?d", "p:ref", "?v")],
+                   [("?v", "p:kind", "?k")],
+                   [("?w", "p:ref3", "?v")]],
+        project=["d", "v", "w"]).collect()}
+    assert got == {("u:d1", "u:x", "u:q"), ("u:d2", "u:x", "u:q")}
+
+    # (c) ground existence check: no _m columns in the solution schema
+    out = select_bgp(t, [("?d", "rdf:type", "u:T"),
+                         ("u:x", "p:kind", "u:K")])
+    assert out.columns == ["d"]
+    assert {r.d for r in out.collect()} == {"u:d1", "u:d2"}
+    # failing existence check empties the solutions
+    assert select_bgp(t, [("?d", "rdf:type", "u:T"),
+                          ("u:x", "p:kind", "u:NOPE")]).count() == 0
+
+
 def test_kg_job_dedup_stage(spark, tmp_path):
     """Stage 0 corpus dedup: duplicate pages are dropped before
     extraction (fewer entities/triples than the undeduped run), the

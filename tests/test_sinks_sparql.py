@@ -83,3 +83,15 @@ def test_iri_injection_is_neutralized(spark):
     # no IRI term contains a raw illegal character
     for m in re.finditer(r"<([^>]*)>", u):
         assert not re.search(r'[\x00-\x20"{}|^`\\]', m.group(1)), m.group(0)
+
+
+def test_iri_stray_percent_and_stable_escapes():
+    """Well-formed %XX sequences pass through byte-identically (rdflib
+    parity on legitimate URLs); a stray % that starts no escape is
+    encoded; raw forbidden chars normalize to the escaped form the same
+    URI would have after percent-decoding (documented normalization)."""
+    from knowledgebase_processor_spark.sinks_ttl import _iri
+    assert _iri("http://h/a%20b") == "http://h/a%20b"
+    assert _iri("http://h/100%") == "http://h/100%25"
+    assert _iri("http://h/a%zqb") == "http://h/a%25zqb"
+    assert _iri("http://h/a>b") == _iri("http://h/a%3Eb") == "http://h/a%3Eb"

@@ -446,3 +446,14 @@ def test_feature_udfs_report_embedding_kind(spark):
     auds = {r["media_id"]: r for r in audio_features(media).collect()}
     assert auds["a1"]["embedding_kind"] == "pcm"
     assert auds["a1"]["embedding"] == wav_pcm_embedding(wav)
+
+
+def test_frame_sample_forged_duration_cap(spark):
+    """A crawled row with a forged multi-year duration must not expand
+    into an unbounded in-memory frame list (review fix): the fan-out is
+    capped at max_frames."""
+    vid = spark.createDataFrame(
+        [("v", "video", b"x", "video/mp4", None, None, 1.0e12)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    assert frame_sample(vid, every_s=1.0, max_frames=50).count() == 50
