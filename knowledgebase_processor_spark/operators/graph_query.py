@@ -224,30 +224,59 @@ def select_bgp(triples: DataFrame, patterns: list[Pattern],
                project: list[str] | None = None,
                distinct: bool = True,
                order_by: list[str] | None = None,
-               limit: int | None = None) -> DataFrame:
+               limit: int | None = None,
+               group_by: list[str] | None = None,
+               aggregates: dict[str, str] | None = None,
+               having: list[str] | None = None,
+               offset: int | None = None) -> DataFrame:
     """SPARQL SELECT over the triples table: required BGP, any number of
     ``OPTIONAL { ... }`` groups, ``FILTER`` expressions (Spark SQL syntax
     over the variable columns, e.g. ``"n > 3"`` or
-    ``"starts_with(doc, 'http')"``), projection, DISTINCT, ORDER BY and
-    LIMIT — the full SELECT core the reference forwards to Fuseki
+    ``"starts_with(doc, 'http')"``), GROUP BY + aggregates + HAVING,
+    projection, DISTINCT, ORDER BY, OFFSET and LIMIT — the full SELECT
+    core the reference forwards to Fuseki
     (query_interface/sparql_interface.py:58-224).
 
     Filters are applied after the joins (SPARQL evaluates FILTER over
     the group's solutions); an unbound (null) variable makes the filter
     error -> false, matching SPARQL's type-error semantics, because
     Spark predicates on null evaluate to null and null is not true.
+
+    Aggregation (SPARQL 1.1 §11): ``group_by`` lists grouping variables,
+    ``aggregates`` maps result name -> Spark SQL aggregate expression
+    (``{"n": "count(distinct d)", "first": "min(l)"}`` covers COUNT /
+    SUM / MIN / MAX / AVG / SAMPLE; GROUP_CONCAT is
+    ``array_join(collect_list(x), ',')``).  The null-skipping and
+    null-key semantics line up: ``count(x)`` skips unbound bindings like
+    COUNT(?x), and solutions unbound in a group key group together,
+    matching SPARQL's single error-key group.  ``having`` filters the
+    groups.  Grouped results are not re-deduplicated (each group is
+    already one row); ``aggregates`` with ``group_by=None`` aggregates
+    the whole solution set, SPARQL's implicit single group.
     """
     bound = match_bgp(triples, patterns, with_meta=True)
     for opt in optionals or []:
         bound = optional_join(bound, match_bgp(triples, opt, with_meta=True))
     for f in filters or []:
         bound = bound.filter(F.expr(f))
-    out_vars = sorted(_plain_vars(bound)) if project is None else project
-    bound = bound.select(*out_vars)
-    if distinct:
-        bound = bound.distinct()
+    if aggregates or group_by:
+        keys = group_by or []
+        aggs = [F.expr(e).alias(a) for a, e in (aggregates or {}).items()]
+        bound = bound.groupBy(*keys).agg(*aggs) if aggs \
+            else bound.select(*keys).distinct()
+        for h in having or []:
+            bound = bound.filter(F.expr(h))
+        bound = bound.select(*(project if project is not None
+                               else bound.columns))
+    else:
+        out_vars = sorted(_plain_vars(bound)) if project is None else project
+        bound = bound.select(*out_vars)
+        if distinct:
+            bound = bound.distinct()
     if order_by:
         bound = bound.orderBy(*order_by)
+    if offset:
+        bound = bound.offset(offset)
     if limit is not None:
         bound = bound.limit(limit)
     return bound

@@ -263,6 +263,54 @@ def test_sparql_optional_disjoint_and_meta_chain(spark):
                           ("u:x", "p:kind", "u:NOPE")]).count() == 0
 
 
+def test_sparql_select_aggregates(spark):
+    """SPARQL 1.1 aggregation: GROUP BY + COUNT/SAMPLE/GROUP_CONCAT,
+    HAVING over groups, COUNT skipping unbound (null) bindings, the
+    implicit single group when only aggregates are given, and OFFSET."""
+    from knowledgebase_processor_spark.operators.graph_query import (
+        select_bgp)
+    rows = [
+        ("u:d1", "rdf:type", "u:T", True, None, "g"),
+        ("u:d2", "rdf:type", "u:T", True, None, "g"),
+        ("u:d3", "rdf:type", "u:T", True, None, "g"),
+        ("u:d1", "p:tag", "a", False, "http://www.w3.org/2001/XMLSchema#string", "g"),
+        ("u:d1", "p:tag", "b", False, "http://www.w3.org/2001/XMLSchema#string", "g"),
+        ("u:d2", "p:tag", "a", False, "http://www.w3.org/2001/XMLSchema#string", "g"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean, "
+              "obj_datatype string, source_doc string")
+
+    # GROUP BY ?d, COUNT(?x): d3 has no tags -> OPTIONAL leaves x null,
+    # COUNT skips it (0), exactly SPARQL's COUNT(?x) over unbound
+    got = {(r.d, r.n, r.tags) for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")],
+        optionals=[[("?d", "p:tag", "?x")]],
+        group_by=["d"],
+        aggregates={"n": "count(x)",
+                    "tags": "array_join(sort_array(collect_list(x)), ',')"},
+        order_by=["d"]).collect()}
+    assert got == {("u:d1", 2, "a,b"), ("u:d2", 1, "a"), ("u:d3", 0, "")}
+
+    # HAVING prunes groups
+    got = [r.d for r in select_bgp(
+        t, [("?d", "p:tag", "?x")],
+        group_by=["d"], aggregates={"n": "count(x)"},
+        having=["n >= 2"]).collect()]
+    assert got == ["u:d1"]
+
+    # implicit single group: SELECT (COUNT(DISTINCT ?x) AS ?n)
+    got = select_bgp(t, [("?d", "p:tag", "?x")],
+                     aggregates={"n": "count(distinct x)"}).collect()
+    assert [r.n for r in got] == [2]
+
+    # OFFSET + LIMIT pagination
+    got = [r.d for r in select_bgp(
+        t, [("?d", "rdf:type", "u:T")], project=["d"],
+        order_by=["d"], offset=1, limit=1).collect()]
+    assert got == ["u:d2"]
+
+
 def test_kg_job_dedup_stage(spark, tmp_path):
     """Stage 0 corpus dedup: duplicate pages are dropped before
     extraction (fewer entities/triples than the undeduped run), the
