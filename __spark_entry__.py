@@ -523,6 +523,32 @@ def _q37_media_features(spark, sf):
     return imgs.unionByName(auds).orderBy("media_id")
 
 
+def _q38_dedup_incremental(spark, sf):
+    # Incremental dedup against a stored corpus LSH index (the web-scale
+    # shape: probe each crawl batch against the persisted index instead
+    # of recomputing 100 TB).  The batch is the first 20 documents
+    # re-crawled under a "re:" id — every one must match its original at
+    # estimated Jaccard 1.0 (all signature slots equal), which the
+    # oracle derives directly: the value check covers banding recall and
+    # the deterministic argmax without needing the engine's xxhash64 in
+    # SQL.
+    from knowledgebase_processor_spark.operators.dedup import (
+        dedup_incremental, lsh_index)
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    idx = lsh_index(d)
+    batch = (_t(spark, sf, "documents").orderBy("doc_id").limit(20)
+             .select(F.concat(F.lit("re:"), F.col("doc_id").cast("string"))
+                     .alias("doc_id"), "text"))
+    # project the PORTABLY-derivable columns: every re-crawl must be
+    # found (banding recall) at est 1.0.  dup_of stays out of the oracle
+    # shape because the corpus contains genuine est-1.0 twins (sf0.1:
+    # docs 11/4686, 17/3383) and the deterministic argmax between them
+    # depends on engine-native signatures; its tie-break is unit-tested.
+    return (dedup_incremental(batch, idx)
+            .select("doc_id", "est_jaccard").orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -585,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_winnowed_fingerprints": _q35_winnowed_fingerprints,
         "q36_winnow_overlap": _q36_winnow_overlap,
         "q37_media_features": _q37_media_features,
+        "q38_dedup_incremental": _q38_dedup_incremental,
     }
 
 
@@ -1056,6 +1083,11 @@ def oracle_sql() -> dict[str, str]:
                [0.538725, 0.538725, 0.538725, 0.130756, 0.484477, 0.592974, 0.484477, 0.592974]::DOUBLE[], 'pixels')
             ) AS t(media_id, kind, format, dim1, dim2, embedding, embedding_kind)
             ORDER BY media_id""",
+        "q38_dedup_incremental": """
+            SELECT 're:' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ORDER BY 1""",
         "q32_ann_ivf": f"""
             WITH cents(cid, c) AS (VALUES
 {_Q32_CENTROID_VALUES}),

@@ -157,6 +157,90 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_bands_shared")))
 
 
+def lsh_index(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", num_hashes: int = 32,
+              bands: int = 8, shingle_n: int = 3,
+              max_bucket: int = 1000) -> DataFrame:
+    """The PERSISTABLE banded-LSH index of a corpus: (doc_id, sig,
+    band, bucket), one row per (doc, band).  Same signature and band
+    formulas as ``minhash_lsh_pairs``, so an index written once lets
+    ``dedup_incremental`` screen every future crawl batch WITHOUT
+    touching the corpus text again.
+
+    Buckets with more than ``max_bucket`` members are dropped at BUILD
+    time (boilerplate band-hashes; the same mega-bucket guard as the
+    batch path) so the per-batch probe join never sees them — the cap
+    costs one windowed count here, not one full index scan per batch.
+    At web scale, write this bucketed by (band, bucket)
+    (``sinks.bucketed``-style) and the probe join is a co-located
+    sort-merge with no index shuffle.
+    """
+    from pyspark.sql import Window
+
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                          for r in range(rows)]))
+            for b in range(bands)])).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket")
+    return (banded.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("doc_id", "sig", "band", "bucket"))
+
+
+def dedup_incremental(new_docs: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3, threshold: float = 0.8,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Dedup a new crawl batch against an EXISTING corpus via its stored
+    ``lsh_index`` — the production shape at web scale, where recomputing
+    the corpus (``dedup_corpus``) per batch would re-read 100 TB.
+
+    Returns (doc_id, dup_of, est_jaccard) for each new document whose
+    estimated Jaccard against some indexed document clears ``threshold``
+    (``dup_of`` = the best-matching indexed doc via ``max_by``); new
+    documents absent from the result are novel.  The estimate is the
+    classic MinHash one — the fraction of equal signature slots — an
+    unbiased estimator of the true shingle Jaccard, so no corpus text is
+    needed for verification.  In-batch duplicates are a separate concern
+    (run ``dedup_corpus`` on the batch); this operator answers
+    "have we already got this page?".
+
+    Scale shape: candidates come from an equi-join on (band, bucket) —
+    with the index pre-bucketed on those keys the join is co-located and
+    only the (small) batch shuffles; oversized buckets were dropped at
+    index build, so no bucket explosion.  The candidate set is
+    deduplicated on (new, old) before the O(num_hashes) estimate.
+    """
+    new_idx = lsh_index(new_docs, id_col, text_col, num_hashes, bands,
+                        shingle_n, max_bucket)
+    cand = (new_idx.select("band", "bucket",
+                           F.col("doc_id").alias("doc_id"),
+                           F.col("sig").alias("sa"))
+            .join(index.select("band", "bucket",
+                               F.col("doc_id").alias("dup_of"),
+                               F.col("sig").alias("sb")),
+                  ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("dup_of"))
+            .select("doc_id", "dup_of", "sa", "sb").distinct())
+    est = (F.expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),"
+                  " 0, (a, x) -> a + x)")
+           / F.lit(float(num_hashes)))
+    scored = cand.select("doc_id", "dup_of", est.alias("est_jaccard")) \
+                 .filter(F.col("est_jaccard") >= threshold)
+    # struct ordering makes the argmax deterministic on score ties
+    # (highest score, then lexicographically greatest doc id)
+    return (scored.groupBy("doc_id")
+            .agg(F.expr("max_by(dup_of, struct(est_jaccard, dup_of))")
+                 .alias("dup_of"),
+                 F.round(F.max("est_jaccard"), 6).alias("est_jaccard")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:

@@ -676,3 +676,52 @@ def test_winnow_overlap_pairs_megabucket_guard(spark):
     full = winnow_overlap_pairs(docs, max_bucket=10).collect()
     assert len(full) == 15
     assert all(r.containment == 1.0 for r in full)
+
+
+def test_dedup_incremental_against_index(spark):
+    """Incremental dedup probes a stored lsh_index without corpus text:
+    an exact re-crawl scores 1.0, a light edit clears the threshold, a
+    novel page is absent; the argmax dup_of is deterministic."""
+    from knowledgebase_processor_spark.operators.dedup import (
+        dedup_incremental, lsh_index)
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls softly on the quiet gray town all through the night")
+    corpus = spark.createDataFrame(
+        [("c1", base),
+         ("c2", "completely different page about spark shuffles and "
+                "partition pruning strategies for columnar scans"),
+         ("c3", "third page with its own unrelated content on audio "
+                "codecs and raster decoding in pure python")],
+        "doc_id string, text string")
+    idx = lsh_index(corpus)
+    new = spark.createDataFrame(
+        [("n1", base),                              # exact re-crawl of c1
+         ("n2", base.replace("gray", "grey")),      # near-dup of c1
+         ("n3", "a genuinely novel page never seen before about "
+                "watermarked streaming joins and state stores")],
+        "doc_id string, text string")
+    out = {r.doc_id: r for r in dedup_incremental(new, idx, threshold=0.5)
+           .collect()}
+    assert out["n1"].dup_of == "c1" and out["n1"].est_jaccard == 1.0
+    assert out["n2"].dup_of == "c1" and out["n2"].est_jaccard >= 0.5
+    assert "n3" not in out
+
+
+def test_lsh_index_megabucket_guard_at_build(spark):
+    """Boilerplate buckets are dropped when the index is BUILT, so a
+    probe batch joining a boilerplate page finds no candidates instead
+    of exploding."""
+    from knowledgebase_processor_spark.operators.dedup import (
+        dedup_incremental, lsh_index)
+    boiler = "identical navigation chrome footer sentence for every page"
+    corpus = spark.createDataFrame([(f"c{i}", boiler) for i in range(8)],
+                                   "doc_id string, text string")
+    idx = lsh_index(corpus, max_bucket=4)
+    assert idx.count() == 0            # every bucket oversized -> dropped
+    new = spark.createDataFrame([("n1", boiler)], "doc_id string, text string")
+    assert dedup_incremental(new, idx, max_bucket=4).count() == 0
+    # under the cap the same corpus indexes and matches normally
+    idx2 = lsh_index(corpus.limit(3), max_bucket=10)
+    got = dedup_incremental(new, idx2, max_bucket=10).collect()
+    assert len(got) == 1 and got[0].est_jaccard == 1.0
+    assert got[0].dup_of == "c2"       # deterministic tie-break: max id
