@@ -83,3 +83,35 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                  F.sum("value").alias("sum_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "sum_value"))
+
+
+def screen_crawl_stream(docs_stream: DataFrame, index: DataFrame,
+                        matches_dir: str, novel_dir: str,
+                        checkpoint_dir: str, threshold: float = 0.8):
+    """Streaming near-dedup of a crawl feed against the PERSISTED corpus
+    LSH index (``operators.dedup.lsh_index``): each micro-batch is probed
+    with ``dedup_incremental`` — near-duplicates of already-indexed pages
+    land in ``matches_dir`` (doc_id, dup_of, est_jaccard), novel pages
+    append to ``novel_dir`` for downstream extraction.
+
+    ``foreachBatch`` is the right shape here: the probe is a
+    stream-static join plus a per-batch argmax aggregation, and the
+    batch function reuses the EXACT batch operator, so streaming and
+    batch screening cannot drift apart.  The static index side is read
+    once per micro-batch from its (band, bucket)-bucketed storage —
+    at web scale the join is co-located and only the (small) batch
+    shuffles, the same plan as the batch path.
+    """
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import dedup_incremental
+        dups = dedup_incremental(batch_df, index, threshold=threshold)
+        dups.persist()
+        dups.write.mode("append").parquet(matches_dir)
+        (batch_df.join(dups.select("doc_id"), "doc_id", "left_anti")
+         .write.mode("append").parquet(novel_dir))
+        dups.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

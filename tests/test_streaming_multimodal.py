@@ -457,3 +457,40 @@ def test_frame_sample_forged_duration_cap(spark):
         "media_id string, kind string, payload binary, mime string, "
         "meta_width long, meta_height long, meta_duration_s double")
     assert frame_sample(vid, every_s=1.0, max_frames=50).count() == 50
+
+
+def test_screen_crawl_stream_against_index(spark, tmp_path):
+    """Streaming incremental dedup: a micro-batched crawl feed is probed
+    against a static corpus LSH index; re-crawls land in matches, novel
+    pages in the novel sink."""
+    from knowledgebase_processor_spark.operators.dedup import lsh_index
+    from knowledgebase_processor_spark.streaming.jobs import (
+        screen_crawl_stream)
+
+    corpus = spark.createDataFrame(
+        [("c1", "the quick brown fox jumps over the lazy dog near the "
+                "river bank at dawn every single day"),
+         ("c2", "spark structured streaming joins a static index frame "
+                "inside each micro batch without drift")],
+        "doc_id string, text string")
+    idx = lsh_index(corpus)
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [("n1", "the quick brown fox jumps over the lazy dog near the "
+                "river bank at dawn every single day"),       # re-crawl
+         ("n2", "a completely new page about winnowed fingerprints and "
+                "containment scoring over shared hashes")],   # novel
+        "doc_id string, text string")
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id string, text string") \
+                  .parquet(str(src / "b0"))
+    q = screen_crawl_stream(stream, idx, str(tmp_path / "matches"),
+                            str(tmp_path / "novel"),
+                            str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+    matches = spark.read.parquet(str(tmp_path / "matches")).collect()
+    novel = spark.read.parquet(str(tmp_path / "novel")).collect()
+    assert [(r.doc_id, r.dup_of) for r in matches] == [("n1", "c1")]
+    assert [r.doc_id for r in novel] == ["n2"]
