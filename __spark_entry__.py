@@ -549,6 +549,31 @@ def _q38_dedup_incremental(spark, sf):
             .select("doc_id", "est_jaccard").orderBy("doc_id"))
 
 
+def _q39_repetition_stats(spark, sf):
+    # Gopher-style per-doc repetition signals (operators/quality.py):
+    # sorted-array folds, zero shuffles — the whole signal set is one
+    # narrow projection.  DuckDB recomputes every fraction via
+    # unnest+groupBy (same semantics, different plan shape).
+    from knowledgebase_processor_spark.operators.quality import repetition_stats
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(d).orderBy("doc_id").limit(50)
+
+
+def _q40_gopher_quality(spark, sf):
+    # Full Gopher rule evaluation aggregated corpus-wide: per-rule
+    # failure totals + the final keep count, value-checked by a DuckDB
+    # replication of all 14 published rules.
+    from knowledgebase_processor_spark.operators.quality import (
+        _RULES, gopher_quality_flags)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    flags = gopher_quality_flags(d)
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        *[F.sum((~F.col(name)).cast("long")).alias("fail_" + name[3:])
+          for name, _ in _RULES])
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -612,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_winnow_overlap": _q36_winnow_overlap,
         "q37_media_features": _q37_media_features,
         "q38_dedup_incremental": _q38_dedup_incremental,
+        "q39_repetition_stats": _q39_repetition_stats,
+        "q40_gopher_quality": _q40_gopher_quality,
     }
 
 
@@ -650,6 +677,113 @@ _Q32_CENTROID_VALUES = """\
               (5, [0.09100360423326492, -0.28822386264801025, -0.05402462184429169, -0.014864343218505383, -0.04248567670583725, 0.019408905878663063, 0.21536438167095184, 0.04885191470384598, -0.05285777524113655, 0.28168001770973206, 0.09617612510919571, 0.05686764419078827, -0.06668395549058914, -0.01596781238913536, 0.11704234778881073, -0.19164736568927765, 0.0312926210463047, 0.028533387929201126, 0.2187695950269699, 0.0668174996972084, 0.045764219015836716, -0.10252231359481812, -0.06785862147808075, 0.11334086954593658, -0.035346806049346924, 0.059311047196388245, 0.12062107026576996, 0.041775111109018326, -0.13573846220970154, 0.11244920641183853, 0.019327109679579735, 0.08575376123189926, 0.287762314081192, -0.14321400225162506, 0.02022729068994522, -0.1674967110157013, -0.023769397288560867, 0.1821197271347046, 0.08003223687410355, 0.05667908862233162, 0.12396128475666046, -0.06813937425613403, 0.01659080572426319, 0.028953799977898598, 0.11666379868984222, -0.1688796430826187, 0.2274404764175415, -0.2701265513896942, -0.1389743834733963, -0.2020651400089264, 0.09209642559289932, 0.037846166640520096, -0.045220330357551575, -0.09709256887435913, 0.15597286820411682, -0.11284169554710388, 0.05661795660853386, 0.0653795450925827, -0.0410991907119751, -0.0420040562748909, 0.05632980540394783, 0.10277754068374634, 0.22981275618076324, 0.04017625004053116]),
               (6, [-0.00020490022143349051, -0.1540915071964264, 0.038741931319236755, 0.060101550072431564, 0.014993463642895222, 0.19322238862514496, 0.1150100976228714, -0.09174414724111557, 0.051664188504219055, -0.01199275255203247, 0.1101711317896843, -0.11080501973628998, 0.0574953593313694, 0.11489946395158768, -0.1409047394990921, -0.188886359333992, 0.09254693984985352, 0.1455385684967041, 0.05314302071928978, -0.1034039556980133, -0.025570562109351158, -0.15693017840385437, 0.4222942590713501, -0.19439469277858734, -0.2785075008869171, -0.030570974573493004, -0.12491831928491592, 0.10773856192827225, 0.024284599348902702, 0.09824611991643906, -0.17457878589630127, 0.25559186935424805, 0.11069847643375397, 0.04969414696097374, 0.09037106484174728, 0.010354983620345592, 0.06359152495861053, -0.0906161293387413, 0.07636624574661255, 0.06139883026480675, 0.11902876943349838, -0.036539819091558456, 0.12842793762683868, 0.14776568114757538, 0.07102864235639572, -0.03418279066681862, -0.03177716210484505, -0.0009198452462442219, -0.1093539446592331, 0.1460648626089096, -0.1670628935098648, 0.11280082911252975, -0.09466613829135895, 0.02941320277750492, 0.028353886678814888, -0.169806107878685, -0.09697887301445007, 0.15235699713230133, 0.01838148757815361, 0.09907668828964233, -0.036696791648864746, 0.0988757312297821, -0.10966693609952927, 0.17612674832344055]),
               (7, [0.2532672882080078, -0.034195560961961746, 0.15409405529499054, -0.04206995666027069, -0.06612168997526169, -0.016288595274090767, 0.008838837035000324, -0.002087501809000969, 0.08548540621995926, 0.10905612260103226, 0.0005050049512647092, -0.0744815394282341, 0.19332361221313477, 0.16046902537345886, -0.03810712322592735, -0.06871046870946884, 0.060448382049798965, 0.21880953013896942, -0.0767257884144783, -0.02458479255437851, -0.06657051295042038, -0.11724324524402618, -0.21167811751365662, -0.17314837872982025, 0.004684095270931721, -0.027684375643730164, 0.2840202748775482, -0.018405376002192497, -0.011520475149154663, -0.22522805631160736, -0.09116920828819275, -0.04964740574359894, -0.065663643181324, -0.06748871505260468, -0.053930848836898804, 0.280910462141037, -0.07915925979614258, -0.13912232220172882, 0.3040419816970825, -0.18241237103939056, 0.02785472199320793, 0.12257321178913116, -0.043732304126024246, -0.20635536313056946, 0.034349918365478516, -0.1343199610710144, -0.15163744986057281, -0.071645088493824, -0.1258695423603058, -0.043345432728528976, -0.19765789806842804, -0.1103982925415039, 0.03966229036450386, -0.10814601927995682, 0.045631155371665955, -0.05356727913022041, -0.11394452303647995, 0.04182560741901398, -0.16275964677333832, -0.01687600277364254, 0.060441870242357254, 0.11024648696184158, -0.13635633885860443, -0.05666535347700119])"""
+
+
+# Shared CTE prefix for the Gopher quality/repetition oracles (q39/q40):
+# lines/paragraphs/words + duplicate-unit stats + top-n-gram coverage,
+# recomputed via unnest+groupBy (same semantics as the Spark sorted-array
+# folds in operators/quality.py, different plan shape).  `doc_src` slots
+# the document subset; `final` appends the query-specific tail.
+_QUALITY_REP_SQL = r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM {doc_src}),
+            lu AS (
+              SELECT doc_id,
+                     regexp_replace(u, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS u
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS u
+                    FROM d)),
+            l AS (SELECT doc_id, u FROM lu WHERE u <> ''),
+            pu AS (
+              SELECT doc_id,
+                     regexp_replace(u, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS u
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '\n[ \t]*\n')) AS u
+                    FROM d)),
+            p AS (SELECT doc_id, u FROM pu WHERE u <> ''),
+            lstat AS (
+              SELECT d.doc_id, count(l.u) AS n_lines,
+                     coalesce(sum(len(l.u)), 0) AS line_chars
+              FROM d LEFT JOIN l USING (doc_id) GROUP BY d.doc_id),
+            pstat AS (
+              SELECT d.doc_id, count(p.u) AS n_paras,
+                     coalesce(sum(len(p.u)), 0) AS para_chars
+              FROM d LEFT JOIN p USING (doc_id) GROUP BY d.doc_id),
+            ldup AS (
+              SELECT doc_id, sum(c - 1) AS ndup, sum((c - 1) * ln) AS ndupchars
+              FROM (SELECT doc_id, u, count(*) AS c, min(len(u)) AS ln
+                    FROM l GROUP BY doc_id, u)
+              GROUP BY doc_id),
+            pdup AS (
+              SELECT doc_id, sum(c - 1) AS ndup, sum((c - 1) * ln) AS ndupchars
+              FROM (SELECT doc_id, u, count(*) AS c, min(len(u)) AS ln
+                    FROM p GROUP BY doc_id, u)
+              GROUP BY doc_id),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS ws
+              FROM d),
+            wstat AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+                       AS word_chars
+              FROM w),
+            g2 AS (
+              SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                       i -> array_to_string(ws[i:i+1], ' '))
+                ELSE [] END) AS gram FROM w),
+            g3 AS (
+              SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(ws[i:i+2], ' '))
+                ELSE [] END) AS gram FROM w),
+            g4 AS (
+              SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+                THEN list_transform(range(1, len(ws) - 2),
+                       i -> array_to_string(ws[i:i+3], ' '))
+                ELSE [] END) AS gram FROM w),
+            t2 AS (
+              SELECT doc_id, c * (len(gram) - 1) AS cov FROM (
+                SELECT doc_id, gram, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+            t3 AS (
+              SELECT doc_id, c * (len(gram) - 2) AS cov FROM (
+                SELECT doc_id, gram, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+            t4 AS (
+              SELECT doc_id, c * (len(gram) - 3) AS cov FROM (
+                SELECT doc_id, gram, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM g4 GROUP BY doc_id, gram) WHERE rn = 1),
+            rep AS (
+              SELECT d.doc_id,
+                round(coalesce(ldup.ndup, 0)::DOUBLE
+                      / greatest(lstat.n_lines, 1)::DOUBLE, 6) AS dup_line_frac,
+                round(coalesce(ldup.ndupchars, 0)::DOUBLE
+                      / greatest(lstat.line_chars, 1)::DOUBLE, 6) AS dup_line_char_frac,
+                round(coalesce(pdup.ndup, 0)::DOUBLE
+                      / greatest(pstat.n_paras, 1)::DOUBLE, 6) AS dup_para_frac,
+                round(coalesce(pdup.ndupchars, 0)::DOUBLE
+                      / greatest(pstat.para_chars, 1)::DOUBLE, 6) AS dup_para_char_frac,
+                round(coalesce(t2.cov, 0)::DOUBLE
+                      / greatest(wstat.word_chars, 1)::DOUBLE, 6) AS top_2gram_char_frac,
+                round(coalesce(t3.cov, 0)::DOUBLE
+                      / greatest(wstat.word_chars, 1)::DOUBLE, 6) AS top_3gram_char_frac,
+                round(coalesce(t4.cov, 0)::DOUBLE
+                      / greatest(wstat.word_chars, 1)::DOUBLE, 6) AS top_4gram_char_frac
+              FROM d
+              JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+              JOIN wstat USING (doc_id)
+              LEFT JOIN ldup USING (doc_id) LEFT JOIN pdup USING (doc_id)
+              LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+              LEFT JOIN t4 USING (doc_id))
+            {final}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1195,6 +1329,84 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE n_shared >= 2 AND n_shared / CAST(mn AS DOUBLE) >= 0.5
             ORDER BY doc_a, doc_b""",
+        "q39_repetition_stats": _QUALITY_REP_SQL.format(
+            doc_src="(SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)",
+            final=r"""
+            SELECT d.doc_id, lstat.n_lines, pstat.n_paras,
+                   rep.dup_line_frac, rep.dup_line_char_frac,
+                   rep.dup_para_frac, rep.dup_para_char_frac,
+                   rep.top_2gram_char_frac, rep.top_3gram_char_frac,
+                   rep.top_4gram_char_frac
+            FROM d JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+                   JOIN rep USING (doc_id)
+            ORDER BY d.doc_id"""),
+        "q40_gopher_quality": _QUALITY_REP_SQL.format(
+            doc_src="documents",
+            final=r"""
+            , ll AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                         x -> regexp_replace(x, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g')),
+                         x -> x <> '') AS ls
+              FROM d),
+            q AS (
+              SELECT d.doc_id,
+                     len(w.ws) AS n_words,
+                     round(coalesce(list_sum(list_transform(w.ws, x -> len(x))), 0)::DOUBLE
+                           / greatest(len(w.ws), 1)::DOUBLE, 6) AS mean_word_len,
+                     round((len(d.text) - len(replace(d.text, '#', ''))
+                            + len(regexp_extract_all(d.text, '\.\.\.'))
+                            + len(regexp_extract_all(d.text, '…')))::DOUBLE
+                           / greatest(len(w.ws), 1)::DOUBLE, 6) AS symbol_word_ratio,
+                     round(len(list_filter(ll.ls, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+                           / greatest(len(ll.ls), 1)::DOUBLE, 6) AS bullet_line_frac,
+                     round(len(list_filter(ll.ls, x -> regexp_matches(x, '(\.\.\.|…)$')))::DOUBLE
+                           / greatest(len(ll.ls), 1)::DOUBLE, 6) AS ellipsis_line_frac,
+                     round(len(list_filter(w.ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / greatest(len(w.ws), 1)::DOUBLE, 6) AS alpha_word_frac,
+                     len(list_filter(w.ws, x -> list_contains(
+                         ['the','and','of','to','is','in','that','it','was','for'], x)))
+                       AS n_stopwords
+              FROM d JOIN w USING (doc_id) JOIN ll USING (doc_id)),
+            flags AS (
+              SELECT d.doc_id,
+                     (q.n_words BETWEEN 50 AND 100000) AS ok_word_count,
+                     (q.mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+                     (q.symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+                     (q.bullet_line_frac <= 0.9) AS ok_bullet_lines,
+                     (q.ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+                     (q.alpha_word_frac >= 0.8) AS ok_alpha_words,
+                     (q.n_stopwords >= 2) AS ok_stopwords,
+                     (rep.dup_line_frac <= 0.3) AS ok_dup_lines,
+                     (rep.dup_para_frac <= 0.3) AS ok_dup_paras,
+                     (rep.dup_line_char_frac <= 0.2) AS ok_dup_line_chars,
+                     (rep.dup_para_char_frac <= 0.2) AS ok_dup_para_chars,
+                     (rep.top_2gram_char_frac <= 0.20) AS ok_top_2gram,
+                     (rep.top_3gram_char_frac <= 0.18) AS ok_top_3gram,
+                     (rep.top_4gram_char_frac <= 0.16) AS ok_top_4gram
+              FROM d JOIN q USING (doc_id) JOIN rep USING (doc_id))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len
+                         AND ok_symbol_ratio AND ok_bullet_lines
+                         AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords
+                         AND ok_dup_lines AND ok_dup_paras AND ok_dup_line_chars
+                         AND ok_dup_para_chars AND ok_top_2gram AND ok_top_3gram
+                         AND ok_top_4gram THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+                   CAST(SUM(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+                   CAST(SUM(CASE WHEN NOT ok_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+                   CAST(SUM(CASE WHEN NOT ok_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+                   CAST(SUM(CASE WHEN NOT ok_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+                   CAST(SUM(CASE WHEN NOT ok_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+                   CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+                   CAST(SUM(CASE WHEN NOT ok_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_lines,
+                   CAST(SUM(CASE WHEN NOT ok_dup_paras THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_paras,
+                   CAST(SUM(CASE WHEN NOT ok_dup_line_chars THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_line_chars,
+                   CAST(SUM(CASE WHEN NOT ok_dup_para_chars THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup_para_chars,
+                   CAST(SUM(CASE WHEN NOT ok_top_2gram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_2gram,
+                   CAST(SUM(CASE WHEN NOT ok_top_3gram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_3gram,
+                   CAST(SUM(CASE WHEN NOT ok_top_4gram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_4gram
+            FROM flags"""),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,140 @@
+"""Gopher-style quality/repetition filters: differential vs a pure-Python
+recompute, plus rule-level behavior on planted documents."""
+
+import random
+import re
+
+import pytest
+
+
+# --- pure-Python reference implementations (definitions, not the Spark
+# expression tree — an independent recompute for the differential) -----------
+
+def _py_words(text):
+    return [w for w in re.split(r"[ \t\n\r\f]+", text.strip().lower()) if w]
+
+
+def _py_units(text, sep):
+    # edge-whitespace class matches the operator (space/tab/CR/FF only)
+    return [u.strip(" \t\r\f") for u in re.split(sep, text) if u.strip(" \t\r\f")]
+
+
+def _py_dup(units):
+    seen, dups, dupchars = set(), 0, 0
+    for u in sorted(units):
+        if u in seen:
+            dups += 1
+            dupchars += len(u)
+        seen.add(u)
+    return dups, dupchars
+
+
+def _py_top_ngram(words, n):
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return 0, None
+    counts = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    # tie-break: max count, lexicographically smallest gram
+    bestc = max(counts.values())
+    bestg = min(g for g, c in counts.items() if c == bestc)
+    return bestc, bestg
+
+
+def _frac(num, den):
+    return round(num / max(den, 1), 6)
+
+
+def _py_repetition(text):
+    lines = _py_units(text, r"\n")
+    paras = _py_units(text, r"\n[ \t]*\n")
+    words = _py_words(text)
+    word_chars = sum(len(w) for w in words)
+    ld, ldc = _py_dup(lines)
+    pd, pdc = _py_dup(paras)
+    out = {
+        "n_lines": len(lines), "n_paras": len(paras),
+        "dup_line_frac": _frac(ld, len(lines)),
+        "dup_line_char_frac": _frac(ldc, sum(len(x) for x in lines)),
+        "dup_para_frac": _frac(pd, len(paras)),
+        "dup_para_char_frac": _frac(pdc, sum(len(x) for x in paras)),
+    }
+    for n in (2, 3, 4):
+        cnt, gram = _py_top_ngram(words, n)
+        cov = cnt * (len(gram) - (n - 1)) if gram else 0
+        out[f"top_{n}gram_char_frac"] = _frac(cov, word_chars)
+    return out
+
+
+VOCAB = ["the", "data", "spark", "join", "merge", "row", "and", "of",
+         "table", "quick", "#tag", "...", "a-b"]
+
+
+def _fuzz_doc(rng):
+    lines = []
+    for _ in range(rng.randint(1, 12)):
+        line = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 8)))
+        lines.append(line)
+        if rng.random() < 0.3:
+            lines.append(line)          # planted duplicate line
+        if rng.random() < 0.2:
+            lines.append("")            # paragraph boundary
+    return "\n".join(lines)
+
+
+def test_repetition_stats_differential(spark):
+    from knowledgebase_processor_spark.operators.quality import repetition_stats
+    rng = random.Random(7)
+    docs = [(str(i), _fuzz_doc(rng)) for i in range(30)]
+    docs += [
+        ("e1", ""), ("e2", "   \n \n "), ("e3", "one"),
+        ("e4", "x y\nx y\nx y"), ("e5", "p\n\np\n\t\np"),
+        ("e6", "a a a a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        exp = _py_repetition(text)
+        g = got[doc_id]
+        for k, v in exp.items():
+            assert g[k] == pytest.approx(v, abs=1e-9), (doc_id, k, g[k], v, text)
+
+
+def test_gopher_flags_planted(spark):
+    from knowledgebase_processor_spark.operators.quality import (
+        gopher_filter, gopher_quality_flags)
+    good = ("the data pipeline reads the table and writes the merged rows "
+            "for the report that it was built for in the first iteration "
+            "and the second iteration of the scan phase with more words "
+            "to clear the minimum threshold of fifty words in total here "
+            "now that is plenty of words for the little check to pass")
+    too_short = "the quick one"
+    bullets = "\n".join(f"- item {i} of the listing" for i in range(20))
+    dup_lines = "\n".join(["the same line of text appears here"] * 30)
+    symbols = " ".join(["word"] * 60) + " " + " ".join(["#"] * 30)
+    rows = [("good", good), ("short", too_short), ("bullets", bullets),
+            ("dups", dup_lines), ("syms", symbols)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    flags = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+
+    assert flags["good"]["keep"] is True
+    assert flags["short"]["ok_word_count"] is False
+    assert flags["bullets"]["ok_bullet_lines"] is False
+    assert flags["dups"]["ok_dup_lines"] is False
+    assert flags["dups"]["ok_dup_line_chars"] is False
+    assert flags["syms"]["ok_symbol_ratio"] is False
+    for d in ("short", "bullets", "dups", "syms"):
+        assert flags[d]["keep"] is False
+
+    kept = [r["doc_id"] for r in gopher_filter(df).select("doc_id").collect()]
+    assert kept == ["good"]
+
+
+def test_gopher_plan_is_narrow(spark):
+    """The whole flag evaluation must be one narrow projection — no
+    Exchange in the plan (scale invariant: embarrassingly parallel)."""
+    from knowledgebase_processor_spark.operators.quality import gopher_quality_flags
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
