@@ -165,9 +165,17 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
     canonical = spark.read.parquet(cpath)
     metrics["n_canonical_clusters"] = canonical.select("canonical_id").distinct().count()
 
-    # 6: materialize deduplicated triple table via idempotent MERGE upsert
+    # 6: materialize deduplicated triple table via idempotent MERGE upsert.
+    # When the session has an Iceberg catalog (production), the upsert is
+    # the literal doc-scoped DELETE+INSERT pair against table
+    # <work_dir-basename>.kg_triples; this sandbox has no Iceberg jars,
+    # so merge_upsert_iceberg returns False and the parquet
+    # bucket-overwrite emulation (same idempotent semantics) runs.
     final_path = stage("kg_triples")
-    sinks.merge_upsert(spark, triples.drop("part_bucket"), final_path, key="source_doc")
+    flat = triples.drop("part_bucket")
+    if not sinks.merge_upsert_iceberg(spark, flat, "kg.kg_triples",
+                                      key="source_doc"):
+        sinks.merge_upsert(spark, flat, final_path, key="source_doc")
     metrics["wall_s"] = round(time.time() - t_start, 3)
     sinks.write_metrics(spark, stage("metrics"), "kg_job",
                         {k: float(v) for k, v in metrics.items()})

@@ -73,6 +73,64 @@ def merge_upsert(spark: SparkSession, new_rows: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("part_bucket").parquet(path))
 
 
+def iceberg_merge_sql(table: str, source_view: str, key_cols: list[str],
+                      update_cols: list[str]) -> str:
+    """Literal Iceberg ``MERGE INTO`` for 1-row-per-key tables (the
+    deduplicated entity/relation tables the KG job materializes).
+
+    Row-level upsert: matched keys update in place, new keys insert —
+    Iceberg turns this into a copy-on-write/merge-on-read plan that
+    rewrites only the touched data files, the cluster-scale equivalent
+    of `merge_upsert`'s bucket-overwrite emulation.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    return (f"MERGE INTO {table} t USING {source_view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def iceberg_replace_docs_sql(table: str, source_view: str,
+                             key: str = "source_doc") -> list[str]:
+    """Document-scoped replace for MULTI-row-per-key tables (triples):
+    the reference's delete-children-then-reinsert transaction
+    (metadata_store/store.py:222-297) as two Iceberg statements.
+
+    A single MERGE cannot express "replace all N old rows of a document
+    with M new rows" (it matches row-to-row), so the canonical Iceberg
+    pattern is a keyed DELETE + INSERT; Iceberg's snapshot isolation
+    makes the pair atomic per statement and idempotent on retry.
+    """
+    return [
+        f"DELETE FROM {table} WHERE {key} IN "
+        f"(SELECT DISTINCT {key} FROM {source_view})",
+        f"INSERT INTO {table} SELECT * FROM {source_view}",
+    ]
+
+
+def merge_upsert_iceberg(spark: SparkSession, new_rows: DataFrame,
+                         table: str, key: str = "source_doc") -> bool:
+    """Run the document-scoped upsert against a real Iceberg table.
+
+    Returns False when no Iceberg catalog is configured on the session
+    (this sandbox ships no Iceberg jars) — callers fall back to
+    `merge_upsert`'s parquet bucket-overwrite emulation, which has the
+    same idempotent semantics.  On a production session
+    (``spark.sql.catalog.<name>`` = org.apache.iceberg.spark.SparkCatalog)
+    the generated statements execute as-is.
+    """
+    catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if not impl:
+        return False
+    import hashlib
+    view = "incoming_" + hashlib.sha256(table.encode()).hexdigest()[:12]
+    new_rows.createOrReplaceTempView(view)
+    for stmt in iceberg_replace_docs_sql(table, view, key):
+        spark.sql(stmt)
+    return True
+
+
 def lineage(df: DataFrame, stage: str, key: str = "source_doc") -> DataFrame:
     """Per-partition lineage rows (FIXTURES.md §4): partition id, key
     range, row count, error count.  One extra narrow aggregation — no

@@ -70,3 +70,29 @@ def test_metrics_roundtrip(spark, tmp_path):
     m = spark.read.parquet(path)
     assert m.count() == 2
     assert m.filter(F.col("key") == "docs").first()["value"] == 5.0
+
+
+def test_iceberg_merge_sql_text():
+    sql = sinks.iceberg_merge_sql("cat.db.entities", "src", ["kb_id"],
+                                  ["label", "canonical_id"])
+    assert sql == ("MERGE INTO cat.db.entities t USING src s "
+                   "ON t.kb_id = s.kb_id "
+                   "WHEN MATCHED THEN UPDATE SET "
+                   "t.label = s.label, t.canonical_id = s.canonical_id "
+                   "WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_iceberg_replace_docs_sql_text():
+    stmts = sinks.iceberg_replace_docs_sql("kg.kg_triples", "incoming")
+    assert stmts == [
+        "DELETE FROM kg.kg_triples WHERE source_doc IN "
+        "(SELECT DISTINCT source_doc FROM incoming)",
+        "INSERT INTO kg.kg_triples SELECT * FROM incoming",
+    ]
+
+
+def test_iceberg_upsert_falls_back_without_catalog(spark):
+    # no Iceberg jars in the sandbox: the probe must return False without
+    # touching the session, so callers run the parquet emulation.
+    df = _rows(spark, ["a"])
+    assert sinks.merge_upsert_iceberg(spark, df, "kg.kg_triples") is False
