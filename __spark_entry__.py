@@ -574,6 +574,34 @@ def _q40_gopher_quality(spark, sf):
           for name, _ in _RULES])
 
 
+def _urls_from_docs(spark, sf):
+    # deterministic crawl-url synthesis: 17 domains, id-derived paths
+    # (documents table has no url column; the web_pages source does).
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://Site"), (F.col("doc_id") % 17).cast("string"),
+                 F.lit(".com/page/"), F.col("doc_id").cast("string")).alias("url"))
+
+
+def _q41_domain_cap(spark, sf):
+    # Per-domain EXACT cap (operators/sampling.py): the kept set itself is
+    # the output, so the oracle verifies the md5-ordered selection, not
+    # just counts.
+    from knowledgebase_processor_spark.operators.sampling import cap_per_domain
+    return (cap_per_domain(_urls_from_docs(spark, sf), cap=5)
+            .select("doc_id", "domain").orderBy("domain", "doc_id"))
+
+
+def _q42_domain_downsample(spark, sf):
+    # Skew-immune per-domain rate sampler (no window — plan-asserted in
+    # tests): kept count per domain, hash-threshold recomputed by DuckDB.
+    from knowledgebase_processor_spark.operators.sampling import (
+        downsample_per_domain)
+    return (downsample_per_domain(_urls_from_docs(spark, sf), cap=5)
+            .groupBy("domain").agg(F.count("*").alias("n_kept"))
+            .orderBy("domain"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -639,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dedup_incremental": _q38_dedup_incremental,
         "q39_repetition_stats": _q39_repetition_stats,
         "q40_gopher_quality": _q40_gopher_quality,
+        "q41_domain_cap": _q41_domain_cap,
+        "q42_domain_downsample": _q42_domain_downsample,
     }
 
 
@@ -1407,6 +1437,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT ok_top_3gram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_3gram,
                    CAST(SUM(CASE WHEN NOT ok_top_4gram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_4gram
             FROM flags"""),
+        "q41_domain_cap": """
+            WITH d AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS domain,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain
+                                        ORDER BY h, doc_id) AS rn
+              FROM d)
+            SELECT doc_id, domain FROM r WHERE rn <= 5
+            ORDER BY domain, doc_id""",
+        "q42_domain_downsample": """
+            WITH d AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 17 AS VARCHAR) || '.com' AS domain,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents),
+            c AS (SELECT domain, COUNT(*) AS n FROM d GROUP BY domain)
+            SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM d JOIN c USING (domain)
+            WHERE h::DOUBLE < (5.0 / n::DOUBLE) * 1152921504606846976.0
+            GROUP BY d.domain ORDER BY d.domain""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
