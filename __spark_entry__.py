@@ -602,6 +602,48 @@ def _q42_domain_downsample(spark, sf):
             .orderBy("domain"))
 
 
+def _q43_c4_clean(spark, sf):
+    # C4 line-level cleaning (operators/quality.py): sentences are salted
+    # onto a deterministic slice of the word-soup corpus so the line
+    # rules have real work; per-doc kept-line counts, page decision and
+    # cleaned length are value-checked.
+    from knowledgebase_processor_spark.operators.quality import c4_line_filter
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nThis sentence survives the line filter intact.\n"
+                         "So does this second full sentence, naturally.\n"
+                         "A third keeps the page above the line minimum."))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\ncode = {x}"))
+             .otherwise(F.lit(""))).alias("text"))
+    return (c4_line_filter(d)
+            .select("doc_id", "n_lines_kept", "page_keep",
+                    F.length("clean_text").alias("clean_chars"))
+            .orderBy("doc_id").limit(50))
+
+
+def _q44_line_dedup(spark, sf):
+    # Corpus-wide exact line dedup (operators/dedup.line_dedup, portable
+    # hash): a boilerplate line is salted onto every third doc and must
+    # survive only in its first occurrence; per-doc kept counts and
+    # reassembled lengths are value-checked cross-engine.
+    from knowledgebase_processor_spark.operators.dedup import line_dedup
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nSubscribe to our newsletter today."))
+             .otherwise(F.lit(""))).alias("text"))
+    return (line_dedup(d, portable=True)
+            .select("doc_id", "n_lines_kept",
+                    F.length("text").alias("n_chars"))
+            .orderBy("doc_id").limit(50))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -669,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_gopher_quality": _q40_gopher_quality,
         "q41_domain_cap": _q41_domain_cap,
         "q42_domain_downsample": _q42_domain_downsample,
+        "q43_c4_clean": _q43_c4_clean,
+        "q44_line_dedup": _q44_line_dedup,
     }
 
 
@@ -1461,6 +1505,71 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN c USING (domain)
             WHERE h::DOUBLE < (5.0 / n::DOUBLE) * 1152921504606846976.0
             GROUP BY d.domain ORDER BY d.domain""",
+        "q43_c4_clean": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+                          || 'This sentence survives the line filter intact.'
+                          || chr(10)
+                          || 'So does this second full sentence, naturally.'
+                          || chr(10)
+                          || 'A third keeps the page above the line minimum.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'code = {x}'
+                        ELSE '' END AS text
+              FROM documents ORDER BY doc_id LIMIT 50),
+            lines AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                         x -> regexp_replace(x, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g')),
+                         x -> x <> '') AS ls
+              FROM d),
+            kept AS (
+              SELECT doc_id, text,
+                     list_filter(ls, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND NOT contains(lower(l), 'javascript')
+                       AND len(list_filter(string_split_regex(l, '[ \t]+'),
+                                           w -> w <> '')) >= 3) AS ks
+              FROM lines)
+            SELECT doc_id,
+                   len(ks) AS n_lines_kept,
+                   (len(ks) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS page_keep,
+                   coalesce(length(array_to_string(ks, chr(10))), 0) AS clean_chars
+            FROM kept ORDER BY doc_id""",
+        "q44_line_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'Subscribe to our newsletter today.'
+                       ELSE '' END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM d),
+            k AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN len(trim(line)) >= 8
+                          THEN ('0x' || substr(md5(line), 1, 15))::BIGINT
+                     END AS lh
+              FROM l),
+            w AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY lh
+                                          ORDER BY doc_id, pos) AS rn
+                FROM k WHERE lh IS NOT NULL) WHERE rn = 1),
+            kept AS (
+              SELECT k.doc_id, k.pos, k.line
+              FROM k LEFT JOIN w ON k.doc_id = w.doc_id AND k.pos = w.pos
+              WHERE k.lh IS NULL OR w.doc_id IS NOT NULL)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+                   length(string_agg(line, chr(10) ORDER BY pos)) AS n_chars
+            FROM kept GROUP BY doc_id ORDER BY doc_id LIMIT 50""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -653,3 +653,44 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
         F.when(F.col("doc_id") == F.col("cid"), F.lit("kept"))
          .when(F.col("doc_id") != F.col("exact_cid"), F.lit("exact"))
          .otherwise(F.lit("near")).alias("reason"))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_chars: int = 8,
+               portable: bool = False) -> DataFrame:
+    """Corpus-wide EXACT line deduplication (the C4/RefinedWeb "remove
+    repeated boilerplate lines across pages" pass): each distinct line
+    long enough to be meaningful (``min_chars`` after trim) survives only
+    in its FIRST occurrence — ordered by (doc id, line position) — and is
+    deleted from every later page; short/blank lines are exempt (they are
+    structure, not boilerplate, and deduping them would cross-link every
+    page).  Documents whose every line is deleted drop out of the result.
+
+    Scale shape: explode -> groupBy(line hash) with a partial-aggregable
+    ``min(struct(id, pos))`` winner (NO window — a nav-bar line shared by
+    10^8 pages would serialize one window partition), join back on the
+    hash (AQE skew-split handles the boilerplate key: the winner side is
+    one row per key), then per-doc reassembly.  ``portable=True`` swaps
+    xxhash64 for the 60-bit md5 twin so external engines can recompute
+    the winner set (q44).
+    """
+    line_h = (
+        (lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint"))
+        if portable else F.xxhash64)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    eligible = F.length(F.trim(F.col("line"))) >= min_chars
+    keyed = lines.withColumn("lh", F.when(eligible, line_h(F.col("line"))))
+    winners = (keyed.filter(F.col("lh").isNotNull())
+               .groupBy("lh")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
+    kept = (keyed.join(winners, "lh", "left")
+            .filter(F.col("lh").isNull()
+                    | ((F.col("first.doc_id") == F.col("doc_id"))
+                       & (F.col("first.pos") == F.col("pos")))))
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n").alias("text"),
+                 F.count("*").alias("n_lines_kept")))

@@ -261,6 +261,43 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
         keep.alias("keep"))
 
 
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2) ----------------------
+
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The published C4 cleaning rules as one narrow projection.
+
+    Line level: keep lines that end in terminal punctuation (. ! ? "),
+    contain >= 3 words, and do not mention "javascript".  Page level:
+    ``page_keep`` requires >= 3 surviving lines and no "lorem ipsum" /
+    '{' anywhere on the page (the code/boilerplate tells).
+
+    Output: (id, clean_text = kept lines joined, n_lines_kept,
+    page_keep).  Zero shuffles — same scale shape as the Gopher pass.
+    """
+    text = F.col(text_col)
+    lines = _nonempty_units(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & ~F.lower(l).contains("javascript")
+        & (F.size(F.filter(F.split(l, r"[ \t]+"), lambda w: w != ""))
+           >= C4_MIN_LINE_WORDS))
+    n_kept = F.size(kept)
+    page_keep = ((n_kept >= C4_MIN_KEPT_LINES)
+                 & ~F.lower(text).contains("lorem ipsum")
+                 & ~text.contains("{"))
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        page_keep.alias("page_keep"))
+
+
 def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The corpus-filter form: input rows that pass every Gopher rule.

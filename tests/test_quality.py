@@ -138,3 +138,57 @@ def test_gopher_plan_is_narrow(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_c4_line_filter_planted(spark):
+    from knowledgebase_processor_spark.operators.quality import c4_line_filter
+    good = ("This is a proper sentence that survives the filter.\n"
+            "Another good line ends with a question mark?\n"
+            "And a third one right here makes three.\n"
+            "no terminal punctuation on this line\n"
+            "Uses javascript for menus.\n"
+            "Too short.\n")
+    rows = [("ok", good),
+            ("brace", good + "code = {1}.\n"),
+            ("lorem", good + "Lorem Ipsum dolor sit amet.\n"),
+            ("thin", "Just the one surviving line right here.\n")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+
+    assert out["ok"]["n_lines_kept"] == 3 and out["ok"]["page_keep"] is True
+    assert "javascript" not in out["ok"]["clean_text"]
+    assert "no terminal" not in out["ok"]["clean_text"]
+    assert "Too short." not in out["ok"]["clean_text"]
+    assert out["brace"]["page_keep"] is False     # '{' on page
+    assert out["lorem"]["page_keep"] is False     # lorem ipsum
+    assert out["thin"]["n_lines_kept"] == 1 and out["thin"]["page_keep"] is False
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from knowledgebase_processor_spark.operators.dedup import line_dedup
+    boiler = "Subscribe to our newsletter today."
+    rows = [(1, f"{boiler}\nunique one here\nab"),
+            (2, f"another unique line\n{boiler}\nab"),
+            (3, boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        out = {r["doc_id"]: r.asDict()
+               for r in line_dedup(df, portable=portable).collect()}
+        # first occurrence (doc 1, pos 0) keeps the boilerplate line
+        assert boiler in out[1]["text"]
+        assert boiler not in out[2]["text"]
+        # short line 'ab' is exempt from dedup, kept in both docs
+        assert out[1]["text"].endswith("ab") and out[2]["text"].endswith("ab")
+        assert out[1]["n_lines_kept"] == 3 and out[2]["n_lines_kept"] == 2
+        # doc 3 was ONLY the boilerplate -> drops out entirely
+        assert 3 not in out
+
+
+def test_line_dedup_within_doc(spark):
+    from knowledgebase_processor_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, "repeated body line here\nmiddle text\nrepeated body line here")],
+        "doc_id long, text string")
+    out = line_dedup(df).collect()[0]
+    assert out["n_lines_kept"] == 2
+    assert out["text"] == "repeated body line here\nmiddle text"
