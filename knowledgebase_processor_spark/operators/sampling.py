@@ -47,12 +47,28 @@ def domain_of(url: Column) -> Column:
 
 
 def cap_per_domain(df: DataFrame, url_col: str = "url",
-                   id_col: str = "doc_id", cap: int = 1000) -> DataFrame:
+                   id_col: str = "doc_id", cap: int = 1000,
+                   salts: int | None = None) -> DataFrame:
     """Keep at most ``cap`` docs per domain, chosen by portable id hash
-    (then id, for hash ties).  Adds a ``domain`` column."""
+    (then id, for hash ties).  Adds a ``domain`` column.
+
+    ``salts=S`` turns on the two-level exact tournament for head-domain
+    skew: round 1 takes the top ``cap`` per (domain, hash%S) — S
+    independent window partitions instead of one, so a 10^9-page domain
+    splits S ways — and round 2 re-ranks the ≤ S·cap survivors per
+    domain.  Exact: every global top-``cap`` row is top-``cap`` within
+    its own salt bucket (its rank there can only be better), so round 1
+    never discards a winner.  Default off: two shuffles instead of one,
+    worth paying only when domains are heavy.
+    """
     d = df.withColumn("domain", domain_of(F.col(url_col)))
-    w = (Window.partitionBy("domain")
-         .orderBy(portable_id_hash(F.col(id_col)), F.col(id_col)))
+    h = portable_id_hash(F.col(id_col))
+    if salts:
+        w1 = (Window.partitionBy("domain", F.pmod(h, F.lit(salts)))
+              .orderBy(h, F.col(id_col)))
+        d = (d.withColumn("_rn", F.row_number().over(w1))
+             .filter(F.col("_rn") <= cap).drop("_rn"))
+    w = Window.partitionBy("domain").orderBy(h, F.col(id_col))
     return (d.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap).drop("_rn"))
 

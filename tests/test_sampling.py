@@ -56,3 +56,16 @@ def test_downsample_plan_has_no_window(spark):
     plan = downsample_per_domain(_mkdocs(spark), cap=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_cap_per_domain_salted_equals_unsalted(spark):
+    """The two-level salted tournament must select EXACTLY the same rows
+    as the single-window form (round 1 can never discard a winner)."""
+    from knowledgebase_processor_spark.operators.sampling import cap_per_domain
+    d = _mkdocs(spark)
+    plain = sorted((r["domain"], r["doc_id"])
+                   for r in cap_per_domain(d, cap=5).collect())
+    for s in (2, 7, 64):
+        salted = sorted((r["domain"], r["doc_id"])
+                        for r in cap_per_domain(d, cap=5, salts=s).collect())
+        assert salted == plain, s
