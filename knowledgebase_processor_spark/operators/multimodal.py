@@ -21,8 +21,12 @@ Decode status per kernel:
   frames via ``numpy.frombuffer``, channel-mixed to mono, frame-capped;
   ``wav_pcm_embedding`` is per-segment RMS + zero-crossing rate over
   the actual samples.
-* **JPEG/GIF pixel decode and video frame decode stay disclosed STUBS**
-  (``_pixel_embedding_stub``, huffman/DCT and LZW/codec work needs
+* **GIF pixel decode is REAL** (``decode_gif_pixels``): stdlib LZW
+  (dynamic code width, deferred clear, output bounded by the
+  descriptor's own pixel count), de-interlacing, palette mapping;
+  ``encode_gif`` is the inverse fixture.
+* **JPEG pixel decode and video frame decode stay disclosed STUBS**
+  (``_pixel_embedding_stub``, huffman/DCT and codec work needs
   Pillow/pyav, not in this container).  The stub derives a stable
   embedding from the content hash; ``embedding_kind`` in the output
   says per-row which path produced the vector.  ``frame_sample`` emits
@@ -266,11 +270,9 @@ def decode_png_pixels(payload: bytes,
     return w, h, ch, raster
 
 
-def png_pixel_embedding(payload: bytes,
-                        max_pixels: int = 4_000_000) -> list[float] | None:
-    """8-dim pooled-PIXEL embedding from a REAL PNG decode, or None when
-    the raster is not decodable (then callers fall back to the disclosed
-    hash stub and say so via ``embedding_kind``).
+def _pooled_pixel_embedding(w: int, h: int, ch: int,
+                            raster: np.ndarray) -> list[float]:
+    """8-dim pooled-PIXEL embedding from a decoded raster.
 
     Layout: ``[mean_r, mean_g, mean_b, std_luma, tl, tr, bl, br]`` —
     per-channel means, population std of luma, and the 2x2 quadrant luma
@@ -278,10 +280,6 @@ def png_pixel_embedding(payload: bytes,
     back to the global mean).  All values are /255 in [0, 1], rounded to
     6 decimals to match the driver's float normalization.
     """
-    dec = decode_png_pixels(payload, max_pixels)
-    if dec is None:
-        return None
-    w, h, ch, raster = dec
     a = raster.astype(np.float64)
     if ch >= 3:
         r, g, bl_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
@@ -299,6 +297,18 @@ def png_pixel_embedding(payload: bytes,
             qmean(luma[:qh, :qw]), qmean(luma[:qh, qw:]),
             qmean(luma[qh:, :qw]), qmean(luma[qh:, qw:])]
     return [round(v / 255.0, 6) for v in vals]
+
+
+def png_pixel_embedding(payload: bytes,
+                        max_pixels: int = 4_000_000) -> list[float] | None:
+    """Pooled-pixel embedding from a REAL PNG decode, or None when the
+    raster is not decodable (then callers fall back to the disclosed
+    hash stub and say so via ``embedding_kind``)."""
+    dec = decode_png_pixels(payload, max_pixels)
+    if dec is None:
+        return None
+    w, h, ch, raster = dec
+    return _pooled_pixel_embedding(w, h, ch, raster)
 
 
 def encode_png(raster: np.ndarray) -> bytes:
@@ -321,6 +331,229 @@ def encode_png(raster: np.ndarray) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, max_out: int) -> bytes | None:
+    """GIF-variant LZW decode (spec appendix F) — pure stdlib.
+
+    LSB-first bitstream; dynamic code width from ``min_code``+1 to 12;
+    clear/end codes; deferred-clear handling (dict caps at 4096 and the
+    width stays 12 until the encoder sends clear).  ``max_out`` bounds
+    the output to the pixel count the image descriptor admits to — a
+    crafted stream cannot allocate past it (same bomb discipline as the
+    PNG inflate bound).
+    """
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    code_size = min_code + 1
+    out = bytearray()
+    cur = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None                 # truncated stream
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(literals)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                new = prev + entry[:1]
+            elif code == len(table):
+                entry = new = prev + prev[:1]
+            else:
+                return None                 # code past the dictionary
+            if len(table) < 4096:
+                table.append(new)
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        if len(out) > max_out:
+            return None                     # more pixels than admitted
+        if len(out) == max_out:
+            return bytes(out)               # full raster: done
+        prev = entry
+
+
+# GIF interlace passes: (first row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(payload: bytes,
+                      max_pixels: int = 4_000_000
+                      ) -> tuple[int, int, int, np.ndarray] | None:
+    """REAL GIF raster decode (first frame) — stdlib only (GIF89a spec).
+
+    Walks the block structure (extensions skipped by their sub-block
+    lengths), reads the global/local color table, LZW-decodes the index
+    stream (``_gif_lzw_decode``, output bounded by the descriptor's own
+    pixel count), de-interlaces if flagged, and maps indices through the
+    palette.  Returns ``(width, height, 3, uint8 raster)`` or None for
+    anything malformed/truncated/oversized.
+    """
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    packed = b[10]
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[i:i + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:                   # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:                 # image descriptor
+            if i + 10 > len(b):
+                return None
+            _, _, w, h = struct.unpack("<HHHH", b[i + 1:i + 9])
+            ipacked = b[i + 9]
+            i += 10
+            lct = b""
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = b[i:i + 3 * n]
+                if len(lct) < 3 * n:
+                    return None
+                i += 3 * n
+            if w <= 0 or h <= 0 or w * h > max_pixels:
+                return None
+            pal_bytes = lct or gct
+            if len(pal_bytes) < 3:
+                return None
+            if i >= len(b):
+                return None
+            min_code = b[i]
+            i += 1
+            sub = bytearray()               # concatenate data sub-blocks
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                sub += b[i + 1:i + 1 + ln]
+                if i + 1 + ln > len(b):
+                    return None
+                i += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(sub), w * h)
+            if idx is None or len(idx) != w * h:
+                return None
+            arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+            if ipacked & 0x40:              # interlaced: reorder rows
+                out = np.empty_like(arr)
+                src = 0
+                for first, step in _GIF_INTERLACE:
+                    for row in range(first, h, step):
+                        out[row] = arr[src]
+                        src += 1
+                arr = out
+            pal = np.frombuffer(pal_bytes, np.uint8)[: 3 * (len(pal_bytes) // 3)]
+            pal = pal.reshape(-1, 3)
+            if int(arr.max()) >= len(pal):
+                return None                 # index past palette: corrupt
+            return w, h, 3, pal[arr]
+        elif block == 0x3B:                 # trailer before any image
+            return None
+        else:
+            return None                     # unknown block: corrupt
+    return None
+
+
+def gif_pixel_embedding(payload: bytes,
+                        max_pixels: int = 4_000_000) -> list[float] | None:
+    """Pooled-pixel embedding from a REAL GIF decode (shares the pooling
+    kernel with PNG), or None when not decodable."""
+    dec = decode_gif_pixels(payload, max_pixels)
+    if dec is None:
+        return None
+    w, h, ch, raster = dec
+    return _pooled_pixel_embedding(w, h, ch, raster)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal REAL GIF89a encoder — inverse fixture for
+    ``decode_gif_pixels``.  ``indices``: uint8 (h, w) palette indices;
+    ``palette``: uint8 (n<=256, 3).
+
+    The LZW stage emits literal codes only, mirroring the decoder's
+    dictionary growth to keep the code width in sync (and clearing
+    before the table fills) — a valid, if uncompressed, GIF stream any
+    conformant reader accepts.
+    """
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = idx.shape
+    bits = max(2, int(len(pal) - 1).bit_length())
+    size_field = bits - 1
+    pal_full = np.zeros((2 << size_field, 3), np.uint8)
+    pal_full[:len(pal)] = pal
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    out_codes = bytearray()
+    cur = nbits = 0
+    code_size = min_code + 1
+    table_size = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out_codes.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    first = True
+    for v in idx.ravel():
+        emit(int(v))
+        if first:                           # decoder adds no entry for the
+            first = False                   # first code after a clear
+            continue
+        table_size += 1                     # decoder grows its dict by one
+        if table_size == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if table_size >= 4095:              # reset well before overflow
+            emit(clear)
+            code_size = min_code + 1
+            table_size = end + 1
+            first = True
+    emit(end)
+    if nbits:
+        out_codes.append(cur & 0xFF)
+
+    header = (b"GIF89a" + struct.pack("<HH", w, h)
+              + bytes([0x80 | size_field, 0, 0]) + pal_full.tobytes())
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    body = bytes([min_code])
+    for j in range(0, len(out_codes), 255):
+        chunk = bytes(out_codes[j:j + 255])
+        body += bytes([len(chunk)]) + chunk
+    return header + desc + body + b"\x00\x3b"
 
 
 def decode_wav_samples(payload: bytes,
@@ -387,9 +620,9 @@ def wav_pcm_embedding(payload: bytes, segments: int = 8) -> list[float] | None:
 
 
 def _pixel_embedding_stub(payload: bytes) -> list[float]:
-    """STUB — now only the JPEG/GIF/unknown fallback (PNG takes the REAL
-    ``png_pixel_embedding`` path): huffman/DCT and LZW decode need
-    Pillow, not in this container.  Deterministic hash-derived fake."""
+    """STUB — now only the JPEG/unknown fallback (PNG and GIF take the
+    REAL pixel-decode paths): JPEG huffman/DCT needs Pillow, not in this
+    container.  Deterministic hash-derived fake."""
     h = hashlib.sha256(payload or b"").digest()
     return [round(x / 255.0, 6) for x in h[2:10]]
 
@@ -455,10 +688,10 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     Dimensions come from the REAL header parse (PNG/JPEG/GIF); unknown
     formats fall back to hash-derived pseudo-dimensions (format
-    'unknown') so the pipeline shape stays total.  PNG embeddings come
-    from the REAL pixel decode (``png_pixel_embedding``); JPEG/GIF/
-    unknown fall back to the disclosed hash stub — ``embedding_kind``
-    records which path produced each row.
+    'unknown') so the pipeline shape stays total.  PNG and GIF
+    embeddings come from the REAL pixel decodes (``png_pixel_embedding``
+    / ``gif_pixel_embedding``); JPEG/unknown fall back to the disclosed
+    hash stub — ``embedding_kind`` records which path produced each row.
     """
     narrowed = media.filter(media.kind == "image").select("media_id", "payload")
 
@@ -473,7 +706,9 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 else:
                     d = hashlib.sha256(payload or b"").digest()
                     fmt, w, h = "unknown", 64 + d[0], 64 + d[1]
-                emb = png_pixel_embedding(payload) if fmt == "png" else None
+                emb = (png_pixel_embedding(payload) if fmt == "png"
+                       else gif_pixel_embedding(payload) if fmt == "gif"
+                       else None)
                 out.append({"media_id": rec.media_id, "format": fmt,
                             "width": w, "height": h,
                             "embedding": emb if emb is not None

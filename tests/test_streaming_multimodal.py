@@ -494,3 +494,54 @@ def test_screen_crawl_stream_against_index(spark, tmp_path):
     novel = spark.read.parquet(str(tmp_path / "novel")).collect()
     assert [(r.doc_id, r.dup_of) for r in matches] == [("n1", "c1")]
     assert [r.doc_id for r in novel] == ["n2"]
+
+
+def test_gif_lzw_roundtrip_and_features(spark):
+    import numpy as np
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_gif_pixels, encode_gif, gif_pixel_embedding,
+        png_pixel_embedding, encode_png, image_features)
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (23, 17)).astype(np.uint8)
+    gif = encode_gif(idx, pal)
+    dec = decode_gif_pixels(gif)
+    assert dec is not None
+    w, h, ch, raster = dec
+    assert (w, h, ch) == (17, 23, 3)
+    assert np.array_equal(raster, pal[idx])
+
+    # large image: multiple 255-byte sub-blocks + code-width growth + the
+    # mid-stream clear reset (4096-entry dictionary rolls over)
+    big = rng.randint(0, 256, (80, 80)).astype(np.uint8)
+    dec2 = decode_gif_pixels(encode_gif(big, pal))
+    assert dec2 is not None and np.array_equal(dec2[3], pal[big])
+
+    # the pooled embedding matches PNG's on the identical raster
+    rgb = pal[idx]
+    assert gif_pixel_embedding(gif) == png_pixel_embedding(encode_png(rgb))
+
+    # interlaced: write rows in interlace order and set the flag
+    order = [r for f, s in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(f, 23, s)]
+    ilaced = bytearray(encode_gif(idx[order], pal))
+    desc_at = ilaced.index(0x2C, 13 + 768)          # descriptor after GCT
+    ilaced[desc_at + 9] |= 0x40                     # interlace flag
+    dec3 = decode_gif_pixels(bytes(ilaced))
+    assert dec3 is not None and np.array_equal(dec3[3], pal[idx])
+
+    # hostile: truncation, index past palette, pixel bomb all -> None
+    assert decode_gif_pixels(gif[:40]) is None
+    small_pal = np.zeros((2, 3), np.uint8)
+    bad = encode_gif(np.full((4, 4), 7, np.uint8), small_pal)
+    assert decode_gif_pixels(bad) is None
+    assert decode_gif_pixels(encode_gif(idx, pal), max_pixels=10) is None
+
+    # image_features routes gif payloads through the REAL decode path
+    m = spark.createDataFrame(
+        [("g1", "image", gif, "image/gif", None, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    row = image_features(m).collect()[0]
+    assert (row["format"], row["width"], row["height"],
+            row["embedding_kind"]) == ("gif", 17, 23, "pixels")
