@@ -25,9 +25,12 @@ Decode status per kernel:
   (dynamic code width, deferred clear, output bounded by the
   descriptor's own pixel count), de-interlacing, palette mapping;
   ``encode_gif`` is the inverse fixture.
-* **JPEG pixel decode and video frame decode stay disclosed STUBS**
-  (``_pixel_embedding_stub``, huffman/DCT and codec work needs
-  Pillow/pyav, not in this container).  The stub derives a stable
+* **JPEG pixel decode is REAL for the baseline envelope**
+  (``operators/jpeg.py``: SOF0/SOF1, 8-bit, 4:4:4, Huffman, restart
+  markers; tables parsed from the stream).  Progressive/subsampled/
+  12-bit streams and video frame decode are the remaining disclosed
+  STUBS (``_pixel_embedding_stub``; they need Pillow/pyav, not in this
+  container).  The stub derives a stable
   embedding from the content hash; ``embedding_kind`` in the output
   says per-row which path produced the vector.  ``frame_sample`` emits
   REAL (decodable) PNG frames whose pixel content is a deterministic
@@ -493,6 +496,18 @@ def gif_pixel_embedding(payload: bytes,
     return _pooled_pixel_embedding(w, h, ch, raster)
 
 
+def jpeg_pixel_embedding(payload: bytes,
+                         max_pixels: int = 4_000_000) -> list[float] | None:
+    """Pooled-pixel embedding from the REAL baseline JPEG decode
+    (operators/jpeg.py), or None outside the baseline 4:4:4 envelope."""
+    from .jpeg import decode_jpeg_pixels
+    dec = decode_jpeg_pixels(payload, max_pixels)
+    if dec is None:
+        return None
+    w, h, ch, raster = dec
+    return _pooled_pixel_embedding(w, h, ch, raster)
+
+
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Minimal REAL GIF89a encoder — inverse fixture for
     ``decode_gif_pixels``.  ``indices``: uint8 (h, w) palette indices;
@@ -620,9 +635,10 @@ def wav_pcm_embedding(payload: bytes, segments: int = 8) -> list[float] | None:
 
 
 def _pixel_embedding_stub(payload: bytes) -> list[float]:
-    """STUB — now only the JPEG/unknown fallback (PNG and GIF take the
-    REAL pixel-decode paths): JPEG huffman/DCT needs Pillow, not in this
-    container.  Deterministic hash-derived fake."""
+    """STUB — now only the fallback for unknown formats and JPEGs
+    outside the baseline envelope (progressive/subsampled/12-bit need
+    Pillow): PNG, GIF, and baseline JPEG take REAL pixel-decode paths.
+    Deterministic hash-derived fake."""
     h = hashlib.sha256(payload or b"").digest()
     return [round(x / 255.0, 6) for x in h[2:10]]
 
@@ -688,10 +704,10 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     Dimensions come from the REAL header parse (PNG/JPEG/GIF); unknown
     formats fall back to hash-derived pseudo-dimensions (format
-    'unknown') so the pipeline shape stays total.  PNG and GIF
-    embeddings come from the REAL pixel decodes (``png_pixel_embedding``
-    / ``gif_pixel_embedding``); JPEG/unknown fall back to the disclosed
-    hash stub — ``embedding_kind`` records which path produced each row.
+    'unknown') so the pipeline shape stays total.  PNG, GIF, and
+    baseline-JPEG embeddings come from the REAL pixel decodes;
+    non-baseline JPEG/unknown fall back to the disclosed hash stub —
+    ``embedding_kind`` records which path produced each row.
     """
     narrowed = media.filter(media.kind == "image").select("media_id", "payload")
 
@@ -708,6 +724,7 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     fmt, w, h = "unknown", 64 + d[0], 64 + d[1]
                 emb = (png_pixel_embedding(payload) if fmt == "png"
                        else gif_pixel_embedding(payload) if fmt == "gif"
+                       else jpeg_pixel_embedding(payload) if fmt == "jpeg"
                        else None)
                 out.append({"media_id": rec.media_id, "format": fmt,
                             "width": w, "height": h,

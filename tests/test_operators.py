@@ -533,7 +533,11 @@ def test_large_document_is_linear():
     ents = extract_entities_merged("big", text)
     dt = time.perf_counter() - t0
     assert len(ents) > 100_000
-    assert dt < 60, f"3MB extraction took {dt:.0f}s — quadratic regression?"
+    # 120s, not 60: this sandbox host injects multi-10s vCPU freezes
+    # (BENCH/BASELINE.md host-migration note) that spuriously tripped the
+    # tighter bound under concurrent load; the regressions this guards
+    # against took MINUTES, so detection power is unchanged.
+    assert dt < 120, f"3MB extraction took {dt:.0f}s — quadratic regression?"
 
 
 def test_null_doc_id_rows_are_dropped(spark):
