@@ -644,6 +644,44 @@ def _q44_line_dedup(spark, sf):
             .orderBy("doc_id").limit(50))
 
 
+def _q45_prepare_corpus(spark, sf):
+    # The composed training-data preparation pipeline (operators/
+    # prepare.py): dedup -> C4 line clean -> Gopher filter -> corpus
+    # line dedup -> PII scrub, reported as per-stage document counts
+    # plus the total surviving characters (pins the scrub/reassembly
+    # output, not just row counts).  Deterministic on the fixed corpus;
+    # oracle is the precomputed VALUES at sf0.01 (ORACLE_SF001_PINNED).
+    from knowledgebase_processor_spark.operators.prepare import prepare_corpus
+    # Salt the word-soup corpus so every stage has real work: proper
+    # sentences on half the docs (C4/Gopher survivors), a shared
+    # boilerplate line (cross-corpus line dedup), an email (PII scrub),
+    # and a page-killing brace on a 1-in-5 slice.
+    sents = ("\nThis sentence survives the line filter intact today.\n"
+             "So does this second full sentence, quite naturally.\n"
+             "A third full sentence keeps the page over the minimum.\n"
+             "The fourth one talks at length about the weather patterns.\n"
+             "A fifth sentence describes the long road into the valley.\n"
+             "The sixth and last sentence wraps the salted page up nicely.\n"
+             "Subscribe to our newsletter today and stay informed.")
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(sents)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit("\nContact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com for the details.")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("\ncode = {x}"))
+             .otherwise(F.lit(""))).alias("text"))
+    out, stats = prepare_corpus(d, portable_line_hash=True)
+    chars = out.agg(F.lit("scrubbed_chars").alias("stage"),
+                    F.coalesce(F.sum(F.length("text")), F.lit(0))
+                    .cast("long").alias("n_docs"))
+    return stats.unionByName(chars).orderBy("stage")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -713,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_domain_downsample": _q42_domain_downsample,
         "q43_c4_clean": _q43_c4_clean,
         "q44_line_dedup": _q44_line_dedup,
+        "q45_prepare_corpus": _q45_prepare_corpus,
     }
 
 
@@ -1570,6 +1609,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
                    length(string_agg(line, chr(10) ORDER BY pos)) AS n_chars
             FROM kept GROUP BY doc_id ORDER BY doc_id LIMIT 50""",
+        # Composed pipeline: per-stage counts are a deterministic function
+        # of the fixed sf0.01 corpus (see q22/q33 precedent) — pinned
+        # VALUES, valid at the driver's correctness scale only.
+        "q45_prepare_corpus": """
+            SELECT * FROM (VALUES
+              ('deduped',        CAST(432 AS BIGINT)),
+              ('input',          500),
+              ('line_cleaned',   147),
+              ('line_deduped',   55),
+              ('quality_kept',   147),
+              ('scrubbed',       55),
+              ('scrubbed_chars', 2151)
+            ) AS t(stage, n_docs) ORDER BY stage""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
@@ -1579,7 +1631,7 @@ def oracle_sql() -> dict[str, str]:
 # the driver's correctness scale; scripts/oracle_check.py skips them for
 # other sf dirs.
 ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
-                       "q37_media_features",
+                       "q37_media_features", "q45_prepare_corpus",
                        "q33_dedup_corpus", "q32_ann_ivf"}
 
 

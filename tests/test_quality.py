@@ -192,3 +192,43 @@ def test_line_dedup_within_doc(spark):
     out = line_dedup(df).collect()[0]
     assert out["n_lines_kept"] == 2
     assert out["text"] == "repeated body line here\nmiddle text"
+
+
+def test_prepare_corpus_stage_semantics(spark):
+    from knowledgebase_processor_spark.operators.prepare import prepare_corpus
+    sent_a = ["The quick brown fox jumps over the lazy dog near the old barn.",
+              "It then runs away into the forest and hides there for a while.",
+              "Nobody in the village can find it for the rest of that day.",
+              "The search party walks along the river bank until the light fades.",
+              "In the morning the fox is seen again at the edge of the field.",
+              "Children wave at it from the road and it watches them calmly."]
+    sent_b = ["A completely different report describes the harvest in autumn.",
+              "The farmers gather wheat and store it in the tall wooden silos.",
+              "Markets in the town sell the grain through the winter months.",
+              "Bread from the mill is carried to the city twice in a week.",
+              "The price of flour stays steady because the stores are full.",
+              "Everyone agrees that it was the best season in many years."]
+    sent_c = ["This third page talks about sailing boats on the open water.",
+              "The crew adjusts the sails whenever the wind starts shifting.",
+              "Every voyage ends with the boat returning to the small harbor."]
+    boiler = "Subscribe to our newsletter today and stay informed."
+    rows = [
+        ("a", "\n".join(sent_a + [boiler])),
+        ("a2", "\n".join(sent_a + [boiler])),   # exact dup of a -> collapsed
+        ("b", "\n".join(sent_b + [boiler]) + "\nMail me at who@example.com."),
+        ("short", "tiny."),                     # fails C4 min-kept-lines
+        ("brace", "\n".join(sent_c) + "\ncode = {x}."),  # fails C4 page rule
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out, stats = prepare_corpus(docs)
+    s = {r["stage"]: r["n_docs"] for r in stats.collect()}
+    assert s["input"] == 5
+    assert s["deduped"] == 4                  # a2 collapsed into a
+    assert s["line_cleaned"] == 2             # short+brace pages dropped
+    assert s["quality_kept"] == 2
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(texts) == {"a", "b"}
+    # boilerplate line survives only in its first occurrence ('a' < 'b')
+    assert boiler in texts["a"] and boiler not in texts["b"]
+    # PII scrubbed
+    assert "who@example.com" not in texts["b"] and "<EMAIL>" in texts["b"]
