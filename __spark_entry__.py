@@ -682,6 +682,69 @@ def _q45_prepare_corpus(spark, sf):
     return stats.unionByName(chars).orderBy("stage")
 
 
+def _q46_books() -> list:
+    # PQ codebooks trained once (operators/pq.pq_train, deterministic
+    # hash-ordered sample of the sf0.01 embeddings) and pinned — a model
+    # artifact, like q32's centroids, shared verbatim by the Spark query
+    # and the generated DuckDB oracle so the ENCODE+ADC mechanism is
+    # value-checked cross-engine at any sf.
+    import json
+    with open(os.path.join(_REPO, "q46_codebooks.json")) as f:
+        return json.load(f)
+
+
+def _q46_pq_adc(spark, sf):
+    # Product-quantization ANN (operators/pq.py): JVM-side encode
+    # (per-subspace argmin over codebook distances, pure codegen) + ADC
+    # top-10 against vec_id 0's embedding via literal lookup tables.
+    from knowledgebase_processor_spark.operators.pq import pq_encode, pq_topk
+    books = _q46_books()
+    v = _t(spark, sf, "embeddings")
+    q = [float(x) for x in
+         v.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    enc = pq_encode(v.select("vec_id", "embedding"), books)
+    return pq_topk(enc, books, q, topk=10)
+
+
+def _q46_oracle_sql(books: list) -> str:
+    """DuckDB replication of pq_encode + pq_topk from the pinned
+    codebooks: same left-assoc d*d sums, same first-min argmin, same
+    lookup-table ADC — value parity to the last ulp."""
+    sub = len(books[0][0])
+
+    def chain(j: int, cent: list, arr: str) -> str:
+        return " + ".join(
+            f"(({arr}[{j * sub + i + 1}]) - ({cent[i]!r}))"
+            f" * (({arr}[{j * sub + i + 1}]) - ({cent[i]!r}))"
+            for i in range(sub))
+
+    darrs = ",\n                   ".join(
+        f"[{', '.join(chain(j, c, 'e') for c in book)}] AS d{j}"
+        for j, book in enumerate(books))
+    codes = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS c{j}"
+        for j in range(len(books)))
+    adc = " + ".join(
+        f"list_extract([{', '.join(chain(j, c, 'qe') for c in book)}],"
+        f" c{j} + 1)"
+        for j, book in enumerate(books))
+    return f"""
+            WITH q AS (
+              SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+              FROM embeddings WHERE vec_id = 0),
+            v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings),
+            dists AS (
+              SELECT vec_id,
+                   {darrs}
+              FROM v),
+            enc AS (SELECT vec_id, {codes} FROM dists),
+            sc AS (SELECT enc.vec_id, ({adc}) AS adc FROM enc CROSS JOIN q)
+            SELECT vec_id, round(adc, 6) AS adc_dist FROM sc
+            ORDER BY round(adc, 6), vec_id LIMIT 10"""
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -752,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_c4_clean": _q43_c4_clean,
         "q44_line_dedup": _q44_line_dedup,
         "q45_prepare_corpus": _q45_prepare_corpus,
+        "q46_pq_adc": _q46_pq_adc,
     }
 
 
@@ -1622,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
               ('scrubbed',       55),
               ('scrubbed_chars', 2151)
             ) AS t(stage, n_docs) ORDER BY stage""",
+        "q46_pq_adc": _q46_oracle_sql(_q46_books()),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
