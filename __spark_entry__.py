@@ -745,6 +745,24 @@ def _q46_oracle_sql(books: list) -> str:
             ORDER BY round(adc, 6), vec_id LIMIT 10"""
 
 
+def _q47_property_path(spark, sf):
+    # SPARQL property-path (p+) transitive closure via doubling joins
+    # (operators/graph_query.transitive_closure).  Edge set: the
+    # deterministic parent chain doc -> doc/2 (depth ~log2(n), so the
+    # doubling converges in ~4 rounds); DuckDB replicates with a
+    # recursive CTE and the full ancestor-pair set value-checks.
+    from knowledgebase_processor_spark.operators.graph_query import (
+        transitive_closure)
+    d = _t(spark, sf, "documents")
+    edges = (d.filter(F.col("doc_id") >= 1)
+             .select(F.col("doc_id").alias("src"),
+                     F.floor(F.col("doc_id") / 2).cast("long").alias("dst")))
+    clo = transitive_closure(edges)
+    return (clo.groupBy("src").agg(F.count("*").alias("n_ancestors"),
+                                   F.min("dst").alias("root"))
+            .orderBy("src"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -816,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_line_dedup": _q44_line_dedup,
         "q45_prepare_corpus": _q45_prepare_corpus,
         "q46_pq_adc": _q46_pq_adc,
+        "q47_property_path": _q47_property_path,
     }
 
 
@@ -1687,6 +1706,19 @@ def oracle_sql() -> dict[str, str]:
               ('scrubbed_chars', 2151)
             ) AS t(stage, n_docs) ORDER BY stage""",
         "q46_pq_adc": _q46_oracle_sql(_q46_books()),
+        "q47_property_path": """
+            WITH RECURSIVE anc(src, dst) AS (
+              SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst
+              FROM documents WHERE doc_id >= 1
+              UNION
+              SELECT a.src, e.dst
+              FROM anc a JOIN (SELECT doc_id AS src,
+                                      CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst
+                               FROM documents WHERE doc_id >= 1) e
+                ON a.dst = e.src)
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+                   MIN(dst) AS root
+            FROM anc GROUP BY src ORDER BY src""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -364,3 +364,42 @@ def construct(triples: DataFrame, patterns: list[Pattern],
     for more in parts[1:]:
         out = out.unionByName(more)
     return out.distinct()
+
+def transitive_closure(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", max_rounds: int = 30) -> DataFrame:
+    """Transitive closure of an edge set by doubling joins — the
+    evaluation engine behind SPARQL property paths (``p+``).
+
+    Each round unions R with R ⋈ R, so path length covered doubles:
+    O(log diameter) rounds instead of the O(diameter) of naive
+    edge-at-a-time semi-naive iteration — the same pointer-jumping idea
+    as connected components (components.py).  Per round: one self-join
+    + distinct (both shuffles on the join key), then ``localCheckpoint``
+    to truncate the exponentially growing plan.  Convergence checks
+    count once per round (the result is already materialized by the
+    checkpoint, so the count is nearly free).
+    """
+    r = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
+        .distinct().localCheckpoint()
+    n = r.count()
+    for _ in range(max_rounds):
+        hop = (r.alias("a")
+               .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+               .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
+        nxt = r.unionByName(hop).distinct().localCheckpoint()
+        n2 = nxt.count()
+        r = nxt
+        if n2 == n:
+            break
+        n = n2
+    return r
+
+
+def property_path_pairs(triples: DataFrame, pred: str,
+                        max_rounds: int = 30) -> DataFrame:
+    """SPARQL ``?s <pred>+ ?o`` over the triples frame: transitive
+    closure restricted to URI objects (literals cannot chain)."""
+    edges = (triples.filter((F.col("pred") == pred) & F.col("obj_is_uri"))
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return transitive_closure(edges, max_rounds=max_rounds)

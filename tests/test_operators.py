@@ -729,3 +729,36 @@ def test_lsh_index_megabucket_guard_at_build(spark):
     got = dedup_incremental(new, idx2, max_bucket=10).collect()
     assert len(got) == 1 and got[0].est_jaccard == 1.0
     assert got[0].dup_of == "c2"       # deterministic tie-break: max id
+
+
+def test_transitive_closure_diamond_and_cycle(spark):
+    from knowledgebase_processor_spark.operators.graph_query import (
+        transitive_closure)
+    # diamond a->b, a->c, b->d, c->d (+ tail d->e)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    pairs = {(r["src"], r["dst"]) for r in transitive_closure(edges).collect()}
+    assert pairs == {("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+                     ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+                     ("d", "e")}
+    # a cycle must terminate (pair space is finite), not loop forever
+    cyc = spark.createDataFrame([("x", "y"), ("y", "z"), ("z", "x")],
+                                "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in transitive_closure(cyc).collect()}
+    assert got == {(a, b) for a in "xyz" for b in "xyz"}
+
+
+def test_property_path_pairs_filters_pred_and_literals(spark):
+    from knowledgebase_processor_spark.operators.graph_query import (
+        property_path_pairs)
+    t = spark.createDataFrame(
+        [("u:a", "p:link", "u:b", True, None),
+         ("u:b", "p:link", "u:c", True, None),
+         ("u:b", "p:link", "lit", False, "xsd:string"),   # literal: no chain
+         ("u:a", "p:other", "u:z", True, None)],          # other predicate
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_datatype string")
+    pairs = {(r["src"], r["dst"])
+             for r in property_path_pairs(t, "p:link").collect()}
+    assert pairs == {("u:a", "u:b"), ("u:b", "u:c"), ("u:a", "u:c")}
