@@ -82,10 +82,11 @@ def _sub_d2(vec: Column, cent: list[float], off: int) -> Column:
 
 def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id", vec_col: str = "embedding",
-              ) -> DataFrame:
-    """(id, codes array<int>): per subspace, the 0-based index of the
-    nearest centroid (first minimum wins — ``array_position`` of the
-    min, deterministic and DuckDB-replicable)."""
+              keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep, codes array<int>): per subspace, the 0-based index of
+    the nearest centroid (first minimum wins — ``array_position`` of the
+    min, deterministic and DuckDB-replicable).  ``keep`` passes extra
+    columns through the projection (stays narrow — no join-back)."""
     v = F.col(vec_col)
     codes = []
     sub = len(codebooks[0][0])
@@ -95,7 +96,8 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
         # pos == 0 when the min is NaN (NaN != NaN): null code, not -1 —
         # ANSI element_at would otherwise throw downstream
         codes.append(F.when(pos > 0, pos - 1).cast("int"))
-    return vecs.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return vecs.select(F.col(id_col), *[F.col(c) for c in keep],
+                       F.array(*codes).alias("codes"))
 
 
 def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
@@ -146,3 +148,54 @@ def pq_topk_rerank(encoded: DataFrame, vecs: DataFrame,
     return (vecs.join(F.broadcast(cand), id_col)
             .select(F.col(id_col), F.round(dist, 6).alias("l2_dist"))
             .orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(topk))
+
+
+def ivfpq_encode(vecs: DataFrame, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> DataFrame:
+    """IVF-PQ index build: coarse cell assignment + PQ codes of the
+    RESIDUAL (vector minus its cell centroid) — the billion-scale index
+    layout (IVFADC in the PQ paper): residual energy is much smaller
+    than vector energy, so the same codebook bits quantize far finer.
+
+    Output: (id, cell, codes).  One narrow projection per vector —
+    assignment, residual, and encoding are all column expressions.
+    """
+    from .similarity import ivf_assign
+    assigned = ivf_assign(vecs, centroids, id_col, vec_col)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
+    resid = F.zip_with(F.col("v").cast("array<double>"),
+                       F.element_at(cents, F.col("cell") + 1),
+                       lambda a, b: a - b)
+    return pq_encode(assigned.select("vec_id", "cell", resid.alias("r")),
+                     codebooks, id_col="vec_id", vec_col="r",
+                     keep=("cell",))
+
+
+def ivfpq_topk(encoded: DataFrame, centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               query_vec: list[float], topk: int = 10, nprobe: int = 2,
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ query: probe the ``nprobe`` nearest cells (L2 to the
+    query), ADC-score each probed cell's rows against that cell's OWN
+    residual table (query residual differs per cell), union, global
+    top-k.  Each branch is a filter + M lookups — no float vectors are
+    read at query time."""
+    q = [float(x) for x in query_vec]
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (_l2(q, centroids[i]), i))
+    parts = []
+    for cell in ranked[:max(1, nprobe)]:
+        qr = [qi - ci for qi, ci in zip(q, centroids[cell])]
+        scored = pq_topk(encoded.filter(F.col("cell") == cell),
+                         codebooks, qr, topk=topk, id_col=id_col)
+        parts.append(scored)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(topk)

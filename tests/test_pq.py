@@ -85,3 +85,55 @@ def test_pq_nan_vector_does_not_crash(spark):
     out = pq_topk(enc, books, [0.0] * 64, topk=51).collect()
     assert len(out) == 51
     assert any(r["vec_id"] == 999999 for r in out)
+
+
+def test_ivfpq_matches_numpy_and_recalls(spark):
+    from knowledgebase_processor_spark.operators.pq import (
+        ivfpq_encode, ivfpq_topk, pq_train)
+    from knowledgebase_processor_spark.operators.similarity import ivf_centroids
+    vecs = _load(spark)
+    cents = ivf_centroids(vecs, dim=64, k_cells=8)
+    books = pq_train(vecs, dim=64, m=8, k=16)
+    enc = ivfpq_encode(vecs.select("vec_id", "embedding"), cents, books).cache()
+
+    rows = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+            for r in vecs.collect()}
+    q = rows[0]
+    got = [(r["vec_id"], r["adc_dist"])
+           for r in ivfpq_topk(enc, cents, books, list(q),
+                               topk=10, nprobe=8).collect()]
+
+    # numpy recompute with the same cosine cell assignment as ivf_assign
+    C = np.array(cents)
+    cb = np.array(books)
+
+    def cell_of(v):
+        sims = (C @ v) / np.maximum(np.linalg.norm(C, axis=1)
+                                    * np.linalg.norm(v), 1e-12)
+        best, bc = -2.0, -1
+        for i, s in enumerate(sims):       # strict > : first max wins
+            if s > best:
+                best, bc = s, i
+        return bc
+
+    def codes_of(r):
+        return [int(np.argmin(((r[j * 8:(j + 1) * 8][None, :]
+                                - cb[j]) ** 2).sum(axis=1)))
+                for j in range(8)]
+
+    adc = {}
+    for vid, v in rows.items():
+        c = cell_of(v)
+        r = v - C[c]
+        qr = q - C[c]
+        tables = [((qr[j * 8:(j + 1) * 8][None, :] - cb[j]) ** 2).sum(axis=1)
+                  for j in range(8)]
+        adc[vid] = round(sum(tables[j][cd]
+                             for j, cd in enumerate(codes_of(r))), 6)
+    exp = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert [(vid, round(d, 6)) for vid, d in exp] == \
+        [(vid, round(d, 6)) for vid, d in got]
+
+    # IVF-PQ with full probing beats flat-PQ distortion: the true nearest
+    # (vec 0 itself) must rank first via its residual codes
+    assert got[0][0] == 0
