@@ -763,6 +763,21 @@ def _q47_property_path(spark, sf):
             .orderBy("src"))
 
 
+def _q48_pack_sequences(spark, sf):
+    # Sequence packing for pretraining batches (operators/packing.py):
+    # greedy next-fit within portable-hash buckets, run as grouped
+    # applyInPandas.  The EXACT per-document (bucket, seq_id, offset)
+    # assignment is replayed by a DuckDB recursive CTE — a sequential
+    # stateful operator value-checked cross-engine.
+    from knowledgebase_processor_spark.functions.text import token_count
+    from knowledgebase_processor_spark.operators.packing import pack_sequences
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"))
+    return (pack_sequences(d, seq_len=512, buckets=8, portable=True)
+            .orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -835,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_prepare_corpus": _q45_prepare_corpus,
         "q46_pq_adc": _q46_pq_adc,
         "q47_property_path": _q47_property_path,
+        "q48_pack_sequences": _q48_pack_sequences,
     }
 
 
@@ -1706,6 +1722,41 @@ def oracle_sql() -> dict[str, str]:
               ('scrubbed_chars', 2151)
             ) AS t(stage, n_docs) ORDER BY stage""",
         "q46_pq_adc": _q46_oracle_sql(_q46_books()),
+        "q48_pack_sequences": r"""
+            WITH RECURSIVE t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          ::BIGINT % 8 AS INT) AS bucket
+              FROM documents),
+            d AS (
+              SELECT *, row_number() OVER (PARTITION BY bucket
+                                           ORDER BY doc_id) AS rn
+              FROM t),
+            s AS (
+              SELECT bucket, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_id,
+                     CAST(0 AS BIGINT) AS off,
+                     LEAST(n_tokens, 512) AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN s.fill > 0
+                           AND s.fill + LEAST(d.n_tokens, 512) > 512
+                          THEN s.seq_id + 1 ELSE s.seq_id END,
+                     CASE WHEN s.fill > 0
+                           AND s.fill + LEAST(d.n_tokens, 512) > 512
+                          THEN 0 ELSE s.fill END,
+                     CASE WHEN s.fill > 0
+                           AND s.fill + LEAST(d.n_tokens, 512) > 512
+                          THEN LEAST(d.n_tokens, 512)
+                          ELSE s.fill + LEAST(d.n_tokens, 512) END
+              FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1)
+            SELECT doc_id, bucket, seq_id, off AS offset, n_tokens,
+                   (n_tokens > 512) AS truncated
+            FROM s ORDER BY doc_id""",
         "q47_property_path": """
             WITH RECURSIVE anc(src, dst) AS (
               SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst

@@ -232,3 +232,43 @@ def test_prepare_corpus_stage_semantics(spark):
     assert boiler in texts["a"] and boiler not in texts["b"]
     # PII scrubbed
     assert "who@example.com" not in texts["b"] and "<EMAIL>" in texts["b"]
+
+
+def test_pack_sequences_semantics(spark):
+    from knowledgebase_processor_spark.operators.packing import (
+        pack_sequences, packing_stats)
+    # one bucket so the greedy scan order (string-sorted ids) is total
+    rows = [("a", 300), ("b", 300), ("c", 500), ("d", 100), ("e", 9000)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = {r["doc_id"]: r.asDict()
+           for r in pack_sequences(df, seq_len=512, buckets=1).collect()}
+    # a(300) -> seq0 off0; b(300) overflows -> seq1 off0; c(500) -> seq2;
+    # d(100) overflows 500+100 -> seq3; e(9000) truncated -> seq4
+    assert (out["a"]["seq_id"], out["a"]["offset"]) == (0, 0)
+    assert (out["b"]["seq_id"], out["b"]["offset"]) == (1, 0)
+    assert (out["c"]["seq_id"], out["c"]["offset"]) == (2, 0)
+    assert (out["d"]["seq_id"], out["d"]["offset"]) == (3, 0)
+    assert out["e"]["seq_id"] == 4 and out["e"]["truncated"] is True
+    # two small docs co-pack
+    df2 = spark.createDataFrame([("a", 200), ("b", 200), ("c", 200)],
+                                "doc_id string, n_tokens long")
+    out2 = {r["doc_id"]: r.asDict()
+            for r in pack_sequences(df2, seq_len=512, buckets=1).collect()}
+    assert (out2["a"]["seq_id"], out2["a"]["offset"]) == (0, 0)
+    assert (out2["b"]["seq_id"], out2["b"]["offset"]) == (0, 200)
+    assert (out2["c"]["seq_id"], out2["c"]["offset"]) == (1, 0)
+    st = packing_stats(pack_sequences(df2, seq_len=512, buckets=1),
+                       seq_len=512).collect()[0]
+    assert st["n_sequences"] == 2 and st["n_docs"] == 3
+    assert st["fill_ratio"] == round(600 / 1024, 6)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from knowledgebase_processor_spark.operators.packing import pack_sequences
+    rows = [(str(i), 50 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=512, buckets=8)
+                   .collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(13), seq_len=512,
+                                         buckets=8).collect()))
+    assert a == b
