@@ -117,9 +117,17 @@ def shingles(text: Column, n: int = 3) -> Column:
     keeps the DuckDB oracles (q29/q30) bit-identical."""
     words = F.filter(F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+"),
                      lambda x: x != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    # zip_with over shifted copies, NOT transform(indices, i -> ...):
+    # interpreted higher-order functions re-evaluate captured expression
+    # trees per element, so referencing `words` inside the lambda makes
+    # shingling O(doc^2) on crawl-scale pages (see quality._ngrams)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words), F.lit(1)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+        F.slice(grams, 1, F.size(words) - (n - 1)))
 
 
 # --- PII redaction (training-data hygiene) ---------------------------------

@@ -91,10 +91,24 @@ def _dup_stats(units: Column) -> Column:
 
 
 def _ngrams(words: Column, n: int) -> Column:
-    """Word n-grams (space-joined); empty array when fewer than n words."""
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    """Word n-grams (space-joined); empty array when fewer than n words.
+
+    Built by ``zip_with`` over shifted copies of the array — every
+    slice is evaluated ONCE, and the lambdas capture only their own
+    arguments.  The obvious ``transform(indices, i -> f(words, i))``
+    form is quadratic on crawl-scale pages: interpreted higher-order
+    functions re-evaluate any captured expression tree (here the whole
+    split+filter of the document) PER ELEMENT — measured minutes on a
+    50k-word page."""
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words), F.lit(1)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with null -> the last n-1 entries
+    # are short grams; cut them off (single slice, evaluated once)
+    return F.when(F.size(words) < n, F.array().cast("array<string>")) \
+        .otherwise(F.slice(grams, 1, F.size(words) - (n - 1)))
 
 
 def _top_run(units: Column) -> Column:

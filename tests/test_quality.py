@@ -272,3 +272,23 @@ def test_pack_sequences_partition_invariant(spark):
     b = sorted(map(tuple, pack_sequences(df.repartition(13), seq_len=512,
                                          buckets=8).collect()))
     assert a == b
+
+
+def test_quality_ops_linear_on_huge_docs(spark):
+    """Crawl-scale pages must not blow up the sorted-array folds: a ~3MB
+    page with 500k words / 100k lines through the full Gopher evaluation,
+    C4 cleaning, and packing tokenization in bounded time (the regression
+    class this guards against is quadratic, i.e. minutes-to-hours)."""
+    import time
+    from knowledgebase_processor_spark.operators.quality import (
+        c4_line_filter, gopher_quality_flags)
+    big_line = "the quick brown fox jumps over the lazy dog today. "
+    huge = "\n".join([big_line * 5] * 20_000)        # ~5MB, 100k dup lines
+    df = spark.createDataFrame([("h", huge)], "doc_id string, text string")
+    t0 = time.perf_counter()
+    flags = gopher_quality_flags(df).collect()[0]
+    c4 = c4_line_filter(df).collect()[0]
+    dt = time.perf_counter() - t0
+    assert flags["ok_dup_lines"] is False            # all lines identical
+    assert c4["n_lines_kept"] == 20_000
+    assert dt < 120, f"huge-doc quality pass took {dt:.0f}s"
