@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
+from knowledgebase_processor_spark.operators.pagerank import (  # noqa: E402
+    pagerank_oracle_sql as _pagerank_oracle_sql)
+
 # Executor workers must import this package + vendored markdown-it.  When
 # the harness imports this module BEFORE creating its SparkSession (the
 # normal flow), exporting PYTHONPATH here covers local-mode workers; on a
@@ -778,6 +781,21 @@ def _q48_pack_sequences(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q49_pagerank(spark, sf):
+    # PageRank over the KG link structure (operators/pagerank.py): power
+    # iteration as join + partial-aggregatable groupBy per round, static
+    # contribution base checkpointed once.  Edge set: the deterministic
+    # parent chain doc -> doc/2 (in-degree <= 2, so every per-node sum
+    # folds at most two doubles — bit-exact across engines); DuckDB
+    # replays the identical 5 iterations as chained CTEs.
+    from knowledgebase_processor_spark.operators.pagerank import pagerank
+    d = _t(spark, sf, "documents")
+    edges = (d.filter(F.col("doc_id") >= 1)
+             .select(F.col("doc_id").alias("src"),
+                     F.floor(F.col("doc_id") / 2).cast("long").alias("dst")))
+    return pagerank(edges, iterations=5).orderBy("node")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -851,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_pq_adc": _q46_pq_adc,
         "q47_property_path": _q47_property_path,
         "q48_pack_sequences": _q48_pack_sequences,
+        "q49_pagerank": _q49_pagerank,
     }
 
 
@@ -1770,6 +1789,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, CAST(COUNT(*) AS BIGINT) AS n_ancestors,
                    MIN(dst) AS root
             FROM anc GROUP BY src ORDER BY src""",
+        "q49_pagerank": _pagerank_oracle_sql(
+            "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
+            "FROM documents WHERE doc_id >= 1",
+            iterations=5) + " ORDER BY node",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

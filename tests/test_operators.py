@@ -762,3 +762,39 @@ def test_property_path_pairs_filters_pred_and_literals(spark):
     pairs = {(r["src"], r["dst"])
              for r in property_path_pairs(t, "p:link").collect()}
     assert pairs == {("u:a", "u:b"), ("u:b", "u:c"), ("u:a", "u:c")}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """General graph (cycles, dangling node, multi-in-degree) vs an
+    independent numpy power iteration with identical semantics."""
+    import numpy as np
+    from knowledgebase_processor_spark.operators.pagerank import pagerank
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 2)]  # dup edge; 4=isolated sink via (2,4)? no - add dangling
+    edges.append((1, 4))  # node 4 has no out-edges (dangling)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.rank for r in pagerank(df, iterations=12).collect()}
+
+    n, d, iters = 5, 0.85, 12
+    out = {0: [1, 2], 1: [2, 4], 2: [0], 3: [2]}
+    r = {i: 1.0 / n for i in range(n)}
+    for _ in range(iters):
+        dang = sum(v for k, v in r.items() if k not in out)
+        nxt = {i: (1 - d) / n + d * dang / n for i in range(n)}
+        for s, ds in out.items():
+            for t in ds:
+                nxt[t] += d * r[s] / len(ds)
+        r = nxt
+    assert set(got) == set(r)
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-12, (k, got[k], r[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_and_null_edges(spark):
+    from knowledgebase_processor_spark.operators.pagerank import pagerank
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    nulls = spark.createDataFrame([("a", None), (None, "b"), ("a", "b")],
+                                  "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(nulls, iterations=3).collect()}
+    assert set(got) == {"a", "b"}
