@@ -796,6 +796,17 @@ def _q49_pagerank(spark, sf):
     return pagerank(edges, iterations=5).orderBy("node")
 
 
+def _q50_sessionize(spark, sf):
+    # Gap-based sessionization of the event log (operators/sessions.py):
+    # one shuffle on user_id serves lag-window, running break count, and
+    # the per-session aggregation.  Exact integer-microsecond outputs —
+    # DuckDB replays the identical window SQL.
+    from knowledgebase_processor_spark.operators.sessions import sessionize
+    e = _t(spark, sf, "events")
+    return (sessionize(e, gap_minutes=30)
+            .orderBy("user_id", "session_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -870,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_property_path": _q47_property_path,
         "q48_pack_sequences": _q48_pack_sequences,
         "q49_pagerank": _q49_pagerank,
+        "q50_sessionize": _q50_sessionize,
     }
 
 
@@ -1793,6 +1805,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
             "FROM documents WHERE doc_id >= 1",
             iterations=5) + " ORDER BY node",
+        "q50_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM o),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM f)
+            SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -798,3 +798,31 @@ def test_pagerank_empty_and_null_edges(spark):
                                   "src string, dst string")
     got = {r.node: r.rank for r in pagerank(nulls, iterations=3).collect()}
     assert set(got) == {"a", "b"}
+
+
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.sessions import sessionize
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 100, t0),                                   # u1 s1
+        (1, 101, t0 + dt.timedelta(minutes=10)),        # u1 s1 (gap 10m)
+        (1, 102, t0 + dt.timedelta(minutes=41)),        # u1 s2 (gap 31m)
+        (2, 200, t0),                                   # u2 s1
+        (2, 201, t0 + dt.timedelta(minutes=30)),        # u2 s1 (gap == 30m, NOT >)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {(r.user_id, r.session_id): (r.n_events, r.duration_us)
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert got == {(1, 1): (2, 600_000_000), (1, 2): (1, 0),
+                   (2, 1): (2, 1_800_000_000)}
+
+
+def test_sessionize_tiebreak_deterministic(spark):
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.sessions import sessionize
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0) for i in range(50)]  # 50 simultaneous events
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = sessionize(df.repartition(7), gap_minutes=1).collect()
+    assert len(out) == 1 and out[0].n_events == 50 and out[0].session_id == 1
