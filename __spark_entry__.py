@@ -807,6 +807,18 @@ def _q50_sessionize(spark, sf):
             .orderBy("user_id", "session_id"))
 
 
+def _q51_tfidf_keywords(spark, sf):
+    # Corpus TF-IDF keywords (operators/keywords.py): explode -> two
+    # partial-agg groupBys -> vocab join -> per-doc top-k window.  Raw
+    # inverse frequency (no ln) keeps doubles exact-rounded, so DuckDB
+    # reproduces scores bit-identically.
+    from knowledgebase_processor_spark.operators.keywords import (
+        tfidf_top_terms)
+    d = _t(spark, sf, "documents")
+    return (tfidf_top_terms(d, k=3)
+            .orderBy("doc_id", "rank"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -882,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pack_sequences": _q48_pack_sequences,
         "q49_pagerank": _q49_pagerank,
         "q50_sessionize": _q50_sessionize,
+        "q51_tfidf_keywords": _q51_tfidf_keywords,
     }
 
 
@@ -1826,6 +1839,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us
             FROM s GROUP BY user_id, sess
             ORDER BY user_id, session_id""",
+        "q51_tfidf_keywords": """
+            WITH tok AS (
+              SELECT doc_id, UNNEST(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf::DOUBLE * (n.n / df.df::DOUBLE) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC)
+                        AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -826,3 +826,28 @@ def test_sessionize_tiebreak_deterministic(spark):
     df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
     out = sessionize(df.repartition(7), gap_minutes=1).collect()
     assert len(out) == 1 and out[0].n_events == 50 and out[0].session_id == 1
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    from knowledgebase_processor_spark.operators.keywords import tfidf_top_terms
+    rows = [("a", "common rare common zebra"),
+            ("b", "common common common"),
+            ("c", "common plain")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in
+           tfidf_top_terms(df, k=2).collect()}
+    # doc a: rare/zebra (df=1) beat common (tf=2 but df=3): 1*(3/1)=3 > 2*(3/3)=2
+    assert got[("a", 1)] == ("rare", 1, 1)
+    assert got[("a", 2)] == ("zebra", 1, 1)   # tie with rare -> term asc
+    assert got[("b", 1)] == ("common", 3, 3)
+    assert got[("c", 1)] == ("plain", 1, 1)
+
+
+def test_tfidf_broadcast_vocab_same_result(spark):
+    from knowledgebase_processor_spark.operators.keywords import tfidf_top_terms
+    rows = [(str(i), f"w{i % 7} shared tail{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, tfidf_top_terms(df, k=3).collect()))
+    b = sorted(map(tuple, tfidf_top_terms(df, k=3,
+                                          broadcast_vocab=True).collect()))
+    assert a == b and len(a) == 120
