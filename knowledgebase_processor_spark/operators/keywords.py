@@ -34,11 +34,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3, min_term_len: int = 1,
-                    broadcast_vocab: bool = False) -> DataFrame:
+                    broadcast_vocab: bool = False,
+                    materialize_tf: bool = True) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, term, tf, df, score, rank) with the
     top-``k`` terms per document by ``tf * (N / df)``.  Tokenization is
     the engine-wide portable form (collapse whitespace, lowercase,
-    split on single spaces) so cross-engine oracles reproduce it."""
+    split on single spaces) so cross-engine oracles reproduce it.
+
+    ``materialize_tf`` (default on) ``localCheckpoint``s the (doc, term,
+    tf) frame: it feeds BOTH the fact side of the score join and the
+    document-frequency aggregation, and without materialization Catalyst
+    plans the scan+tokenize+explode subtree TWICE (no automatic subtree
+    reuse across branches) — at corpus scale tokenizing every document
+    twice is the dominant cost, far above writing the much smaller
+    distinct-terms frame to executor-local storage once."""
     n_docs = docs.count()  # one scalar; the corpus size constant
     words = F.filter(
         F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))),
@@ -46,6 +55,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, min_term_len: int = 1,
         lambda t: (F.length(t) >= min_term_len) & (t != ""))
     tf = (docs.select("doc_id", F.explode(words).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    if materialize_tf:
+        tf = tf.localCheckpoint()
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     if broadcast_vocab:
         df_ = F.broadcast(df_)
