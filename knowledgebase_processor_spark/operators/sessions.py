@@ -37,7 +37,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     """events(user_id, ts, event_id, ...) -> one row per (user, session):
     ``(user_id, session_id, n_events, session_start, session_end,
     duration_us)``.  A new session starts at the first event and after
-    any gap strictly greater than ``gap_minutes``."""
+    any gap STRICTLY greater than ``gap_minutes`` — the same merge rule
+    as Spark's ``F.session_window`` (whose windows are [t, t+gap] for
+    merging purposes: an event landing exactly on the previous window's
+    end is absorbed, verified empirically), so this batch operator is
+    the exact backfill twin of ``streaming.jobs.session_event_stats``;
+    equivalence is pinned by ``test_sessionize_equals_session_window``
+    including boundary-equal gaps."""
     gap_us = int(gap_minutes) * 60_000_000
     w = Window.partitionBy(user).orderBy(ts, order_tiebreak)
     # Epoch micros for BOTH timestamp and timestamp_ntz inputs (parquet

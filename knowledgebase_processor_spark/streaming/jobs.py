@@ -115,3 +115,22 @@ def screen_crawl_stream(docs_stream: DataFrame, index: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def session_event_stats(events: DataFrame, gap: str = "30 minutes",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize``: gap-based
+    session aggregation via ``F.session_window`` with a late-data
+    watermark, so state for a session is dropped once the watermark
+    passes its close.  Works identically on a batch frame (no watermark
+    semantics there), which is how the equivalence test pins it to the
+    batch operator: both split a user's events wherever the inter-event
+    gap reaches ``gap`` — Spark/Flink session-window semantics (an event
+    landing exactly at the previous window's exclusive end opens a NEW
+    session).
+    """
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_close"), "n_events"))

@@ -809,13 +809,35 @@ def test_sessionize_gap_splits(spark):
         (1, 101, t0 + dt.timedelta(minutes=10)),        # u1 s1 (gap 10m)
         (1, 102, t0 + dt.timedelta(minutes=41)),        # u1 s2 (gap 31m)
         (2, 200, t0),                                   # u2 s1
-        (2, 201, t0 + dt.timedelta(minutes=30)),        # u2 s1 (gap == 30m, NOT >)
+        (2, 201, t0 + dt.timedelta(minutes=30)),        # u2 s1 (gap == 30m
+        #   is absorbed — session_window merge semantics, strictly >)
     ]
     df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
     got = {(r.user_id, r.session_id): (r.n_events, r.duration_us)
            for r in sessionize(df, gap_minutes=30).collect()}
     assert got == {(1, 1): (2, 600_000_000), (1, 2): (1, 0),
                    (2, 1): (2, 1_800_000_000)}
+
+
+def test_sessionize_equals_session_window(spark):
+    """The batch operator must agree with F.session_window on session
+    membership — including gaps exactly at the threshold."""
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.sessions import sessionize
+    from knowledgebase_processor_spark.streaming.jobs import session_event_stats
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u in range(6):
+        t = t0
+        for step_min in (0, 5, 30, 29, 31, 30, 1, 60, 0):
+            t = t + dt.timedelta(minutes=(step_min + u) % 61)
+            rows.append((u, eid, t)); eid += 1
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    batch = {(r.user_id, r.session_start, r.n_events)
+             for r in sessionize(df, gap_minutes=30).collect()}
+    sw = {(r.user_id, r.session_start, r.n_events)
+          for r in session_event_stats(df, gap="30 minutes").collect()}
+    assert batch == sw
 
 
 def test_sessionize_tiebreak_deterministic(spark):
