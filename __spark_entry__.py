@@ -819,6 +819,22 @@ def _q51_tfidf_keywords(spark, sf):
             .orderBy("doc_id", "rank"))
 
 
+def _q52_term_cooccurrence(spark, sf):
+    # Collocation mining (operators/cooccur.py): df-bounded vocabulary,
+    # per-doc rarest-first cap (pair fan-out <= C(64,2) per doc), one
+    # co-partitioned self-join, lift = multiply/divide only so DuckDB
+    # reproduces the scores bit-identically.
+    from knowledgebase_processor_spark.operators.cooccur import (
+        term_cooccurrence)
+    d = _t(spark, sf, "documents")
+    # max_df_frac=0.9: the synthetic corpus's vocabulary is 31 terms, 30
+    # of them in ~80% of documents — a web-realistic 0.5 stopword cap
+    # would empty the result (production default stays 0.5).
+    return (term_cooccurrence(d, min_df=2, max_df_frac=0.9,
+                              max_terms_per_doc=64, min_pair_count=3)
+            .orderBy(F.desc("lift"), "term_a", "term_b").limit(200))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_pagerank": _q49_pagerank,
         "q50_sessionize": _q50_sessionize,
         "q51_tfidf_keywords": _q51_tfidf_keywords,
+        "q52_term_cooccurrence": _q52_term_cooccurrence,
     }
 
 
@@ -1862,6 +1879,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
             ORDER BY doc_id, rank""",
+        "q52_term_cooccurrence": """
+            WITH raw AS (
+              SELECT doc_id, UNNEST(string_split(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       ' ')) AS term
+              FROM documents),
+            dtm AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> ''),
+            dfc AS (SELECT term, COUNT(*) AS df FROM dtm GROUP BY term),
+            n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+            kept AS (
+              SELECT dtm.doc_id, dtm.term, dfc.df
+              FROM dtm JOIN dfc USING (term) CROSS JOIN n
+              WHERE dfc.df >= 2 AND dfc.df::DOUBLE <= 0.9 * n.n),
+            capped AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY df ASC, term ASC) AS r
+              FROM kept),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     a.df AS df_a, b.df AS df_b, COUNT(*) AS n_docs_both
+              FROM capped a JOIN capped b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.r <= 64 AND b.r <= 64
+              GROUP BY 1, 2, 3, 4
+              HAVING COUNT(*) >= 3)
+            SELECT term_a, term_b, n_docs_both, df_a, df_b,
+                   (n_docs_both::DOUBLE * n.n)
+                   / (df_a::DOUBLE * df_b::DOUBLE) AS lift
+            FROM pairs CROSS JOIN n
+            ORDER BY lift DESC, term_a, term_b LIMIT 200""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

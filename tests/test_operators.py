@@ -873,3 +873,34 @@ def test_tfidf_broadcast_vocab_same_result(spark):
     b = sorted(map(tuple, tfidf_top_terms(df, k=3,
                                           broadcast_vocab=True).collect()))
     assert a == b and len(a) == 120
+
+
+def test_term_cooccurrence_lift_and_guards(spark):
+    from knowledgebase_processor_spark.operators.cooccur import term_cooccurrence
+    rows = [("a", "salt pepper bread"), ("b", "salt pepper water"),
+            ("c", "salt pepper"), ("d", "bread water jam jam"),
+            ("e", "filler filler"), ("f", "bread salt")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {(r.term_a, r.term_b): r for r in
+           term_cooccurrence(df, min_df=2, max_df_frac=1.0,
+                             max_terms_per_doc=64,
+                             min_pair_count=2).collect()}
+    sp = out[("pepper", "salt")]
+    # pepper df=3, salt df=4, together 3 times, N=6: lift = 3*6/(3*4)
+    assert (sp.n_docs_both, sp.df_a, sp.df_b) == (3, 3, 4)
+    assert abs(sp.lift - 1.5) < 1e-15
+    # hapax (jam appears in 1 doc) and sub-threshold pairs are absent
+    assert all("jam" not in k for k in out)
+    assert ("bread", "water") not in out  # co-occur once < min_pair_count
+
+
+def test_term_cooccurrence_head_doc_is_bounded(spark):
+    """A pathological document with a huge vocabulary must not go
+    quadratic: the per-doc cap bounds its pair fan-out."""
+    from knowledgebase_processor_spark.operators.cooccur import term_cooccurrence
+    big = " ".join(f"tok{i}" for i in range(5000))
+    rows = [("big1", big), ("big2", big)]  # df=2 so terms survive min_df
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = term_cooccurrence(df, min_df=2, max_df_frac=1.0,
+                            max_terms_per_doc=64, min_pair_count=2)
+    assert out.count() == 64 * 63 // 2  # C(64,2), not C(5000,2)

@@ -283,12 +283,15 @@ def test_quality_ops_linear_on_huge_docs(spark):
     from knowledgebase_processor_spark.operators.quality import (
         c4_line_filter, gopher_quality_flags)
     big_line = "the quick brown fox jumps over the lazy dog today. "
-    huge = "\n".join([big_line * 5] * 20_000)        # ~5MB, 100k dup lines
+    # ~2.5MB / 10k duplicate lines: ~20s healthy, MINUTES if quadratic —
+    # sized so host-freeze noise + a concurrently running suite can't
+    # push a healthy run over the bound (it did at 20k lines).
+    huge = "\n".join([big_line * 5] * 10_000)
     df = spark.createDataFrame([("h", huge)], "doc_id string, text string")
     t0 = time.perf_counter()
     flags = gopher_quality_flags(df).collect()[0]
     c4 = c4_line_filter(df).collect()[0]
     dt = time.perf_counter() - t0
     assert flags["ok_dup_lines"] is False            # all lines identical
-    assert c4["n_lines_kept"] == 20_000
+    assert c4["n_lines_kept"] == 10_000
     assert dt < 120, f"huge-doc quality pass took {dt:.0f}s"
