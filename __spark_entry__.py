@@ -835,6 +835,26 @@ def _q52_term_cooccurrence(spark, sf):
             .orderBy(F.desc("lift"), "term_a", "term_b").limit(200))
 
 
+def _q53_asof_attribution(spark, sf):
+    # As-of join (operators/asof.py): every purchase matched to the
+    # user's latest view at-or-before it.  ONE shuffle on user_id
+    # (union + forward-fill window), never the quadratic key-range join.
+    # The DuckDB oracle uses its NATIVE ASOF JOIN — an independent
+    # algorithm agreeing on every matched row, not a replay of ours.
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    e = _t(spark, sf, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    # determinism contract: one right row per (user, ts) — keep max id
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    return (out.select("user_id", "event_id", "ts", "value",
+                       "view_id", F.col("ts_right").alias("view_ts"))
+            .orderBy("event_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -912,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_sessionize": _q50_sessionize,
         "q51_tfidf_keywords": _q51_tfidf_keywords,
         "q52_term_cooccurrence": _q52_term_cooccurrence,
+        "q53_asof_attribution": _q53_asof_attribution,
     }
 
 
@@ -1909,6 +1930,19 @@ def oracle_sql() -> dict[str, str]:
                    / (df_a::DOUBLE * df_b::DOUBLE) AS lift
             FROM pairs CROSS JOIN n
             ORDER BY lift DESC, term_a, term_b LIMIT 200""",
+        "q53_asof_attribution": """
+            WITH purchases AS (
+              SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+            views AS (
+              SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT p.user_id, p.event_id, p.ts, p.value,
+                   v.view_id, v.ts AS view_ts
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -904,3 +904,41 @@ def test_term_cooccurrence_head_doc_is_bounded(spark):
     out = term_cooccurrence(df, min_df=2, max_df_frac=1.0,
                             max_terms_per_doc=64, min_pair_count=2)
     assert out.count() == 64 * 63 // 2  # C(64,2), not C(5000,2)
+
+
+def test_asof_join_backward_inclusive_and_tolerance(spark):
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10), "p1"), (1, t(20), "p2"), (1, t(5), "p0"),
+         (2, t(10), "p3"), (3, t(10), "p4")],
+        "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(15), 150), (2, t(11), 200)],
+        "user_id int, ts timestamp, snap int")
+    got = {r.tag: (r.snap, r.ts_right and r.ts_right.minute)
+           for r in asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert got["p1"] == (100, 10)     # equal ts matches (inclusive)
+    assert got["p2"] == (150, 15)     # latest prior wins
+    assert got["p0"] == (None, None)  # nothing at-or-before
+    assert got["p3"] == (None, None)  # right row is AFTER left ts
+    assert got["p4"] == (None, None)  # key never appears on right
+    tol = {r.tag: r.snap for r in
+           asof_join(left, right, on="user_id", ts="ts",
+                     tolerance_us=3 * 60_000_000).collect()}
+    assert tol["p1"] == 100           # 0 min old, within 3 min
+    assert tol["p2"] is None          # 5 min old > 3 min tolerance
+
+
+def test_asof_join_null_ts_rows(spark):
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, None, "x"), (1, t0, "y")],
+                                 "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, None, 5), (1, t0, 7)],
+                                  "user_id int, ts timestamp, snap int")
+    got = {r.tag: r.snap for r in
+           asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert got == {"x": None, "y": 7}  # null-ts right row never matches
