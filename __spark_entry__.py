@@ -855,6 +855,46 @@ def _q53_asof_attribution(spark, sf):
             .orderBy("event_id"))
 
 
+def _q54_interval_join(spark, sf):
+    # Grid-bucketized range join (operators/rangejoin.py): click-sessions
+    # become intervals, view events the points; the interval explodes to
+    # 1-hour grid cells, the join is a plain equi-join on (user, cell)
+    # with an exact BETWEEN post-filter — never a key-only shuffle that
+    # goes |L|x|R| on hot users.  DuckDB verifies with the naive
+    # BETWEEN join (fine at oracle scale, the thing we avoid at 100 TB).
+    from knowledgebase_processor_spark.operators.rangejoin import (
+        interval_join)
+    from knowledgebase_processor_spark.operators.sessions import sessionize
+    e = _t(spark, sf, "events")
+    # 1-day gap: this corpus's median per-user inter-event gap is ~7h,
+    # so 30-min click sessions would be zero-length singletons; day-gap
+    # sessions span days and exercise the multi-cell grid fan-out.
+    sessions = sessionize(e.filter(F.col("event_type") == "click"),
+                          gap_minutes=1440)
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id"))
+    matched, _rejected = interval_join(
+        views, sessions, on="user_id", ts="ts",
+        start="session_start", end="session_end")
+    return (matched.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_views"),
+                 F.min("event_id").alias("first_view_id"))
+            .orderBy("user_id", "session_id"))
+
+
+def _q55_hypertable_rollup(spark, sf):
+    # Continuous-aggregate hierarchy (operators/rollup.py): hour rows
+    # fold minute partials, day rows fold hour partials — one raw scan
+    # total.  The oracle aggregates every level DIRECTLY from raw in
+    # DuckDB, verifying the defining invariant (rollup-of-partials ==
+    # direct) cross-engine.
+    from knowledgebase_processor_spark.operators.rollup import (
+        hypertable_rollup)
+    e = _t(spark, sf, "events")
+    return (hypertable_rollup(e)
+            .orderBy("level", "bucket_start", "event_type"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -933,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_tfidf_keywords": _q51_tfidf_keywords,
         "q52_term_cooccurrence": _q52_term_cooccurrence,
         "q53_asof_attribution": _q53_asof_attribution,
+        "q54_interval_join": _q54_interval_join,
+        "q55_hypertable_rollup": _q55_hypertable_rollup,
     }
 
 
@@ -1943,6 +1985,49 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id""",
+        "q54_interval_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+              FROM events WHERE event_type = 'click'),
+            f AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR tus - prev > 86400000000 THEN 1 ELSE 0 END AS brk
+              FROM clicks),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM f),
+            sessions AS (
+              SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end
+              FROM s GROUP BY user_id, sess),
+            views AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'view')
+            SELECT v.user_id, i.session_id, COUNT(*) AS n_views,
+                   MIN(v.event_id) AS first_view_id
+            FROM views v JOIN sessions i
+              ON v.user_id = i.user_id
+             AND v.ts BETWEEN i.session_start AND i.session_end
+            GROUP BY v.user_id, i.session_id
+            ORDER BY v.user_id, i.session_id""",
+        "q55_hypertable_rollup": """
+            SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_start,
+                   event_type, COUNT(*) AS n_events,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'hour', date_trunc('hour', ts), event_type, COUNT(*),
+                   MIN(value), MAX(value)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+                   MIN(value), MAX(value)
+            FROM events GROUP BY 2, 3
+            ORDER BY level, bucket_start, event_type""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -942,3 +942,79 @@ def test_asof_join_null_ts_rows(spark):
     got = {r.tag: r.snap for r in
            asof_join(left, right, on="user_id", ts="ts").collect()}
     assert got == {"x": None, "y": 7}  # null-ts right row never matches
+
+
+def test_interval_join_grid_equals_naive(spark):
+    """Grid-bucketized result must equal the naive BETWEEN join on a
+    corpus with boundary hits, nested/overlapping intervals, cross-grid
+    spans, and foreign keys."""
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.rangejoin import interval_join
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    pts = spark.createDataFrame(
+        [(u, i, t(m)) for i, (u, m) in enumerate(
+            [(1, 0), (1, 59), (1, 60), (1, 61), (1, 200), (2, 30), (3, 30)])],
+        "user_id int, pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, 10, t(0), t(60)),      # boundary-inclusive both ends
+         (1, 11, t(30), t(240)),    # spans multiple 1h grid cells
+         (1, 12, t(50), t(55)),     # nested, no points
+         (2, 20, t(0), t(29)),      # ends just before the point
+         (4, 40, t(0), t(300))],    # key with no points
+        "user_id int, iid int, s timestamp, e timestamp")
+    matched, rejected = interval_join(pts, ivs, on="user_id", ts="ts",
+                                      start="s", end="e")
+    got = {(r.pid, r.iid) for r in matched.collect()}
+    naive = {(p.pid, i.iid)
+             for p in pts.collect() for i in ivs.collect()
+             if p.user_id == i.user_id and i.s <= p.ts <= i.e}
+    assert got == naive and len(got) == 7
+    assert rejected.count() == 0
+
+
+def test_interval_join_mega_interval_guard(spark):
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.rangejoin import interval_join
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, 1, t0)], "user_id int, pid int, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(1, 10, t0, t0 + dt.timedelta(days=4000)),  # ~96k hourly cells
+         (1, 11, t0, t0 + dt.timedelta(hours=1))],
+        "user_id int, iid int, s timestamp, e timestamp")
+    matched, rejected = interval_join(pts, ivs, on="user_id", ts="ts",
+                                      start="s", end="e")
+    assert [r.iid for r in rejected.collect()] == [10]
+    assert {r.iid for r in matched.collect()} == {11}
+
+
+def test_hypertable_rollup_partials_equal_direct(spark):
+    """The continuous-aggregate invariant: every coarser level built
+    from partials equals direct aggregation of raw."""
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.rollup import hypertable_rollup
+    t0 = dt.datetime(2024, 1, 1, 22, 58)
+    rows = []
+    for i in range(200):  # crosses minute, hour, AND day boundaries
+        rows.append((t0 + dt.timedelta(minutes=i), "a" if i % 3 else "b",
+                     float((i * 7) % 13)))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = hypertable_rollup(df).collect()
+    by_level = {}
+    for r in got:
+        by_level.setdefault(r.level, {})[(r.bucket_start, r.event_type)] = \
+            (r.n_events, r.min_value, r.max_value)
+    import collections
+    for lvl, trunc in (("minute", "minute"), ("hour", "hour"), ("day", "day")):
+        direct = collections.defaultdict(lambda: [0, None, None])
+        for ts, et, v in rows:
+            if trunc == "minute":
+                b = ts.replace(second=0, microsecond=0)
+            elif trunc == "hour":
+                b = ts.replace(minute=0, second=0, microsecond=0)
+            else:
+                b = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+            d = direct[(b, et)]
+            d[0] += 1
+            d[1] = v if d[1] is None else min(d[1], v)
+            d[2] = v if d[2] is None else max(d[2], v)
+        assert by_level[lvl] == {k: tuple(v) for k, v in direct.items()}, lvl
