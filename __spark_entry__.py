@@ -24,6 +24,11 @@ sys.path.insert(0, _REPO)
 
 from knowledgebase_processor_spark.operators.pagerank import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_oracle_sql)
+from knowledgebase_processor_spark.operators.split import (  # noqa: E402
+    split_thresholds_sql as _split_thresholds_sql)
+
+_split_case_sql = _split_thresholds_sql(
+    {"train": 0.8, "val": 0.1, "test": 0.1})
 
 # Executor workers must import this package + vendored markdown-it.  When
 # the harness imports this module BEFORE creating its SparkSession (the
@@ -895,6 +900,21 @@ def _q55_hypertable_rollup(spark, sf):
             .orderBy("level", "bucket_start", "event_type"))
 
 
+def _q56_hash_split(spark, sf):
+    # Deterministic train/val/test assignment (operators/split.py):
+    # salted-md5 integer-threshold buckets, zero shuffles for the
+    # assignment itself; DuckDB recomputes every doc's split from the
+    # same md5 prefix and the per-(split, lang) rollup must agree.
+    from knowledgebase_processor_spark.operators.split import hash_split
+    d = _t(spark, sf, "documents")
+    return (hash_split(d, key="doc_id",
+                       weights={"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split", "lang"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -975,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_asof_attribution": _q53_asof_attribution,
         "q54_interval_join": _q54_interval_join,
         "q55_hypertable_rollup": _q55_hypertable_rollup,
+        "q56_hash_split": _q56_hash_split,
     }
 
 
@@ -2028,6 +2049,12 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value), MAX(value)
             FROM events GROUP BY 2, 3
             ORDER BY level, bucket_start, event_type""",
+        "q56_hash_split": f"""
+            SELECT {_split_case_sql} AS split, lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY 1, 2 ORDER BY split, lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

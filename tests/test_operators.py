@@ -1018,3 +1018,55 @@ def test_hypertable_rollup_partials_equal_direct(spark):
             d[1] = v if d[1] is None else min(d[1], v)
             d[2] = v if d[2] is None else max(d[2], v)
         assert by_level[lvl] == {k: tuple(v) for k, v in direct.items()}, lvl
+
+
+def test_asof_join_hot_key_linear_one_exchange(spark):
+    """A bot user with 60k left + 60k right rows must stream through the
+    forward-fill window (running frame, O(cols) state) — and the plan
+    must contain exactly ONE hash exchange on the key (plus none from a
+    range join's fallback nested loop)."""
+    import time
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    left = spark.range(60_000).select(
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2).alias("ts"),
+        F.col("id").alias("pid"))
+    right = spark.range(60_000).select(
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2 + 1).alias("ts"),
+        F.col("id").alias("snap"))
+    out = asof_join(left, right, on="user_id", ts="ts")
+    t0 = time.perf_counter()
+    n = out.count()
+    dt = time.perf_counter() - t0
+    assert n == 60_000 and dt < 60, dt
+    # pid p matches snap p-1 (right at +1s sorts after left's same-id ts)
+    sample = {r.pid: r.snap for r in out.filter(F.col("pid").isin(0, 1, 59_999)).collect()}
+    assert sample == {0: None, 1: 0, 59_999: 59_998}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.split import hash_split
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.01
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # rerun + repartition -> identical assignment (pure function of key)
+    b = hash_split(df.repartition(13),
+                   weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")).count() == 0)
+    # different salt -> a different (but still complete) split
+    c = hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                   salt="other")
+    moved = (a.alias("a").join(c.alias("c"), "doc_id")
+             .filter(F.col("a.split") != F.col("c.split")).count())
+    assert moved > 1000
