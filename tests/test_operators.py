@@ -1070,3 +1070,54 @@ def test_hash_split_deterministic_and_proportional(spark):
     moved = (a.alias("a").join(c.alias("c"), "doc_id")
              .filter(F.col("a.split") != F.col("c.split")).count())
     assert moved > 1000
+
+
+def test_asof_and_interval_join_randomized_vs_naive(spark):
+    """300 seeded random keys x ~20 timestamps each, duplicates and
+    boundary collisions included, run ONCE through both join operators
+    and compared against naive Python references."""
+    import datetime as dt
+    import random
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    from knowledgebase_processor_spark.operators.rangejoin import interval_join
+    rnd = random.Random(42)
+    t0 = dt.datetime(2024, 6, 1)
+    lrows, rrows, ivrows = [], [], []
+    pid = iid = sid = 0
+    for k in range(300):
+        # coarse grid (minutes 0..120 step 7) forces equal-ts collisions
+        for _ in range(rnd.randint(0, 8)):
+            lrows.append((k, pid, t0 + dt.timedelta(minutes=7 * rnd.randint(0, 17)))); pid += 1
+        seen = set()
+        for _ in range(rnd.randint(0, 8)):
+            m = 7 * rnd.randint(0, 17)
+            if m in seen:  # keep right unique per (key, ts): the contract
+                continue
+            seen.add(m)
+            rrows.append((k, sid, t0 + dt.timedelta(minutes=m))); sid += 1
+        for _ in range(rnd.randint(0, 3)):
+            a = 7 * rnd.randint(0, 17); b = a + rnd.randint(0, 200)
+            ivrows.append((k, iid, t0 + dt.timedelta(minutes=a),
+                           t0 + dt.timedelta(minutes=b))); iid += 1
+    left = spark.createDataFrame(lrows, "k int, pid int, ts timestamp")
+    right = spark.createDataFrame(rrows, "k int, sid int, ts timestamp")
+    ivs = spark.createDataFrame(ivrows, "k int, iid int, s timestamp, e timestamp")
+
+    got_asof = {r.pid: r.sid for r in
+                asof_join(left, right, on="k", ts="ts").collect()}
+    by_key = {}
+    for k, sid_, ts in rrows:
+        by_key.setdefault(k, []).append((ts, sid_))
+    exp_asof = {}
+    for k, pid_, ts in lrows:
+        cands = [(t, s) for (t, s) in by_key.get(k, []) if t <= ts]
+        exp_asof[pid_] = max(cands)[1] if cands else None
+    assert got_asof == exp_asof
+
+    matched, rejected = interval_join(left, ivs, on="k", ts="ts",
+                                      start="s", end="e")
+    got_iv = {(r.pid, r.iid) for r in matched.collect()}
+    exp_iv = {(p, i) for (k, p, ts) in lrows for (k2, i, s, e) in ivrows
+              if k == k2 and s <= ts <= e}
+    assert got_iv == exp_iv
+    assert rejected.count() == 0
