@@ -915,6 +915,24 @@ def _q56_hash_split(spark, sf):
             .orderBy("split", "lang"))
 
 
+def _q57_length_quantiles(spark, sf):
+    # Exact discrete quantiles of document length per language:
+    # percentile_disc picks an actual element (no interpolation
+    # arithmetic), so the values are integers both engines agree on
+    # bit-for-bit.  Distributed shape: one partial-aggregatable groupBy;
+    # the per-group sort happens inside the aggregate buffer.
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)"
+               " AS BIGINT)").alias("p25"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)"
+               " AS BIGINT)").alias("p50"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)"
+               " AS BIGINT)").alias("p95"),
+        F.count("*").alias("n_docs"))
+        .orderBy("lang"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -996,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_interval_join": _q54_interval_join,
         "q55_hypertable_rollup": _q55_hypertable_rollup,
         "q56_hash_split": _q56_hash_split,
+        "q57_length_quantiles": _q57_length_quantiles,
     }
 
 
@@ -2055,6 +2074,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY 1, 2 ORDER BY split, lang""",
+        "q57_length_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5)  AS p50,
+                   quantile_disc(n_chars, 0.95) AS p95,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
