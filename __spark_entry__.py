@@ -933,6 +933,23 @@ def _q57_length_quantiles(spark, sf):
         .orderBy("lang"))
 
 
+def _q58_triangle_counts(spark, sf):
+    # Degree-oriented triangle counting (operators/triangles.py): hub
+    # wedge fan-out bounded at O(sqrt(m)) by orientation.  Edge set: the
+    # deterministic doc graph {(i,i/2), (i,i/3), (i/2,i/3)} — every i>=2
+    # closes a triangle by construction.  The DuckDB oracle counts with
+    # the INDEPENDENT naive u<v<w 3-way join and must agree exactly.
+    from knowledgebase_processor_spark.operators.triangles import (
+        triangle_count)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    h2 = F.floor(F.col("doc_id") / 2).cast("long")
+    h3 = F.floor(F.col("doc_id") / 3).cast("long")
+    edges = (d.select(F.col("doc_id").alias("src"), h2.alias("dst"))
+             .union(d.select(F.col("doc_id").alias("src"), h3.alias("dst")))
+             .union(d.select(h2.alias("src"), h3.alias("dst"))))
+    return triangle_count(edges).orderBy("node")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1015,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_hypertable_rollup": _q55_hypertable_rollup,
         "q56_hash_split": _q56_hash_split,
         "q57_length_quantiles": _q57_length_quantiles,
+        "q58_triangle_counts": _q58_triangle_counts,
     }
 
 
@@ -2081,6 +2099,31 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.95) AS p95,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang""",
+        "q58_triangle_counts": """
+            WITH raw AS (
+              SELECT doc_id AS a, CAST(FLOOR(doc_id / 2) AS BIGINT) AS b
+              FROM documents WHERE doc_id >= 2
+              UNION ALL
+              SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT)
+              FROM documents WHERE doc_id >= 2
+              UNION ALL
+              SELECT CAST(FLOOR(doc_id / 2) AS BIGINT),
+                     CAST(FLOOR(doc_id / 3) AS BIGINT)
+              FROM documents WHERE doc_id >= 2),
+            und AS (
+              SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+              FROM raw WHERE a <> b),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            members AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT node, COUNT(*) AS n_triangles
+            FROM members GROUP BY node ORDER BY node""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

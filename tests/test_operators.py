@@ -1121,3 +1121,42 @@ def test_asof_and_interval_join_randomized_vs_naive(spark):
               if k == k2 and s <= ts <= e}
     assert got_iv == exp_iv
     assert rejected.count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from knowledgebase_processor_spark.operators.triangles import triangle_count
+    # K4: 4 triangles, every node in exactly 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.node: r.n_triangles for r in triangle_count(
+        spark.createDataFrame(k4, "src int, dst int")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # star hub: zero triangles regardless of degree; dup/reversed/self
+    # edges must not create phantom triangles
+    star = [(0, i) for i in range(1, 50)] + [(i, 0) for i in range(1, 50)]
+    star += [(7, 7), (0, 1), (1, 0)]
+    assert triangle_count(
+        spark.createDataFrame(star, "src int, dst int")).count() == 0
+    # triangle + pendant edge
+    g = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = {r.node: r.n_triangles for r in triangle_count(
+        spark.createDataFrame(g, "src int, dst int")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_brute_force_random(spark):
+    import itertools
+    import random
+    from knowledgebase_processor_spark.operators.triangles import triangle_count
+    rnd = random.Random(11)
+    nodes = list(range(40))
+    edges = [(a, b) for a in nodes for b in nodes
+             if a < b and rnd.random() < 0.15]
+    und = set(edges)
+    expected = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    got = {r.node: r.n_triangles for r in triangle_count(
+        spark.createDataFrame(edges, "src int, dst int")).collect()}
+    assert got == expected
