@@ -950,6 +950,16 @@ def _q58_triangle_counts(spark, sf):
     return triangle_count(edges).orderBy("node")
 
 
+def _q59_bigram_coverage(spark, sf):
+    # LM-lite fluency scoring (operators/lm_score.py): fraction of each
+    # doc's bigram occurrences that are corpus-common.  Integer counts +
+    # one division — DuckDB reproduces the scores bit-identically.
+    from knowledgebase_processor_spark.operators.lm_score import (
+        bigram_coverage)
+    d = _t(spark, sf, "documents")
+    return bigram_coverage(d, min_count=3).orderBy("doc_id")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1033,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_hash_split": _q56_hash_split,
         "q57_length_quantiles": _q57_length_quantiles,
         "q58_triangle_counts": _q58_triangle_counts,
+        "q59_bigram_coverage": _q59_bigram_coverage,
     }
 
 
@@ -2124,6 +2135,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT c FROM tri)
             SELECT node, COUNT(*) AS n_triangles
             FROM members GROUP BY node ORDER BY node""",
+        "q59_bigram_coverage": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END) AS bg
+              FROM words),
+            common AS (
+              SELECT bg FROM (SELECT bg, COUNT(*) c FROM bg GROUP BY bg)
+              WHERE c >= 3),
+            totals AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY doc_id),
+            hits AS (
+              SELECT bg.doc_id, COUNT(*) AS n_common
+              FROM bg JOIN common USING (bg) GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(h.n_common, 0) AS n_common,
+                   CASE WHEN COALESCE(t.n_bigrams, 0) = 0 THEN NULL
+                        ELSE COALESCE(h.n_common, 0)::DOUBLE
+                             / t.n_bigrams::DOUBLE END AS coverage
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id) LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1160,3 +1160,21 @@ def test_triangle_count_matches_brute_force_random(spark):
     got = {r.node: r.n_triangles for r in triangle_count(
         spark.createDataFrame(edges, "src int, dst int")).collect()}
     assert got == expected
+
+
+def test_bigram_coverage_scores(spark):
+    from knowledgebase_processor_spark.operators.lm_score import bigram_coverage
+    fluent = "the quick brown fox jumps"            # bigrams shared 3x
+    rows = [("a", fluent), ("b", fluent), ("c", fluent),
+            ("d", "zxqj vwpk mmtr unique gibberish"),   # all bigrams unique
+            ("e", "the quick zzz yyy"),              # 1 of 3 bigrams common
+            ("f", "single"), ("g", ""), ("h", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_bigrams, r.n_common, r.coverage)
+           for r in bigram_coverage(df, min_count=3).collect()}
+    assert got["a"] == (4, 4, 1.0) == got["b"] == got["c"]
+    assert got["d"] == (4, 0, 0.0)
+    assert got["e"] == (3, 1, 1 / 3)
+    assert got["f"] == (0, 0, None)
+    assert got["g"] == (0, 0, None)
+    assert got["h"] == (0, 0, None)
