@@ -1,9 +1,11 @@
 """Baseline JPEG codec — stdlib + numpy only (ITU-T T.81).
 
-Scope: baseline sequential DCT (SOF0), 8-bit, Huffman coded, 4:4:4
-(no chroma subsampling), 1 or 3 components, optional restart markers.
-Progressive (SOF2), subsampled, 12-bit, and arithmetic-coded streams
-return None — those need a real codec library.
+Scope: baseline sequential DCT (SOF0/SOF1), 8-bit, Huffman coded,
+sampling factors 1x1..2x2 per component (4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+MCU-interleaved, nearest-neighbor chroma upsampling), 1 or 3
+components, optional restart markers.  Progressive (SOF2), 12-bit, and
+arithmetic-coded streams return None — those need a real codec
+library.
 
 The decoder reads its quantization and Huffman tables FROM THE STREAM
 (DQT/DHT segments), per spec — nothing here depends on the encoder's
@@ -251,18 +253,59 @@ def _extend(bits: int, cat: int) -> int:
 
 # --- encoder ---------------------------------------------------------------
 
-def encode_jpeg(raster: np.ndarray, restart_interval: int = 0) -> bytes:
+def _encode_block(wtr, block, qtab, dc_tab, ac_tab, pred_val):
+    """DCT + quantize + Huffman-emit one 8x8 block; returns new DC pred."""
+    coef = _DCT @ block @ _DCT.T
+    q = np.round(coef / qtab).astype(np.int32)
+    zz = q.ravel()[ZIGZAG]
+    diff = int(zz[0]) - pred_val
+    cat = _category(diff)
+    code, ln = dc_tab[cat]
+    wtr.write(code, ln)
+    if cat:
+        wtr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_tab[0x00]                         # EOB
+            wtr.write(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]                         # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        wtr.write(code, ln)
+        wtr.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    return int(zz[0])
+
+
+_SUBSAMPLING = {"444": [(1, 1), (1, 1), (1, 1)],
+                "422": [(2, 1), (1, 1), (1, 1)],
+                "420": [(2, 2), (1, 1), (1, 1)]}
+
+
+def encode_jpeg(raster: np.ndarray, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Baseline JFIF encoder: 8-bit gray (h, w)/(h, w, 1) or RGB
-    (h, w, 3), 4:4:4, Annex-K tables, no subsampling; optional restart
-    markers every ``restart_interval`` MCUs (exercises the decoder's
-    DRI/RSTn resync path)."""
+    (h, w, 3), Annex-K tables; ``subsampling`` in {444, 422, 420}
+    (box-averaged chroma, MCU-interleaved); optional restart markers
+    every ``restart_interval`` MCUs (exercises the decoder's DRI/RSTn
+    resync path)."""
     a = np.asarray(raster, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, ch = a.shape
     if ch == 1:
         comps = [a[:, :, 0].astype(np.float64) - 128.0]
-        qtabs, ncomp = [_QY], 1
+        qtabs, ncomp, factors = [_QY], 1, [(1, 1)]
     else:
         r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -270,8 +313,28 @@ def encode_jpeg(raster: np.ndarray, restart_interval: int = 0) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         comps = [y - 128.0, cb - 128.0, cr - 128.0]
         qtabs, ncomp = [_QY, _QC, _QC], 3
+        factors = _SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # per-component plane: box-downsample by (hmax/sh, vmax/sv), pad to
+    # whole MCUs of sh x sv blocks
+    padded = []
+    for ci in range(ncomp):
+        sh, sv = factors[ci]
+        p = comps[ci]
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:
+            cy = -(-p.shape[0] // fy) * fy
+            cx = -(-p.shape[1] // fx) * fx
+            p = np.pad(p, ((0, cy - p.shape[0]), (0, cx - p.shape[1])),
+                       mode="edge")
+            p = p.reshape(cy // fy, fy, cx // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+
     dc_enc = [_huff_encode_table(_DC_Y_BITS, _DC_Y_VALS),
               _huff_encode_table(_DC_C_BITS, _DC_C_VALS)]
     ac_enc = [_huff_encode_table(_AC_Y_BITS, _AC_Y_VALS),
@@ -279,48 +342,23 @@ def encode_jpeg(raster: np.ndarray, restart_interval: int = 0) -> bytes:
 
     wtr = _BitWriter()
     pred = [0] * ncomp
-    padded = [np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
-              for c in comps]
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.raw_marker(0xD0 + (mcu // restart_interval - 1) % 8)
                 pred = [0] * ncomp
             mcu += 1
             for ci in range(ncomp):
                 tid = 0 if ci == 0 else 1
-                block = padded[ci][by:by + 8, bx:bx + 8]
-                coef = _DCT @ block @ _DCT.T
-                q = np.round(coef / qtabs[ci]).astype(np.int32)
-                zz = q.ravel()[ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, ln = dc_enc[tid][cat]
-                wtr.write(code, ln)
-                if cat:
-                    wtr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-                run = 0
-                last_nz = max(np.nonzero(zz)[0]) if np.any(zz) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        code, ln = ac_enc[tid][0x00]        # EOB
-                        wtr.write(code, ln)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[tid][0xF0]        # ZRL
-                        wtr.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_enc[tid][(run << 4) | cat]
-                    wtr.write(code, ln)
-                    wtr.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                    run = 0
+                sh, sv = factors[ci]
+                for r_ in range(sv):
+                    for c_ in range(sh):
+                        by, bx = (my * sv + r_) * 8, (mx * sh + c_) * 8
+                        block = padded[ci][by:by + 8, bx:bx + 8]
+                        pred[ci] = _encode_block(
+                            wtr, block, qtabs[ci], dc_enc[tid], ac_enc[tid],
+                            pred[ci])
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -339,7 +377,8 @@ def encode_jpeg(raster: np.ndarray, restart_interval: int = 0) -> bytes:
     sos_comps = b""
     for ci in range(ncomp):
         tq = 0 if ci == 0 else 1
-        sof_comps += bytes([ci + 1, 0x11, tq])          # 1x1 sampling
+        sh, sv = factors[ci]
+        sof_comps += bytes([ci + 1, (sh << 4) | sv, tq])
         td = 0 if ci == 0 else 1
         sos_comps += bytes([ci + 1, (td << 4) | td])
     if ncomp == 3:
@@ -362,9 +401,10 @@ def encode_jpeg(raster: np.ndarray, restart_interval: int = 0) -> bytes:
 def decode_jpeg_pixels(payload: bytes,
                        max_pixels: int = 4_000_000
                        ) -> tuple[int, int, int, np.ndarray] | None:
-    """REAL baseline JPEG decode.  Returns (width, height, channels,
-    uint8 raster) or None for anything outside the supported envelope
-    (progressive, subsampled, 12-bit, arithmetic, corrupt, oversized)."""
+    """REAL baseline JPEG decode (incl. 4:2:0/4:2:2 subsampling).
+    Returns (width, height, channels, uint8 raster) or None for anything
+    outside the supported envelope (progressive, 12-bit, arithmetic,
+    factors > 2, corrupt, oversized)."""
     b = payload or b""
     if not b.startswith(b"\xff\xd8"):
         return None
@@ -421,9 +461,10 @@ def decode_jpeg_pixels(payload: bytes,
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    return None             # subsampling unsupported
-                comps.append((cid, tq))
+                sh, sv = samp >> 4, samp & 15
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    return None             # only 1x1..2x2 factors
+                comps.append((cid, sh, sv, tq))
             frame = (fw, fh, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -441,7 +482,7 @@ def decode_jpeg_pixels(payload: bytes,
             for c in range(ns):
                 _cid, tt = body[1 + 2 * c:3 + 2 * c]
                 tabsel.append((tt >> 4, tt & 15))
-            for (td, ta), (_cid, tq) in zip(tabsel, comps):
+            for (td, ta), (_cid, _sh, _sv, tq) in zip(tabsel, comps):
                 if (0, td) not in huff or (1, ta) not in huff or tq not in qt:
                     return None
             return _decode_scan(b, i + 2 + ln, fw, fh, comps, tabsel,
@@ -454,13 +495,16 @@ def _decode_scan(b: bytes, pos: int, fw: int, fh: int, comps, tabsel,
                  qt, huff, dri: int) -> tuple[int, int, int, np.ndarray] | None:
     nc = len(comps)
     rdr = _BitReader(b, pos)
-    bw, bh = -(-fw // 8), -(-fh // 8)
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64)
+              for c in comps]
     pred = [0] * nc
     idct = _DCT.T
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 if not rdr.restart():
                     return None
@@ -468,43 +512,60 @@ def _decode_scan(b: bytes, pos: int, fw: int, fh: int, comps, tabsel,
             for ci in range(nc):
                 td, ta = tabsel[ci]
                 dtab, atab = huff[(0, td)], huff[(1, ta)]
-                q = qt[comps[ci][1]]
-                cat = rdr.huff(dtab)
-                if cat is None or cat > 15:
-                    return None
-                raw = rdr.bits(cat)
-                if raw is None:
-                    return None
-                pred[ci] += _extend(raw, cat)
-                zz = np.zeros(64, np.int32)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = rdr.huff(atab)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:         # EOB
-                        break
-                    run, cat = sym >> 4, sym & 15
-                    if cat == 0:
-                        if run != 15:       # only ZRL may have cat 0
+                _cid, sh, sv, tq = comps[ci]
+                q = qt[tq]
+                # sh*sv data units per MCU for this component, raster order
+                for r in range(sv):
+                    for c in range(sh):
+                        cat = rdr.huff(dtab)
+                        if cat is None or cat > 15:
                             return None
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    raw = rdr.bits(cat)
-                    if raw is None:
-                        return None
-                    zz[k] = _extend(raw, cat)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[ZIGZAG] = zz * q.ravel()[ZIGZAG]
-                block = idct @ coef.reshape(8, 8) @ idct.T
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                        raw = rdr.bits(cat)
+                        if raw is None:
+                            return None
+                        pred[ci] += _extend(raw, cat)
+                        zz = np.zeros(64, np.int32)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = rdr.huff(atab)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:         # EOB
+                                break
+                            run, cat = sym >> 4, sym & 15
+                            if cat == 0:
+                                if run != 15:       # only ZRL may have cat 0
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            raw = rdr.bits(cat)
+                            if raw is None:
+                                return None
+                            zz[k] = _extend(raw, cat)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[ZIGZAG] = zz * q.ravel()[ZIGZAG]
+                        block = idct @ coef.reshape(8, 8) @ idct.T
+                        py, px = (my * sv + r) * 8, (mx * sh + c) * 8
+                        planes[ci][py:py + 8, px:px + 8] = block
             mcu += 1
-    planes = [p[:fh, :fw] + 128.0 for p in planes]
+    # crop each component to its own resolution, then nearest-neighbor
+    # upsample to frame resolution (JFIF simple upsampling — matches the
+    # box-downsampling encoder fixture, self-consistent round-trip)
+    full = []
+    for ci, (_cid, sh, sv, _tq) in enumerate(comps):
+        cw, chh = -(-fw * sh // hmax), -(-fh * sv // vmax)
+        p = planes[ci][:chh, :cw]
+        if sh != hmax:
+            p = np.repeat(p, hmax // sh, axis=1)
+        if sv != vmax:
+            p = np.repeat(p, vmax // sv, axis=0)
+        full.append(p[:fh, :fw])
+    planes = [p + 128.0 for p in full]
     if nc == 1:
         out = np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
         return fw, fh, 1, out

@@ -97,3 +97,38 @@ def test_image_features_routes_baseline_jpeg(spark):
     assert (row["format"], row["width"], row["height"],
             row["embedding_kind"]) == ("jpeg", 24, 24, "pixels")
     assert len(row["embedding"]) == 8
+
+
+def test_subsampled_roundtrip_bounded_error():
+    """4:2:0 and 4:2:2 encode->decode: luma detail survives, chroma is
+    box-downsampled + nearest-upsampled, overall error stays bounded on
+    a smooth gradient image (odd dims exercise the padding paths)."""
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+    for mode in ("420", "422"):
+        enc = encode_jpeg(img, subsampling=mode)
+        dec = decode_jpeg_pixels(enc)
+        assert dec is not None, mode
+        w, h, ch, out = dec
+        assert (w, h, ch) == (53, 37, 3)
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 14.0, (mode, err)     # chroma halved, luma intact
+        # 4:2:0 stream must be smaller than 4:4:4 of the same image
+        assert len(enc) < len(encode_jpeg(img))
+
+
+def test_subsampled_restart_markers():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    plain = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))[3]
+    for dri in (1, 2):
+        d = decode_jpeg_pixels(encode_jpeg(img, subsampling="420",
+                                           restart_interval=dri))
+        assert d is not None and np.array_equal(plain, d[3]), dri
+
+
+def test_gray_image_through_subsampling_flag():
+    gray = np.linspace(0, 255, 24 * 64).reshape(24, 64).astype(np.uint8)
+    d = decode_jpeg_pixels(encode_jpeg(gray, subsampling="420"))
+    assert d is not None and d[:3] == (64, 24, 1)
