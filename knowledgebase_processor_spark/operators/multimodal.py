@@ -25,11 +25,12 @@ Decode status per kernel:
   (dynamic code width, deferred clear, output bounded by the
   descriptor's own pixel count), de-interlacing, palette mapping;
   ``encode_gif`` is the inverse fixture.
-* **JPEG pixel decode is REAL for the baseline envelope**
-  (``operators/jpeg.py``: SOF0/SOF1, 8-bit, sampling factors up to 2x2
-  — 4:4:4/4:2:2/4:2:0 — Huffman, restart markers; tables parsed from
-  the stream).  Progressive/12-bit streams and video frame decode are
-  the remaining disclosed STUBS (``_pixel_embedding_stub``; they need
+* **JPEG pixel decode is REAL for baseline AND progressive (SOF2)**
+  (``operators/jpeg.py``: spectral selection + successive
+  approximation, 8-bit, sampling factors up to 2x2 —
+  4:4:4/4:2:2/4:2:0 — Huffman, restart markers; tables parsed from the
+  stream).  Only 12-bit/lossless/arithmetic JPEG and video frame
+  decode remain disclosed STUBS (``_pixel_embedding_stub``; they need
   Pillow/pyav, not in this container).  The stub derives a stable
   embedding from the content hash; ``embedding_kind`` in the output
   says per-row which path produced the vector.  ``frame_sample`` emits
@@ -636,9 +637,9 @@ def wav_pcm_embedding(payload: bytes, segments: int = 8) -> list[float] | None:
 
 def _pixel_embedding_stub(payload: bytes) -> list[float]:
     """STUB — now only the fallback for unknown formats and JPEGs
-    outside the baseline envelope (progressive/12-bit need Pillow):
-    PNG, GIF, and baseline JPEG incl. 4:2:0/4:2:2 take REAL
-    pixel-decode paths.  Deterministic hash-derived fake."""
+    outside the supported envelope (12-bit/lossless/arithmetic need
+    Pillow): PNG, GIF, and baseline+progressive JPEG incl. 4:2:0/4:2:2
+    take REAL pixel-decode paths.  Deterministic hash-derived fake."""
     h = hashlib.sha256(payload or b"").digest()
     return [round(x / 255.0, 6) for x in h[2:10]]
 

@@ -132,3 +132,35 @@ def test_gray_image_through_subsampling_flag():
     gray = np.linspace(0, 255, 24 * 64).reshape(24, 64).astype(np.uint8)
     d = decode_jpeg_pixels(encode_jpeg(gray, subsampling="420"))
     assert d is not None and d[:3] == (64, 24, 1)
+
+
+def test_progressive_equals_baseline_bit_exact():
+    """SOF2 successive approximation (DC first Al=1, DC refinement,
+    per-component AC first with EOBRUN, AC refinement) carries the SAME
+    quantized coefficients as the baseline stream — so decoding both
+    must yield bit-identical rasters, not merely close ones."""
+    from knowledgebase_processor_spark.operators.jpeg import (
+        encode_jpeg_progressive)
+    rng = np.random.default_rng(3)
+    for shape in ((24, 32, 3), (17, 23, 3), (16, 16), (9, 80), (8, 8, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(img))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(img))
+        assert prog is not None, shape
+        assert prog[:3] == base[:3]
+        assert np.array_equal(base[3], prog[3]), shape
+
+
+def test_progressive_hostile_inputs():
+    from knowledgebase_processor_spark.operators.jpeg import (
+        encode_jpeg_progressive)
+    img = np.random.default_rng(0).integers(0, 256, (24, 24, 3), np.uint8)
+    enc = encode_jpeg_progressive(img)
+    assert decode_jpeg_pixels(enc[:80]) is None            # truncated
+    assert decode_jpeg_pixels(enc[:len(enc) // 2]) is None # mid-scan cut
+    assert decode_jpeg_pixels(enc, max_pixels=10) is None  # bomb guard
+    # flipping a byte inside entropy data must not crash (None or a
+    # decoded-but-different raster are both acceptable)
+    mut = bytearray(enc)
+    mut[len(enc) // 2] ^= 0x55
+    decode_jpeg_pixels(bytes(mut))
