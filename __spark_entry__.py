@@ -960,6 +960,38 @@ def _q59_bigram_coverage(spark, sf):
     return bigram_coverage(d, min_count=3).orderBy("doc_id")
 
 
+def _q60_snapshot_delta(spark, sf):
+    # Incremental-crawl change set (operators/delta.py): full outer join
+    # on doc key, fingerprint-compared.  Synthesized second snapshot:
+    # every 97th doc deleted, every 31st rewritten, every 41st gains
+    # whitespace only (must read UNCHANGED — fingerprints normalize).
+    from knowledgebase_processor_spark.operators.delta import snapshot_delta
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 97 != 0)
+    new = (d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 31 == 0,
+               F.concat(F.col("text"), F.lit(" rewritten")))
+        .when(F.col("doc_id") % 41 == 0,
+              F.concat(F.col("text"), F.lit("   ")))
+        .otherwise(F.col("text"))))
+    return (snapshot_delta(old, new)
+            .groupBy("status").agg(F.count("*").alias("n_docs"))
+            .orderBy("status"))
+
+
+def _q61_rollup_report(spark, sf):
+    # Native relational surface: ROLLUP over (lang, source) with
+    # grouping markers — Catalyst's grouping-sets expansion against
+    # DuckDB's, exact integer counts.
+    d = _t(spark, sf, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.grouping("lang").cast("int").alias("g_lang"),
+                 F.grouping("source").cast("int").alias("g_source"))
+            .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source")))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1044,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_length_quantiles": _q57_length_quantiles,
         "q58_triangle_counts": _q58_triangle_counts,
         "q59_bigram_coverage": _q59_bigram_coverage,
+        "q60_snapshot_delta": _q60_snapshot_delta,
+        "q61_rollup_report": _q61_rollup_report,
     }
 
 
@@ -2164,6 +2198,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t USING (doc_id) LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id""",
+        "q60_snapshot_delta": f"""
+            WITH old AS (
+              SELECT doc_id, {_FPRINT} AS fp FROM documents
+              WHERE doc_id % 97 <> 0),
+            new_t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 31 = 0 THEN text || ' rewritten'
+                          WHEN doc_id % 41 = 0 THEN text || '   '
+                          ELSE text END AS text
+              FROM documents),
+            new_fp AS (SELECT doc_id, {_FPRINT} AS fp FROM new_t),
+            delta AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.fp IS NULL THEN 'added'
+                          WHEN n.fp IS NULL THEN 'removed'
+                          WHEN o.fp = n.fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new_fp n ON o.doc_id = n.doc_id)
+            SELECT status, COUNT(*) AS n_docs
+            FROM delta GROUP BY status ORDER BY status""",
+        "q61_rollup_report": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(GROUPING(lang) AS INT) AS g_lang,
+                   CAST(GROUPING(source) AS INT) AS g_source
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1178,3 +1178,18 @@ def test_bigram_coverage_scores(spark):
     assert got["f"] == (0, 0, None)
     assert got["g"] == (0, 0, None)
     assert got["h"] == (0, 0, None)
+
+
+def test_snapshot_delta_statuses(spark):
+    from knowledgebase_processor_spark.operators.delta import snapshot_delta
+    old = spark.createDataFrame(
+        [("a", "same text"), ("b", "will change"), ("c", "to be removed"),
+         ("d", "Spaced   Out")],
+        "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("a", "same text"), ("b", "now different"), ("e", "brand new"),
+         ("d", "  spaced out ")],   # whitespace/case only -> unchanged
+        "doc_id string, text string")
+    got = {r.doc_id: r.status for r in snapshot_delta(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "removed",
+                   "d": "unchanged", "e": "added"}
