@@ -992,6 +992,25 @@ def _q61_rollup_report(spark, sf):
             .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source")))
 
 
+def _q62_video_frames(spark, sf):
+    # Video decode as a first-class query: synthesize REAL MJPEG-in-AVI
+    # payloads deterministically from the first 3 documents
+    # (media_from_documents), then sample frames at 1 Hz through the REAL
+    # path — RIFF header walk for fps/frame count, our JPEG codec for the
+    # sampled frames.  Every row must say frame_kind 'pixels' (the stub
+    # is never taken for this container) and the md5 of the re-encoded
+    # PNG pins the decoded pixel content exactly.  Deterministic function
+    # of the fixed corpus -> pinned VALUES oracle (ORACLE_SF001_PINNED).
+    from knowledgebase_processor_spark.operators.multimodal import (
+        frame_sample, media_from_documents)
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .orderBy("doc_id").limit(3))
+    return (frame_sample(media_from_documents(d), every_s=1.0)
+            .select("media_id", "frame_idx", "frame_ts_s", "frame_kind",
+                    F.md5(F.col("frame_png")).alias("frame_md5"))
+            .orderBy("media_id", "frame_idx"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1078,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bigram_coverage": _q59_bigram_coverage,
         "q60_snapshot_delta": _q60_snapshot_delta,
         "q61_rollup_report": _q61_rollup_report,
+        "q62_video_frames": _q62_video_frames,
     }
 
 
@@ -2225,6 +2245,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP (lang, source)
             ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
+        "q62_video_frames": """
+            SELECT * FROM (VALUES
+              ('0#vid', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 'pixels', 'f53d35f60765c5279a4c008f387ef68d'),
+              ('0#vid', 1, 1.0, 'pixels', '266ebd289869de7ee735b95953ba3d0d'),
+              ('0#vid', 2, 2.0, 'pixels', '365697802776bbcee6111187158a6271'),
+              ('1#vid', 0, 0.0, 'pixels', '523132c0a12439f7a0b118245bd1c6b6'),
+              ('1#vid', 1, 1.0, 'pixels', 'ca78fd00ccc6938f59de7e2c60f2f125'),
+              ('1#vid', 2, 2.0, 'pixels', '00cbbd0e13901fc68ddd7515d55e49bc'),
+              ('2#vid', 0, 0.0, 'pixels', '603677a244d29055806ab581c2733841'),
+              ('2#vid', 1, 1.0, 'pixels', '847ff1e54f9d47c04648cee5f8088201'),
+              ('2#vid', 2, 2.0, 'pixels', 'dd7253cbadbf6b2746d4781e9da35d5d')
+            ) AS t(media_id, frame_idx, frame_ts_s, frame_kind, frame_md5)
+            ORDER BY media_id, frame_idx""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
@@ -2235,7 +2268,8 @@ def oracle_sql() -> dict[str, str]:
 # other sf dirs.
 ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q37_media_features", "q45_prepare_corpus",
-                       "q33_dedup_corpus", "q32_ann_ivf"}
+                       "q33_dedup_corpus", "q32_ann_ivf",
+                       "q62_video_frames"}
 
 
 if __name__ == "__main__":

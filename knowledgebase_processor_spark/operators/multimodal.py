@@ -29,14 +29,16 @@ Decode status per kernel:
   (``operators/jpeg.py``: spectral selection + successive
   approximation, 8-bit, sampling factors up to 2x2 —
   4:4:4/4:2:2/4:2:0 — Huffman, restart markers; tables parsed from the
-  stream).  Only 12-bit/lossless/arithmetic JPEG and video frame
-  decode remain disclosed STUBS (``_pixel_embedding_stub``; they need
-  Pillow/pyav, not in this container).  The stub derives a stable
-  embedding from the content hash; ``embedding_kind`` in the output
-  says per-row which path produced the vector.  ``frame_sample`` emits
-  REAL (decodable) PNG frames whose pixel content is a deterministic
-  function of the payload hash — the sampling fan-out and the output
-  format are real, only the frame content is synthetic.
+  stream).
+* **Video frame decode is REAL for MJPEG-in-AVI**
+  (``decode_avi_meta`` / ``iter_avi_mjpeg_frames`` + the JPEG codec):
+  ``frame_sample`` reads fps/frame-count from the RIFF headers and
+  decodes the ACTUAL sampled frames.  Only 12-bit/lossless/arithmetic
+  JPEG and inter-frame video codecs (H.26x/VP9/AV1) remain disclosed
+  STUBS (they need Pillow/pyav, not in this container).  The stub
+  derives stable output from the content hash; ``embedding_kind`` /
+  ``frame_kind`` in the outputs say per-row which path produced each
+  vector/frame.
 """
 
 from __future__ import annotations
@@ -89,6 +91,7 @@ FRAME_SAMPLES = StructType([
     StructField("frame_idx", LongType()),
     StructField("frame_ts_s", DoubleType()),
     StructField("frame_png", BinaryType()),
+    StructField("frame_kind", StringType()),   # pixels | hash-stub
 ])
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -664,15 +667,115 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- AVI (RIFF) MJPEG container: REAL encode/decode --------------------------
+# Motion-JPEG-in-AVI is the one video format fully decodable with what is
+# already in this module: the container walk is plain RIFF `struct`
+# parsing (same family as WAV above) and every frame chunk is a baseline
+# JPEG our own codec (operators/jpeg.py) reads.  This closes the video
+# decode stub for MJPEG; inter-frame codecs (H.26x/VP9/AV1) still need
+# pyav and keep the disclosed hash-stub fallback.
+
+def _riff_chunk(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi_mjpeg(rasters: list, fps: float = 4.0) -> bytes:
+    """Minimal REAL AVI writer: one MJPG 'vids' stream, one baseline-JPEG
+    ``00dc`` chunk per raster — inverse fixture for ``decode_avi_meta`` /
+    ``iter_avi_mjpeg_frames`` (any standard player reads the output)."""
+    from .jpeg import encode_jpeg
+    frames = [encode_jpeg(np.asarray(r, dtype=np.uint8)) for r in rasters]
+    a0 = np.asarray(rasters[0])
+    h, w = a0.shape[0], a0.shape[1]
+    n, sugg = len(frames), max(len(f) for f in frames)
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack("<14I", int(round(1e6 / fps)), sugg * int(fps) + 1,
+                       0, 0, n, 0, 1, sugg, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0,
+                       scale, rate, 0, n, sugg, 10_000, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_chunk(b"LIST", b"movi"
+                       + b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) \
+        + b"AVI " + hdrl + movi
+
+
+def _riff_walk(b: bytes, pos: int, end: int):
+    """Yield (tag_or_listkind, body_start, body_end) for each chunk in
+    [pos, end); tolerant of truncation (stops instead of raising)."""
+    while pos + 8 <= end:
+        tag = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        stop = min(body + size, end)
+        if tag == b"LIST" and body + 4 <= end:
+            yield b[body:body + 4], body + 4, stop
+        else:
+            yield tag, body, stop
+        pos = body + size + (size & 1)
+
+
+def decode_avi_meta(payload: bytes
+                    ) -> tuple[float, int, int, int] | None:
+    """(fps, n_frames, width, height) from a RIFF AVI with an MJPG video
+    stream, or None for anything else (caller falls back to the stub)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    fps, n, w, h = 0.0, 0, 0, 0
+    mjpg = False
+    for kind, s, e in _riff_walk(b, 12, len(b)):
+        if kind != b"hdrl":
+            continue
+        for tag, cs, ce in _riff_walk(b, s, e):
+            if tag == b"avih" and ce - cs >= 40:
+                vals = struct.unpack_from("<10I", b, cs)
+                usec, n, w, h = vals[0], vals[4], vals[8], vals[9]
+                if usec > 0 and fps == 0.0:
+                    fps = 1e6 / usec
+            elif tag == b"strl":
+                for t2, ds, de in _riff_walk(b, cs, ce):
+                    if t2 == b"strh" and de - ds >= 32:
+                        fcc, hdl = b[ds:ds + 4], b[ds + 4:ds + 8]
+                        scale, rate = struct.unpack_from("<II", b, ds + 20)
+                        if fcc == b"vids":
+                            mjpg = hdl in (b"MJPG", b"mjpg")
+                            if scale > 0 and rate > 0:
+                                fps = rate / scale
+    if not mjpg or fps <= 0 or n <= 0 or w <= 0 or h <= 0:
+        return None
+    return fps, n, w, h
+
+
+def iter_avi_mjpeg_frames(payload: bytes):
+    """Yield the raw JPEG bytes of each ``00dc``/``00db`` frame chunk in
+    stream order (single forward pass over the ``movi`` list)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    for kind, s, e in _riff_walk(b, 12, len(b)):
+        if kind != b"movi":
+            continue
+        for tag, cs, ce in _riff_walk(b, s, e):
+            if tag in (b"00dc", b"00db"):
+                yield b[cs:ce]
+
+
 def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """Deterministic media synthesis: one REAL 8x8 PNG image and one REAL
-    PCM16 WAV clip per document, pixels/samples derived from the md5 of
-    the document text.  This is how the multimodal path is exercised (and
-    benchmarked, at any scale) in a corpus that has no binary media store
-    — the payloads are genuine container files that any decoder reads,
-    only their CONTENT is synthetic.  Runs as one Arrow-batched
-    ``mapInPandas`` pass, two output rows per input row.
+    """Deterministic media synthesis: one REAL 8x8 PNG image, one REAL
+    PCM16 WAV clip, and one REAL 6-frame MJPEG AVI per document,
+    pixels/samples derived from the md5 of the document text.  This is
+    how the multimodal path is exercised (and benchmarked, at any scale)
+    in a corpus that has no binary media store — the payloads are genuine
+    container files that any decoder reads, only their CONTENT is
+    synthetic.  Runs as one Arrow-batched ``mapInPandas`` pass, three
+    output rows per input row.
     """
     narrowed = docs.select(docs[id_col].alias("doc_id"),
                            docs[text_col].alias("text"))
@@ -695,6 +798,13 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
                             "mime": "audio/wav", "meta_width": None,
                             "meta_height": None,
                             "meta_duration_s": round(len(pcm) / 8000, 6)})
+                vid = [np.frombuffer((hashlib.md5(digest + bytes([k])).digest()
+                                      * 12)[:192], np.uint8).reshape(8, 8, 3)
+                       for k in range(6)]
+                out.append({"media_id": f"{rec.doc_id}#vid", "kind": "video",
+                            "payload": encode_avi_mjpeg(vid, fps=2.0),
+                            "mime": "video/x-msvideo", "meta_width": 8,
+                            "meta_height": 8, "meta_duration_s": 3.0})
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
 
     return narrowed.mapInPandas(run, schema=MEDIA)
@@ -739,16 +849,24 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_s: float = 1.0,
-                 max_frames: int = 10_000) -> DataFrame:
+                 max_frames: int = 10_000,
+                 max_pixels: int = 4_000_000) -> DataFrame:
     """media(kind='video') -> sampled frames at ``every_s`` intervals.
 
-    Codec decode is the one remaining STUB (pyav not in this container):
-    frame PIXELS are a deterministic function of (payload sha256, frame
-    index).  Everything around it is real — the duration-driven fan-out
-    (one row per sampled frame) and the output format: each ``frame_png``
-    is a genuine 8x8 RGB PNG (``encode_png``) that ``decode_png_pixels``
-    / any PNG reader round-trips.
+    MJPEG-in-AVI payloads take the REAL path: the RIFF walk reads
+    fps/frame-count from the headers, the sampled ``00dc`` chunks are
+    decoded by our own JPEG codec, and each ``frame_png`` re-encodes the
+    ACTUAL frame raster (``frame_kind`` = 'pixels').  Inter-frame codecs
+    (H.26x/VP9/AV1 need pyav, not in this container) keep the disclosed
+    deterministic stub: 8x8 pixels derived from (payload sha256, frame
+    index), ``frame_kind`` = 'hash-stub'.  Both paths emit genuine PNGs
+    that ``decode_png_pixels`` / any reader round-trips, and both bound
+    the per-record fan-out by ``max_frames`` (a forged multi-year
+    duration must not expand into an unbounded frame list — same
+    adversarial discipline as max_pixels / max_chars elsewhere).
     """
+    from .jpeg import decode_jpeg_pixels
+
     narrowed = media.filter(media.kind == "video") \
                     .select("media_id", "payload", "meta_duration_s")
 
@@ -756,25 +874,56 @@ def frame_sample(media: DataFrame, every_s: float = 1.0,
         for batch in batches:
             out = []
             for rec in batch.itertuples(index=False):
-                dur = float(rec.meta_duration_s or 0.0)
-                # max_frames bounds the per-record fan-out: a crawled row
-                # with a forged multi-year duration must not expand into
-                # an unbounded in-memory frame list (same adversarial
-                # discipline as max_pixels / max_chars elsewhere)
-                n = min(max(1, int(dur / every_s)), max_frames)
-                seed = hashlib.sha256(rec.payload or b"").digest()
-                for i in range(n):
-                    px = hashlib.sha256(seed + bytes([i % 256]))
-                    raw = (px.digest() * 6)[:8 * 8 * 3]
-                    raster = np.frombuffer(raw, np.uint8).reshape(8, 8, 3)
-                    out.append({
-                        "media_id": rec.media_id, "frame_idx": i,
-                        "frame_ts_s": round(i * every_s, 6),
-                        "frame_png": encode_png(raster),
-                    })
+                payload = rec.payload or b""
+                meta = decode_avi_meta(bytes(payload))
+                if meta is not None:
+                    fps, n_total, _w, _h = meta
+                    dur = n_total / fps
+                    n = min(max(1, int(dur / every_s)), max_frames)
+                    # sample index per output slot, then ONE forward pass
+                    # over movi decoding only the wanted frames
+                    idx_of = [min(int(i * every_s * fps), n_total - 1)
+                              for i in range(n)]
+                    wanted = set(idx_of)
+                    rasters = {}
+                    for j, jb in enumerate(iter_avi_mjpeg_frames(bytes(payload))):
+                        if j in wanted:
+                            dec = decode_jpeg_pixels(jb, max_pixels)
+                            if dec is not None:
+                                rasters[j] = dec[3]
+                        if j >= n_total - 1:
+                            break
+                    for i in range(n):
+                        raster = rasters.get(idx_of[i])
+                        if raster is None:        # corrupt frame chunk
+                            raster, kind = _stub_raster(payload, i), "hash-stub"
+                        else:
+                            kind = "pixels"
+                        out.append({
+                            "media_id": rec.media_id, "frame_idx": i,
+                            "frame_ts_s": round(i * every_s, 6),
+                            "frame_png": encode_png(raster),
+                            "frame_kind": kind,
+                        })
+                else:
+                    dur = float(rec.meta_duration_s or 0.0)
+                    n = min(max(1, int(dur / every_s)), max_frames)
+                    for i in range(n):
+                        out.append({
+                            "media_id": rec.media_id, "frame_idx": i,
+                            "frame_ts_s": round(i * every_s, 6),
+                            "frame_png": encode_png(_stub_raster(payload, i)),
+                            "frame_kind": "hash-stub",
+                        })
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLES.fields])
 
     return narrowed.mapInPandas(run, schema=FRAME_SAMPLES)
+
+
+def _stub_raster(payload: bytes, i: int) -> np.ndarray:
+    seed = hashlib.sha256(payload or b"").digest()
+    raw = (hashlib.sha256(seed + bytes([i % 256])).digest() * 6)[:8 * 8 * 3]
+    return np.frombuffer(raw, np.uint8).reshape(8, 8, 3)
 
 
 def audio_features(media: DataFrame) -> DataFrame:

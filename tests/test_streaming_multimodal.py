@@ -545,3 +545,40 @@ def test_gif_lzw_roundtrip_and_features(spark):
     row = image_features(m).collect()[0]
     assert (row["format"], row["width"], row["height"],
             row["embedding_kind"]) == ("gif", 17, 23, "pixels")
+
+
+def test_frame_sample_real_mjpeg_avi(spark):
+    """MJPEG-in-AVI videos take the REAL decode path: RIFF meta (not the
+    metadata column — it is NULL here) drives the sampling grid, and each
+    emitted PNG re-encodes the ACTUAL decoded JPEG frame raster
+    (frame_kind 'pixels'); non-AVI payloads keep the disclosed stub."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_avi_meta, decode_png_pixels, encode_avi_mjpeg, frame_sample)
+
+    # smooth horizontal ramps compress near-losslessly -> tight bound
+    rasters = [np.tile((np.arange(16) * 8 + k * 10).astype(np.uint8)
+                       .reshape(1, 16, 1), (16, 1, 3)) for k in range(8)]
+    avi = encode_avi_mjpeg(rasters, fps=2.0)        # 8 frames @2fps = 4s
+    assert decode_avi_meta(avi) == (2.0, 8, 16, 16)
+
+    media = spark.createDataFrame(
+        [("v", "video", avi, "video/x-msvideo", None, None, None),
+         ("s", "video", b"mp4bytes", "video/mp4", None, None, 2.0)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in frame_sample(media, every_s=1.0).collect()}
+
+    # 4s sampled every 1s -> 4 rows, mapped to source frames 0,2,4,6
+    vid_rows = [rows[("v", i)] for i in range(4)]
+    assert all(r["frame_kind"] == "pixels" for r in vid_rows)
+    for i, r in enumerate(vid_rows):
+        dec = decode_png_pixels(bytes(r["frame_png"]))
+        assert dec is not None and dec[:3] == (16, 16, 3)
+        src = rasters[2 * i].astype(int)
+        assert np.abs(dec[3].astype(int) - src).mean() < 8.0
+
+    stub = [rows[("s", i)] for i in range(2)]
+    assert all(r["frame_kind"] == "hash-stub" for r in stub)
