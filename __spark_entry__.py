@@ -1011,6 +1011,41 @@ def _q62_video_frames(spark, sf):
             .orderBy("media_id", "frame_idx"))
 
 
+def _q63_decontamination(spark, sf):
+    # Benchmark decontamination (training-data family): the first 3
+    # documents stand in for a leaked eval set; every doc's distinct
+    # 8-gram overlap against it is measured through the portable
+    # salted-md5 hash set, so DuckDB recomputes grams, hashes, the
+    # broadcast probe and the fractions bit-identically.  The 3 bench
+    # docs must self-report frac 1.0; unrelated docs 0.
+    from knowledgebase_processor_spark.operators.decontaminate import (
+        contamination)
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    bench = (_t(spark, sf, "documents").orderBy("doc_id").limit(3)
+             .select("text"))
+    return (contamination(d, bench, n=8)
+            .filter(F.col("n_hits") > 0)
+            .orderBy("doc_id"))
+
+
+def _q64_dsir_weights(spark, sf):
+    # DSIR-style importance weights toward a target distribution (here:
+    # the shortest 20 documents as the "target domain").  Fixed-point
+    # micro-nat ratios make the per-doc sum exact integer arithmetic, so
+    # DuckDB replays histograms, smoothing, logs and the final weights
+    # bit-identically — the whole importance-resampling mechanism is
+    # value-checked cross-engine.
+    from knowledgebase_processor_spark.operators.decontaminate import (
+        dsir_weights)
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    tgt = (_t(spark, sf, "documents")
+           .orderBy("n_chars", "doc_id").limit(20).select("text"))
+    return (dsir_weights(d, tgt, buckets=64)
+            .orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1098,6 +1133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_snapshot_delta": _q60_snapshot_delta,
         "q61_rollup_report": _q61_rollup_report,
         "q62_video_frames": _q62_video_frames,
+        "q63_decontamination": _q63_decontamination,
+        "q64_dsir_weights": _q64_dsir_weights,
     }
 
 
@@ -2258,6 +2295,100 @@ def oracle_sql() -> dict[str, str]:
               ('2#vid', 2, 2.0, 'pixels', 'dd7253cbadbf6b2746d4781e9da35d5d')
             ) AS t(media_id, frame_idx, frame_ts_s, frame_kind, frame_md5)
             ORDER BY media_id, frame_idx""",
+        "q63_decontamination": r"""
+            WITH words AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) < 8 THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(ws) - 6),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' '
+                                   || ws[i+2] || ' ' || ws[i+3] || ' '
+                                   || ws[i+4] || ' ' || ws[i+5] || ' '
+                                   || ws[i+6] || ' ' || ws[i+7]))
+                     END AS grams
+              FROM words),
+            bench AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+              FROM g
+              WHERE doc_id IN (SELECT CAST(doc_id AS VARCHAR)
+                               FROM documents ORDER BY doc_id LIMIT 3)),
+            corpus AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+              FROM g),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_hits
+              FROM corpus JOIN bench USING (gh)
+              GROUP BY doc_id)
+            SELECT g.doc_id,
+                   CAST(len(grams) AS INT) AS n_grams,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   CASE WHEN len(grams) = 0 THEN NULL
+                        ELSE coalesce(n_hits, 0)::DOUBLE
+                             / len(grams)::DOUBLE END AS frac
+            FROM g LEFT JOIN hits USING (doc_id)
+            WHERE coalesce(n_hits, 0) > 0
+            ORDER BY g.doc_id""",
+        "q64_dsir_weights": r"""
+            WITH words AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            raw AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(
+                        CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                             ELSE list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1]) END
+                     )), 1, 15))::BIGINT % 64 AS b
+              FROM words),
+            tgt AS (
+              SELECT ('0x' || substr(md5(unnest(
+                        CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                             ELSE list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1]) END
+                     )), 1, 15))::BIGINT % 64 AS b
+              FROM (SELECT list_filter(
+                             string_split_regex(lower(trim(text)),
+                                                '[ \t\n\r\f]+'),
+                             w -> w <> '') AS ws
+                    FROM (SELECT text FROM documents
+                          ORDER BY n_chars, doc_id LIMIT 20))),
+            ct_r AS (SELECT b, COUNT(*) AS c_r FROM raw GROUP BY b),
+            ct_t AS (SELECT b, COUNT(*) AS c_t FROM tgt GROUP BY b),
+            ratio AS (
+              SELECT t.b,
+                     CAST(round((ln((coalesce(c_t, 0) + 1)::DOUBLE
+                                    / (tot_t + 64)::DOUBLE)
+                                 - ln((coalesce(c_r, 0) + 1)::DOUBLE
+                                      / (tot_r + 64)::DOUBLE)) * 1e6)
+                          AS BIGINT) AS r_micro
+              FROM range(0, 64) AS t(b)
+              LEFT JOIN ct_r ON ct_r.b = t.b
+              LEFT JOIN ct_t ON ct_t.b = t.b
+              CROSS JOIN (SELECT COUNT(*) AS tot_r FROM raw)
+              CROSS JOIN (SELECT COUNT(*) AS tot_t FROM tgt)),
+            scored AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(r_micro) AS BIGINT) AS weight_micro
+              FROM raw JOIN ratio USING (b)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(weight_micro, 0) AS BIGINT) AS weight_micro
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id
+                  FROM documents) d
+            LEFT JOIN scored USING (doc_id)
+            ORDER BY d.doc_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
