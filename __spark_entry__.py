@@ -1046,6 +1046,26 @@ def _q64_dsir_weights(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q65_warc_roundtrip(spark, sf):
+    # Archive ingestion through the REAL path: serialize the first 20
+    # documents into per-record-gzip WARC files (one per doc_id % 4
+    # group), then parse them back with the production record parser and
+    # HTTP splitter.  Every output field is a pure function of the
+    # documents row (url/date formulas, status 200, body == text), so
+    # DuckDB reconstructs the whole result without touching a byte of
+    # WARC — the round trip is what's being value-checked.
+    from knowledgebase_processor_spark.sources.warc import (
+        pages_from_warc, warc_from_documents, warc_records)
+    d = _t(spark, sf, "documents").orderBy("doc_id").limit(20) \
+        .select("doc_id", "text")
+    pages = pages_from_warc(warc_records(warc_from_documents(d, files=4)))
+    return (pages.select(
+                "url", "warc_ts", "http_status", "mime",
+                F.length("text").alias("n_chars"),
+                F.md5("text").alias("text_md5"))
+            .orderBy("url"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1135,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_video_frames": _q62_video_frames,
         "q63_decontamination": _q63_decontamination,
         "q64_dsir_weights": _q64_dsir_weights,
+        "q65_warc_roundtrip": _q65_warc_roundtrip,
     }
 
 
@@ -2389,6 +2410,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) d
             LEFT JOIN scored USING (doc_id)
             ORDER BY d.doc_id""",
+        "q65_warc_roundtrip": """
+            SELECT 'https://corpus.example.org/doc/' || doc_id AS url,
+                   TIMESTAMP '2024-11-07 12:00:00'
+                     + INTERVAL (doc_id) SECOND AS warc_ts,
+                   CAST(200 AS BIGINT) AS http_status,
+                   'text/html' AS mime,
+                   CAST(length(text) AS INT) AS n_chars,
+                   md5(text) AS text_md5
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT 20)
+            ORDER BY url""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
