@@ -1066,6 +1066,39 @@ def _q65_warc_roundtrip(spark, sf):
             .orderBy("url"))
 
 
+def _q66_bpe_merges(spark, sf):
+    # BPE vocabulary training over the whole corpus: the corpus-scale
+    # pass is the word histogram (one map-side-combinable groupBy); the
+    # merge loop runs on the collected ~vocab-row table — the standard
+    # HF-tokenizers/SentencePiece architecture.  Deterministic (ties
+    # break lexicographically), so the learned merges are pinned VALUES;
+    # the oracle values were derived from a DuckDB-computed histogram,
+    # which independently checks the distributed pass.
+    from knowledgebase_processor_spark.operators.bpe import (
+        bpe_train, merges_df)
+    merges = bpe_train(_t(spark, sf, "documents", spread=True),
+                       num_merges=40)
+    return merges_df(spark, merges).orderBy("rank")
+
+
+def _q67_bpe_encode(spark, sf):
+    # Distributed encode with the corpus-trained merges: broadcast
+    # ranks, Arrow-batched greedy merge replay with a per-batch word
+    # memo.  Token streams are pinned via md5 of the joined tokens
+    # (independently recomputed from the DuckDB histogram + the same
+    # published algorithm).
+    from knowledgebase_processor_spark.operators.bpe import (
+        bpe_encode, bpe_train)
+    merges = bpe_train(_t(spark, sf, "documents", spread=True),
+                       num_merges=40)
+    d = _t(spark, sf, "documents").orderBy("doc_id").limit(12) \
+        .select("doc_id", "text")
+    return (bpe_encode(d, merges)
+            .select("doc_id", "n_tokens",
+                    F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
+            .orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1156,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_decontamination": _q63_decontamination,
         "q64_dsir_weights": _q64_dsir_weights,
         "q65_warc_roundtrip": _q65_warc_roundtrip,
+        "q66_bpe_merges": _q66_bpe_merges,
+        "q67_bpe_encode": _q67_bpe_encode,
     }
 
 
@@ -2421,6 +2456,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text FROM documents
                   ORDER BY doc_id LIMIT 20)
             ORDER BY url""",
+        # Pinned from an INDEPENDENT path: DuckDB computes the word
+        # histogram; the published BPE algorithm (Sennrich 2016, ties ->
+        # lexicographic min) turns it into merges.  Checks the Spark
+        # histogram shuffle AND the distributed encode end-to-end.
+        "q66_bpe_merges": """
+            SELECT * FROM (VALUES
+              (0, 'e', 'r'), (1, 'e', '</w>'), (2, 'n', '</w>'),
+              (3, 'er', '</w>'), (4, 'o', 'w'), (5, 'ow', '</w>'),
+              (6, 'o', 'r'), (7, 's', 't'), (8, 'h', '</w>'),
+              (9, 'a', 't'), (10, 'l', 'u'), (11, 'i', 'n'),
+              (12, 'a', '</w>'), (13, 'g', '</w>'), (14, 'y', '</w>'),
+              (15, 'a', 'r'), (16, 'p', 'ar'), (17, 't', '</w>'),
+              (18, 'i', 'n</w>'), (19, 'j', 'o'), (20, 'jo', 'in</w>'),
+              (21, 'a', 's'), (22, 'as', 'h</w>'), (23, 'h', 'ash</w>'),
+              (24, 'r', 'ow</w>'), (25, 'at', 'c'), (26, 'atc', 'h</w>'),
+              (27, 'b', 'atch</w>'), (28, 'a', 'n</w>'),
+              (29, 'c', 'an</w>'), (30, 's', 'can</w>'), (31, 'c', 'o'),
+              (32, 'c', 'u'), (33, 'co', 'lu'), (34, 'colu', 'm'),
+              (35, 'colum', 'n</w>'), (36, 'cu', 'st'),
+              (37, 'cust', 'o'), (38, 'custo', 'm'),
+              (39, 'custom', 'er</w>')
+            ) AS t(rank, m_left, m_right) ORDER BY rank""",
+        "q67_bpe_encode": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens, tokens_md5
+            FROM (VALUES
+              (0, 96, 'd8cdd81f8dd7c0663468accde610504c'),
+              (1, 231, '509076020cfc632833381a27354520e3'),
+              (2, 153, 'e4f075b17806d844c6c9f5f626912bc9'),
+              (3, 92, '2eea3342ceddc4ff2a7ec008a96eb2e2'),
+              (4, 147, '1f7a4ac00bb647bc4dedb151b545c0d8'),
+              (5, 189, '663089ae065803eb534c4eed3cfd3516'),
+              (6, 45, '31fa4f88268455f06aaa56157247a2cc'),
+              (7, 204, '02bd5fabea9474567f81823b56f75b28'),
+              (8, 268, '78f26cfd907f920503d231e02ada19e3'),
+              (9, 217, 'f2794198732afbe44711180079d2df37'),
+              (10, 132, 'a209dc1f3f65d6c7548d6827e402fbd1'),
+              (11, 193, '11dd2ae5492f268f42c88938b5e3e383')
+            ) AS t(doc_id, n_tokens, tokens_md5) ORDER BY doc_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
@@ -2432,7 +2506,8 @@ def oracle_sql() -> dict[str, str]:
 ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q37_media_features", "q45_prepare_corpus",
                        "q33_dedup_corpus", "q32_ann_ivf",
-                       "q62_video_frames"}
+                       "q62_video_frames", "q66_bpe_merges",
+                       "q67_bpe_encode"}
 
 
 if __name__ == "__main__":
