@@ -1099,6 +1099,23 @@ def _q67_bpe_encode(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q68_span_dedup(spark, sf):
+    # ExactSubstr dedup (Lee et al. 2021): every >=8-word span occurring
+    # twice anywhere in the corpus is removed.  Window hashing and the
+    # duplicate set are JVM columns + one groupBy; only the per-doc
+    # interval sweep is Python (numpy difference array).  The oracle
+    # replays windows, the duplicate set, the interval cover and the
+    # cleaned-text md5 entirely in SQL — value-level, no pinning.
+    from knowledgebase_processor_spark.operators.span_dedup import (
+        remove_duplicate_spans)
+    d = _t(spark, sf, "documents", spread=True).select("doc_id", "text")
+    return (remove_duplicate_spans(d, n=8)
+            .filter(F.col("n_removed") > 0)
+            .select("doc_id", "n_words", "n_removed",
+                    F.md5("text_clean").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1191,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_warc_roundtrip": _q65_warc_roundtrip,
         "q66_bpe_merges": _q66_bpe_merges,
         "q67_bpe_encode": _q67_bpe_encode,
+        "q68_span_dedup": _q68_span_dedup,
     }
 
 
@@ -2495,6 +2513,46 @@ def oracle_sql() -> dict[str, str]:
               (10, 132, 'a209dc1f3f65d6c7548d6827e402fbd1'),
               (11, 193, '11dd2ae5492f268f42c88938b5e3e383')
             ) AS t(doc_id, n_tokens, tokens_md5) ORDER BY doc_id""",
+        "q68_span_dedup": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            wins AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+                              1, 15))::BIGINT AS wh
+              FROM words, unnest(range(1, len(ws) - 6)) AS t(i)),
+            dups AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+            flagged AS (SELECT doc_id, pos FROM wins JOIN dups USING (wh)),
+            removed AS (
+              SELECT DISTINCT doc_id, j
+              FROM flagged, unnest(range(pos, pos + 8)) AS r(j)),
+            wordrows AS (
+              SELECT doc_id, i - 1 AS j, ws[i] AS w
+              FROM words, unnest(range(1, len(ws) + 1)) AS t(i)),
+            kept AS (
+              SELECT wr.doc_id, wr.j, wr.w
+              FROM wordrows wr ANTI JOIN removed r
+                ON wr.doc_id = r.doc_id AND wr.j = r.j),
+            clean AS (
+              SELECT doc_id,
+                     coalesce(string_agg(w, ' ' ORDER BY j), '') AS text_clean
+              FROM kept GROUP BY doc_id),
+            stats AS (
+              SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+                     CAST(coalesce(rm.n, 0) AS INT) AS n_removed
+              FROM words w
+              LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                         FROM removed GROUP BY doc_id) rm
+                ON w.doc_id = rm.doc_id)
+            SELECT s.doc_id, s.n_words, s.n_removed,
+                   md5(coalesce(c.text_clean, '')) AS clean_md5
+            FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
+            WHERE s.n_removed > 0
+            ORDER BY s.doc_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -48,14 +48,24 @@ def _words(text) -> "F.Column":
 
 
 def _word_ngrams(text, n: int) -> "F.Column":
-    """Distinct word n-grams of ``text``; [] when fewer than n words."""
+    """Distinct word n-grams of ``text``; [] when fewer than n words.
+
+    zip_with over shifted copies, NOT transform(indices, i ->
+    element_at(ws, ...)): interpreted higher-order functions re-evaluate
+    captured expression trees per element, so referencing ``ws`` inside
+    the lambda is O(doc^2) on crawl-scale pages (the
+    functions/text.py::shingles lesson; span_dedup hit it live)."""
     ws = _words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k)
-                                     for k in range(n)]))
+    grams = ws
+    for k in range(1, n):
+        shifted = F.slice(ws, k + 1, F.greatest(F.size(ws), F.lit(1)))
+        # concat_ws skips the NULL tail padding; entries past size-n+1
+        # are sliced off, so only exact n-word joins survive
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(ws) < n, F.array().cast("array<string>")) \
-        .otherwise(F.array_distinct(grams))
+        .otherwise(F.array_distinct(F.slice(grams, 1,
+                                            F.size(ws) - (n - 1))))
 
 
 def _h60(col) -> "F.Column":

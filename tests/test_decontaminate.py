@@ -116,3 +116,15 @@ def test_dsir_zero_bigram_docs(spark):
                         _df(spark, BENCH), buckets=16).collect()}
     assert got["a"]["weight_micro"] == 0 and got["a"]["n_bigrams"] == 0
     assert got["b"]["weight_micro"] == 0
+
+
+def test_crawl_scale_doc_is_linear(spark):
+    # regression for the quadratic captured-expression n-gram bug: a
+    # 200k-word doc must pass through 8-gram contamination in seconds
+    import time
+    d = spark.createDataFrame([("big", "word " * 200_000)],
+                              "doc_id string, text string")
+    t = time.time()
+    r = contamination(d, _df(spark, BENCH), n=8).collect()[0]
+    assert time.time() - t < 90
+    assert (r["n_grams"], r["n_hits"]) == (1, 0)  # one distinct 8-gram
