@@ -1116,6 +1116,19 @@ def _q68_span_dedup(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q69_kmeans(spark, sf):
+    # Exact fixed-point k-means over the embeddings table: micro-unit
+    # quantization makes every Lloyd's step integer arithmetic, so the
+    # full 3-iteration trajectory (assignments, floor-divided centroid
+    # means, tie rules, empty-cluster retention) is replayed
+    # bit-identically by the DuckDB oracle's chained CTEs — an iterative
+    # ML algorithm value-checked cross-engine, no pinning.
+    from knowledgebase_processor_spark.operators.kmeans import (
+        kmeans_summary)
+    emb = _t(spark, sf, "embeddings", spread=True)
+    return kmeans_summary(emb, k=4, iters=3)
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1209,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_bpe_merges": _q66_bpe_merges,
         "q67_bpe_encode": _q67_bpe_encode,
         "q68_span_dedup": _q68_span_dedup,
+        "q69_kmeans": _q69_kmeans,
     }
 
 
@@ -2553,6 +2567,98 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
             WHERE s.n_removed > 0
             ORDER BY s.doc_id""",
+        "q69_kmeans": r"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                       AS qv
+              FROM embeddings),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS c, qv AS cv
+              FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+            a1 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c0.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c0.cv[i])
+                                  * (q.qv[i] - c0.cv[i]))) AS dist
+                      FROM q CROSS JOIN c0))
+              WHERE rn = 1),
+            u1 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a1 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c1 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c0 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u1 GROUP BY c) n ON p.c = n.c),
+            a2 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c1.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c1.cv[i])
+                                  * (q.qv[i] - c1.cv[i]))) AS dist
+                      FROM q CROSS JOIN c1))
+              WHERE rn = 1),
+            u2 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a2 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c2 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c1 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u2 GROUP BY c) n ON p.c = n.c),
+            a3 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c2.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c2.cv[i])
+                                  * (q.qv[i] - c2.cv[i]))) AS dist
+                      FROM q CROSS JOIN c2))
+              WHERE rn = 1),
+            u3 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a3 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c3 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c2 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u3 GROUP BY c) n ON p.c = n.c),
+            afinal AS (
+              SELECT vec_id, c FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, c3.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c3.cv[i])
+                                  * (q.qv[i] - c3.cv[i]))) AS dist
+                      FROM q CROSS JOIN c3))
+              WHERE rn = 1)
+            SELECT c3.c AS cluster,
+                   CAST(coalesce(n.n, 0) AS BIGINT) AS n_vecs,
+                   CAST(list_sum(list_transform(c3.cv, v -> abs(v)))
+                        AS BIGINT) AS centroid_l1
+            FROM c3 LEFT JOIN (SELECT c, COUNT(*) AS n
+                               FROM afinal GROUP BY c) n ON c3.c = n.c
+            ORDER BY cluster""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,121 @@
+"""Exact fixed-point k-means over embedding columns (corpus clustering).
+
+Training-data pipelines cluster document embeddings to balance topics,
+pick deduplication strata and build IVF indexes.  Lloyd's algorithm is
+normally float-summation-order dependent (a groupBy sum of doubles is
+not associative), so distributed runs are irreproducible.  This
+implementation quantizes once to MICRO-UNITS (``round(x * 1e6)`` as
+bigint) and then runs every step — squared-L2 distances, argmin,
+centroid sums, the floor-divided means — in exact integer arithmetic:
+
+* bit-identical under any partitioning, any aggregation order, and any
+  engine (the q69 oracle replays all iterations in DuckDB CTEs);
+* ties in the argmin break to the lowest cluster index; empty clusters
+  keep their previous centroid; init = the vectors of the k smallest
+  ids.  Every choice is total-ordered, so the whole trajectory is a
+  pure function of the input.
+
+Scale shape: per iteration one codegen projection computes k distances
+and the argmin (centroids ride as literals — k x dim x 8 bytes, KBs),
+and one map-side-combinable groupBy over (cluster, dim) reduces the
+corpus to k*dim rows; only that tiny table reaches the driver.  The
+quantized vectors are re-derived per iteration (a cast per element)
+rather than cached — at 100 TB recomputation from the column store is
+cheaper than materializing a second copy of the corpus.
+
+Magnitude bound: |x| <= ~2000 after quantization of unit-ish embeddings
+gives squared diffs ~1e12 * dim ~ 1e14 << 2^63, and centroid sums stay
+under 2^53 (exact in the DOUBLE division) up to ~10^9 members/cluster;
+both documented limits of the fixed-point contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000.0
+
+
+def quantize(vec_col) -> "F.Column":
+    """float array -> exact micro-unit bigint array."""
+    return F.transform(vec_col,
+                       lambda x: F.round(x.cast("double") * MICRO)
+                       .cast("bigint"))
+
+
+def _sq_dist(qv, centroid: list[int]) -> "F.Column":
+    lits = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(qv, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """-> (vec_id, qv, cluster): nearest centroid by exact squared L2,
+    ties to the lowest cluster index (array_position finds the FIRST
+    minimum)."""
+    q = vecs.select(F.col(id_col).alias("vec_id"),
+                    quantize(F.col(vec_col)).alias("qv"))
+    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    return q.select(
+        "vec_id", "qv",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        .alias("cluster"))
+
+
+def update_centroids(assigned: DataFrame, centroids: list[list[int]],
+                     ) -> tuple[list[list[int]], dict[int, int]]:
+    """One exact Lloyd's update: floor(sum/count) per (cluster, dim)
+    from a map-side-combinable groupBy; empty clusters keep their
+    previous centroid.  Returns (new centroids, cluster sizes)."""
+    rows = (assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect())
+    new = [list(c) for c in centroids]
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["cluster"]] = r["n"]
+        # n*|v| stays < 2^53, so the double division is exact
+        new[r["cluster"]][r["d"]] = int(math.floor(r["s"] / r["n"]))
+    return new, sizes
+
+
+def kmeans(vecs: DataFrame, k: int = 4, iters: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           ) -> tuple[DataFrame, list[list[int]]]:
+    """Exact k-means: ``iters`` (assign, update) rounds; returns the
+    final assignment frame (vec_id, qv, cluster) — computed with the
+    final centroids — and those centroids (micro-units)."""
+    init = (vecs.orderBy(id_col).limit(k)
+            .select(quantize(F.col(vec_col)).alias("qv")).collect())
+    centroids = [[int(v) for v in r["qv"]] for r in init]
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(vecs, centroids, id_col, vec_col)
+        centroids, _sizes = update_centroids(assigned, centroids)
+    return (assign_clusters(vecs, centroids, id_col, vec_col), centroids)
+
+
+def kmeans_summary(vecs: DataFrame, k: int = 4, iters: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster (cluster, n_vecs, centroid_l1): sizes of the final
+    assignment plus the exact L1 norm of each final centroid — a compact
+    bit-exact witness of the whole trajectory."""
+    assigned, centroids = kmeans(vecs, k, iters, id_col, vec_col)
+    spark = vecs.sparkSession
+    l1 = spark.createDataFrame(
+        [(i, int(sum(abs(v) for v in c))) for i, c in enumerate(centroids)],
+        "cluster int, centroid_l1 bigint")
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n_vecs"))
+            .join(l1, "cluster", "right")
+            .select("cluster",
+                    F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
+                    "centroid_l1")
+            .orderBy("cluster"))
