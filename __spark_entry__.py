@@ -652,14 +652,7 @@ def _q44_line_dedup(spark, sf):
             .orderBy("doc_id").limit(50))
 
 
-def _q45_prepare_corpus(spark, sf):
-    # The composed training-data preparation pipeline (operators/
-    # prepare.py): dedup -> C4 line clean -> Gopher filter -> corpus
-    # line dedup -> PII scrub, reported as per-stage document counts
-    # plus the total surviving characters (pins the scrub/reassembly
-    # output, not just row counts).  Deterministic on the fixed corpus;
-    # oracle is the precomputed VALUES at sf0.01 (ORACLE_SF001_PINNED).
-    from knowledgebase_processor_spark.operators.prepare import prepare_corpus
+def _q45_salted_docs(spark, sf):
     # Salt the word-soup corpus so every stage has real work: proper
     # sentences on half the docs (C4/Gopher survivors), a shared
     # boilerplate line (cross-corpus line dedup), an email (PII scrub),
@@ -671,7 +664,7 @@ def _q45_prepare_corpus(spark, sf):
              "A fifth sentence describes the long road into the valley.\n"
              "The sixth and last sentence wraps the salted page up nicely.\n"
              "Subscribe to our newsletter today and stay informed.")
-    d = _t(spark, sf, "documents", spread=True).select(
+    return _t(spark, sf, "documents", spread=True).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
             F.col("text"),
@@ -683,7 +676,18 @@ def _q45_prepare_corpus(spark, sf):
              .otherwise(F.lit("")),
             F.when(F.col("doc_id") % 10 == 0, F.lit("\ncode = {x}"))
              .otherwise(F.lit(""))).alias("text"))
-    out, stats = prepare_corpus(d, portable_line_hash=True)
+
+
+def _q45_prepare_corpus(spark, sf):
+    # The composed training-data preparation pipeline (operators/
+    # prepare.py): dedup -> C4 line clean -> Gopher filter -> corpus
+    # line dedup -> PII scrub, reported as per-stage document counts
+    # plus the total surviving characters (pins the scrub/reassembly
+    # output, not just row counts).  Deterministic on the fixed corpus;
+    # oracle is the precomputed VALUES at sf0.01 (ORACLE_SF001_PINNED).
+    from knowledgebase_processor_spark.operators.prepare import prepare_corpus
+    out, stats = prepare_corpus(_q45_salted_docs(spark, sf),
+                                portable_line_hash=True)
     chars = out.agg(F.lit("scrubbed_chars").alias("stage"),
                     F.coalesce(F.sum(F.length("text")), F.lit(0))
                     .cast("long").alias("n_docs"))
@@ -1129,6 +1133,42 @@ def _q69_kmeans(spark, sf):
     return kmeans_summary(emb, k=4, iters=3)
 
 
+def _q70_prepare_corpus_v2(spark, sf):
+    # The q45 hygiene chain extended to the RefinedWeb/GPT-3 shape:
+    # ExactSubstr span dedup between line dedup and the scrub, then
+    # strict benchmark decontamination (drop any doc sharing an 8-gram
+    # with the eval set = the 3 lowest-id documents).  Every constituent
+    # stage is independently value-checked (q45, q68, q63); the composed
+    # lineage counts are deterministic -> pinned VALUES at sf0.01.
+    from knowledgebase_processor_spark.operators.prepare import (
+        prepare_corpus)
+    # Two more salts on top of q45's: (a) a per-doc-unique line whose
+    # 12-word tail is shared across all %6 docs — survives the LINE
+    # dedup (lines differ), gets cut by ExactSubstr; (b) one unique
+    # leaked line on doc 42 only (1 occurrence, so span dedup keeps it)
+    # that the benchmark contains — the strict decontamination drop.
+    leak = ("The hidden answer key says zebra quagga okapi tapir gnu "
+            "eland oryx antelope.")
+    d = _q45_salted_docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id").cast("long") % 6 == 0,
+                   F.concat(F.lit("\nRecord "), F.col("doc_id"),
+                            F.lit(" states: the quick brown fox jumps"
+                                  " over the lazy dog tonight.")))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") == "42", F.lit("\n" + leak))
+             .otherwise(F.lit(""))).alias("text"))
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out, stats = prepare_corpus(d, portable_line_hash=True,
+                                span_dedup_n=8, benchmark=bench)
+    chars = out.agg(F.lit("scrubbed_chars").alias("stage"),
+                    F.coalesce(F.sum(F.length("text")), F.lit(0))
+                    .cast("long").alias("n_docs"))
+    return stats.unionByName(chars).orderBy("stage")
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1223,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_bpe_encode": _q67_bpe_encode,
         "q68_span_dedup": _q68_span_dedup,
         "q69_kmeans": _q69_kmeans,
+        "q70_prepare_corpus_v2": _q70_prepare_corpus_v2,
     }
 
 
@@ -2093,6 +2134,18 @@ def oracle_sql() -> dict[str, str]:
               ('scrubbed',       55),
               ('scrubbed_chars', 2151)
             ) AS t(stage, n_docs) ORDER BY stage""",
+        "q70_prepare_corpus_v2": """
+            SELECT * FROM (VALUES
+              ('decontaminated', CAST(56 AS BIGINT)),
+              ('deduped',        435),
+              ('input',          500),
+              ('line_cleaned',   149),
+              ('line_deduped',   57),
+              ('quality_kept',   149),
+              ('scrubbed',       56),
+              ('scrubbed_chars', 2788),
+              ('span_deduped',   57)
+            ) AS t(stage, n_docs) ORDER BY stage""",
         "q46_pq_adc": _q46_oracle_sql(_q46_books()),
         "q48_pack_sequences": r"""
             WITH RECURSIVE t AS (
@@ -2671,7 +2724,7 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q37_media_features", "q45_prepare_corpus",
                        "q33_dedup_corpus", "q32_ann_ivf",
                        "q62_video_frames", "q66_bpe_merges",
-                       "q67_bpe_encode"}
+                       "q67_bpe_encode", "q70_prepare_corpus_v2"}
 
 
 if __name__ == "__main__":

@@ -41,13 +41,27 @@ from .quality import c4_line_filter, gopher_quality_flags
 def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    jaccard_threshold: float = 0.6,
-                   portable_line_hash: bool = False
+                   portable_line_hash: bool = False,
+                   span_dedup_n: int | None = None,
+                   benchmark: DataFrame | None = None,
+                   contamination_n: int = 8
                    ) -> tuple[DataFrame, DataFrame]:
     """Run the full hygiene chain; see module docstring.
 
     ``portable_line_hash`` switches stage 4 to the md5 twin so external
     engines can recompute the line-dedup winners (used by the q45
     oracle); the default xxhash64 is ~2x faster in-pipeline.
+
+    Two opt-in stages extend the chain to the RefinedWeb/GPT-3 shape
+    (both off by default, so existing callers and the q45 oracle are
+    unchanged):
+
+    * ``span_dedup_n`` — ExactSubstr pass (span_dedup.py) between line
+      dedup and the scrub: every >=n-word span duplicated corpus-wide
+      is cut out of the surviving text.
+    * ``benchmark`` — decontamination (decontaminate.py): documents
+      sharing any ``contamination_n``-gram with the benchmark frame's
+      ``text`` column are DROPPED (the strict GPT-3 rule).
     """
     spark = docs.sparkSession
     d0 = docs.select(F.col(id_col).alias("doc_id"),
@@ -69,12 +83,30 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
 
     # 4. corpus-wide line dedup over survivors
     d4 = line_dedup(d3, portable=portable_line_hash).select("doc_id", "text")
+    d4_line = d4
+    extra_stages = []
+
+    # 4b. opt-in ExactSubstr span dedup
+    if span_dedup_n:
+        from .span_dedup import remove_duplicate_spans
+        d4 = (remove_duplicate_spans(d4, n=span_dedup_n)
+              .select("doc_id", F.col("text_clean").alias("text")))
+        extra_stages.append(("span_deduped", d4))
+
+    # 4c. opt-in benchmark decontamination (strict drop-on-any-hit)
+    if benchmark is not None:
+        from .decontaminate import contamination
+        clean_ids = (contamination(d4, benchmark, n=contamination_n)
+                     .filter(F.col("n_hits") == 0).select("doc_id"))
+        d4 = d4.join(clean_ids, "doc_id")
+        extra_stages.append(("decontaminated", d4))
 
     # 5. PII scrub
     d5 = d4.select("doc_id", redact_pii(F.col("text")).alias("text"))
 
     stages = [("input", d0), ("deduped", d1), ("line_cleaned", d2),
-              ("quality_kept", d3), ("line_deduped", d4), ("scrubbed", d5)]
+              ("quality_kept", d3), ("line_deduped", d4_line)] + \
+        extra_stages + [("scrubbed", d5)]
     stats = reduce(DataFrame.unionByName,
                    [df.agg(F.lit(name).alias("stage"),
                            F.count("*").alias("n_docs"))

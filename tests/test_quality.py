@@ -234,6 +234,49 @@ def test_prepare_corpus_stage_semantics(spark):
     assert "who@example.com" not in texts["b"] and "<EMAIL>" in texts["b"]
 
 
+def test_prepare_corpus_optin_stages(spark):
+    """span_dedup_n + benchmark extend the chain (RefinedWeb/GPT-3
+    shape) without touching the default stages."""
+    from knowledgebase_processor_spark.operators.prepare import prepare_corpus
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    leak = "The secret eval answer names zebra quagga okapi tapir gnu eland."
+    pad_a = ["The quick brown fox jumps over the lazy dog near the old barn.",
+             "It then runs away into the forest and hides there for a while.",
+             "Nobody in the village can find it for the rest of that day.",
+             "The search party walks along the river bank until the light fades.",
+             "In the morning the fox is seen again at the edge of the field.",
+             "Children wave at it from the road and it watches them calmly."]
+    pad_b = ["A completely different report describes the harvest in autumn.",
+             "The farmers gather wheat and store it in the tall wooden silos.",
+             "Markets in the town sell the grain through the winter months.",
+             "Bread from the mill is carried to the city twice in a week.",
+             "The price of flour stays steady because the stores are full.",
+             "Everyone agrees that it was the best season in many years."]
+    pad_c = ["This third page talks about sailing boats on the open water.",
+             "The crew adjusts the sails whenever the wind starts shifting.",
+             "Every voyage ends with the boat returning to the small harbor.",
+             "The lighthouse keeper logs each arrival in a heavy leather book.",
+             "Fishermen trade their morning catch beside the wooden pier.",
+             "At night the bay is quiet and the lanterns sway in the breeze."]
+    rows = [
+        ("a", "\n".join(pad_a + [f"Page a says {span}"])),
+        ("b", "\n".join(pad_b + [f"Page b says {span}"])),
+        ("c", "\n".join(pad_c + [leak])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out, stats = prepare_corpus(docs, span_dedup_n=8, benchmark=bench)
+    s = {r["stage"]: r["n_docs"] for r in stats.collect()}
+    assert set(s) == {"input", "deduped", "line_cleaned", "quality_kept",
+                      "line_deduped", "span_deduped", "decontaminated",
+                      "scrubbed"}
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    # the shared 10-word span is cut from both carriers by ExactSubstr
+    assert all("gamma" not in t for t in texts.values())
+    # the leaked doc is dropped by strict decontamination
+    assert "c" not in texts and s["decontaminated"] == s["span_deduped"] - 1
+
+
 def test_pack_sequences_semantics(spark):
     from knowledgebase_processor_spark.operators.packing import (
         pack_sequences, packing_stats)
