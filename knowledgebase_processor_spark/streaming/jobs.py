@@ -134,3 +134,35 @@ def session_event_stats(events: DataFrame, gap: str = "30 minutes",
             .agg(F.count("*").alias("n_events"))
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_close"), "n_events"))
+
+
+def decontaminate_crawl_stream(docs_stream: DataFrame, benchmark: DataFrame,
+                               clean_dir: str, flagged_dir: str,
+                               checkpoint_dir: str, n: int = 8):
+    """Streaming benchmark decontamination of a crawl feed: each
+    micro-batch is scored by the EXACT batch operator
+    (``operators.decontaminate.contamination``) against the static eval
+    set — clean pages append to ``clean_dir`` for downstream prep,
+    contaminated ones to ``flagged_dir`` with their (n_grams, n_hits,
+    frac) evidence for audit.
+
+    ``foreachBatch`` keeps streaming and batch semantics identical; the
+    benchmark side is a stream-static BROADCAST join (eval suites are
+    MBs), so at web scale only the micro-batch is ever shuffled — the
+    same plan as the batch path.
+    """
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.decontaminate import contamination
+        scored = contamination(batch_df, benchmark, n=n)
+        scored.persist()
+        (scored.filter(F.col("n_hits") > 0)
+         .write.mode("append").parquet(flagged_dir))
+        (batch_df.join(scored.filter(F.col("n_hits") > 0).select("doc_id"),
+                       "doc_id", "left_anti")
+         .write.mode("append").parquet(clean_dir))
+        scored.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -8,6 +8,8 @@ from knowledgebase_processor_spark.operators.multimodal import (
     audio_features, decode_image_dims, decode_wav_meta, frame_sample,
     image_features,
 )
+from pyspark.sql import functions as F
+
 from knowledgebase_processor_spark.streaming.jobs import (
     watch_documents, windowed_event_counts,
 )
@@ -582,3 +584,30 @@ def test_frame_sample_real_mjpeg_avi(spark):
 
     stub = [rows[("s", i)] for i in range(2)]
     assert all(r["frame_kind"] == "hash-stub" for r in stub)
+
+
+def test_decontaminate_crawl_stream(spark, tmp_path):
+    from knowledgebase_processor_spark.streaming.jobs import (
+        decontaminate_crawl_stream)
+    src = tmp_path / "feed"
+    src.mkdir()
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    (src / "dirty.txt").write_text(f"intro words then {leak} and a tail")
+    (src / "clean.txt").write_text(
+        "a completely unrelated page about spark shuffles and joins here")
+    bench = spark.createDataFrame([(f"eval question: {leak}?",)],
+                                  "text string")
+    stream = (spark.readStream.format("text").option("wholetext", "true")
+              .load(str(src))
+              .select(F.input_file_name().alias("doc_id"),
+                      F.col("value").alias("text")))
+    clean_dir, flagged_dir = str(tmp_path / "clean"), str(tmp_path / "flag")
+    q = decontaminate_crawl_stream(
+        stream, bench, clean_dir, flagged_dir, str(tmp_path / "ck"),
+        n=8).start()
+    q.awaitTermination(120)
+    flagged = spark.read.parquet(flagged_dir).collect()
+    assert len(flagged) == 1 and "dirty" in flagged[0]["doc_id"]
+    assert flagged[0]["n_hits"] >= 1
+    clean = spark.read.parquet(clean_dir).collect()
+    assert len(clean) == 1 and "clean" in clean[0]["doc_id"]
