@@ -29,8 +29,6 @@ the optimizer evaluates per stage.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import redact_pii
@@ -67,48 +65,64 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     d0 = docs.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
 
+    # Each stage is materialized with ``localCheckpoint`` as it is
+    # built and the next stage reads the MATERIALIZED frame: a lazy
+    # chain re-evaluates every prefix once per consumer (the MinHash
+    # dedup ~7x through the lineage counts — measured 175 s vs 35 s at
+    # sf0.1), and ``persist`` is not reliable across mapInPandas
+    # boundaries (a cached span-dedup frame was observed re-executing
+    # its whole lineage: 67 s vs 2.8 s checkpointed).  Production runs
+    # make the same trade by writing every stage to storage — which is
+    # also what per-stage resume requires (kg_job.py does exactly
+    # that); in-session, the local block store is the equivalent.
+    stages: list[tuple[str, DataFrame]] = [("input", d0)]
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        df = df.localCheckpoint()
+        stages.append((name, df))
+        return df
+
     # 1. corpus dedup: keep each cluster's canonical document
     verdicts = dedup_corpus(d0, jaccard_threshold=jaccard_threshold)
     kept_ids = verdicts.filter(F.col("reason") == "kept").select("doc_id")
-    d1 = d0.join(kept_ids, "doc_id")
+    d1 = _stage("deduped", d0.join(kept_ids, "doc_id"))
 
     # 2. C4 line clean (page-level rules included)
     c4 = c4_line_filter(d1)
-    d2 = (c4.filter(F.col("page_keep"))
-          .select("doc_id", F.col("clean_text").alias("text")))
+    d2 = _stage("line_cleaned",
+                c4.filter(F.col("page_keep"))
+                .select("doc_id", F.col("clean_text").alias("text")))
 
     # 3. Gopher quality rules on the cleaned text
     flags = gopher_quality_flags(d2)
-    d3 = d2.join(flags.filter(F.col("keep")).select("doc_id"), "doc_id")
+    d3 = _stage("quality_kept",
+                d2.join(flags.filter(F.col("keep")).select("doc_id"),
+                        "doc_id"))
 
     # 4. corpus-wide line dedup over survivors
-    d4 = line_dedup(d3, portable=portable_line_hash).select("doc_id", "text")
-    d4_line = d4
-    extra_stages = []
+    d4 = _stage("line_deduped",
+                line_dedup(d3, portable=portable_line_hash)
+                .select("doc_id", "text"))
 
     # 4b. opt-in ExactSubstr span dedup
     if span_dedup_n:
         from .span_dedup import remove_duplicate_spans
-        d4 = (remove_duplicate_spans(d4, n=span_dedup_n)
-              .select("doc_id", F.col("text_clean").alias("text")))
-        extra_stages.append(("span_deduped", d4))
+        d4 = _stage("span_deduped",
+                    remove_duplicate_spans(d4, n=span_dedup_n)
+                    .select("doc_id",
+                            F.col("text_clean").alias("text")))
 
     # 4c. opt-in benchmark decontamination (strict drop-on-any-hit)
     if benchmark is not None:
         from .decontaminate import contamination
         clean_ids = (contamination(d4, benchmark, n=contamination_n)
                      .filter(F.col("n_hits") == 0).select("doc_id"))
-        d4 = d4.join(clean_ids, "doc_id")
-        extra_stages.append(("decontaminated", d4))
+        d4 = _stage("decontaminated", d4.join(clean_ids, "doc_id"))
 
     # 5. PII scrub
-    d5 = d4.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    d5 = _stage("scrubbed",
+                d4.select("doc_id", redact_pii(F.col("text")).alias("text")))
 
-    stages = [("input", d0), ("deduped", d1), ("line_cleaned", d2),
-              ("quality_kept", d3), ("line_deduped", d4_line)] + \
-        extra_stages + [("scrubbed", d5)]
-    stats = reduce(DataFrame.unionByName,
-                   [df.agg(F.lit(name).alias("stage"),
-                           F.count("*").alias("n_docs"))
-                    for name, df in stages])
+    counts = [(name, df.count()) for name, df in stages]
+    stats = spark.createDataFrame(counts, "stage string, n_docs long")
     return d5, stats
