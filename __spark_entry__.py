@@ -1169,6 +1169,34 @@ def _q70_prepare_corpus_v2(spark, sf):
     return stats.unionByName(chars).orderBy("stage")
 
 
+def _q71_semdedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
+    # every vector cosine-similar to a lower-id clustermate.  The corpus
+    # embeddings have no natural near-dups (max pairwise cosine ~0.51),
+    # so the query salts in planted duplicates — 5 exact copies and 5
+    # positively-scaled copies (cosine exactly 1, different quantized
+    # coordinates, so the norm algebra is exercised non-trivially).  The
+    # oracle replays the ENTIRE decision in DuckDB: the q69 3-iteration
+    # exact k-means trajectory on the salted input, then the same
+    # fixed-order integer-dot / IEEE-double threshold chain — value-level
+    # all the way down, no pinning.
+    from knowledgebase_processor_spark.operators.semdedup import semdedup
+    emb = _t(spark, sf, "embeddings", spread=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    exact = (emb.filter(F.col("vec_id") < 5)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     "embedding"))
+    scaled = (emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+              .select((F.col("vec_id") + 200000).alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: x * F.lit(2.0))
+                      .alias("embedding")))
+    salted = emb.unionByName(exact).unionByName(scaled)
+    return (semdedup(salted, k=4, iters=3, threshold=0.95)
+            .select("vec_id", "cluster", "keep")
+            .orderBy("vec_id"))
+
+
 def _q34_minhash_lsh_portable(spark, sf):
     # Banded-LSH candidate pairs over the PORTABLE MinHash signatures:
     # DuckDB recomputes signatures (q29's formula), band buckets, and the
@@ -1264,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_span_dedup": _q68_span_dedup,
         "q69_kmeans": _q69_kmeans,
         "q70_prepare_corpus_v2": _q70_prepare_corpus_v2,
+        "q71_semdedup": _q71_semdedup,
     }
 
 
@@ -2712,6 +2741,124 @@ def oracle_sql() -> dict[str, str]:
             FROM c3 LEFT JOIN (SELECT c, COUNT(*) AS n
                                FROM afinal GROUP BY c) n ON c3.c = n.c
             ORDER BY cluster""",
+        # q71: the q69 trajectory on the salted input, with qv kept in the
+        # final assignment, then the exact-integer-dot / fixed-order
+        # IEEE-double SemDeDup threshold replayed literally.
+        "q71_semdedup": r"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))
+                       AS qv
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                    FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 100000,
+                           CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id < 5
+                    UNION ALL
+                    SELECT vec_id + 200000,
+                           list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * 2)
+                    FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS c, qv AS cv
+              FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+            a1 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c0.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c0.cv[i])
+                                  * (q.qv[i] - c0.cv[i]))) AS dist
+                      FROM q CROSS JOIN c0))
+              WHERE rn = 1),
+            u1 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a1 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c1 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c0 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u1 GROUP BY c) n ON p.c = n.c),
+            a2 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c1.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c1.cv[i])
+                                  * (q.qv[i] - c1.cv[i]))) AS dist
+                      FROM q CROSS JOIN c1))
+              WHERE rn = 1),
+            u2 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a2 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c2 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c1 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u2 GROUP BY c) n ON p.c = n.c),
+            a3 AS (
+              SELECT vec_id, qv, c FROM (
+                SELECT vec_id, qv, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, c2.c,
+                             list_sum(list_transform(range(1, 65),
+                               i -> (q.qv[i] - c2.cv[i])
+                                  * (q.qv[i] - c2.cv[i]))) AS dist
+                      FROM q CROSS JOIN c2))
+              WHERE rn = 1),
+            u3 AS (
+              SELECT a.c, t.d,
+                     CAST(FLOOR(CAST(SUM(a.qv[t.d]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS v
+              FROM a3 a, unnest(range(1, 65)) AS t(d)
+              GROUP BY a.c, t.d),
+            c3 AS (
+              SELECT p.c, coalesce(n.cv, p.cv) AS cv
+              FROM c2 p LEFT JOIN (SELECT c, list(v ORDER BY d) AS cv
+                                   FROM u3 GROUP BY c) n ON p.c = n.c),
+            m AS (
+              SELECT vec_id, qv, c,
+                     list_sum(list_transform(range(1, 65),
+                                             i -> qv[i] * qv[i])) AS nrm
+              FROM (
+                SELECT vec_id, qv, c FROM (
+                  SELECT vec_id, qv, c,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, c) AS rn
+                  FROM (SELECT q.vec_id, q.qv, c3.c,
+                               list_sum(list_transform(range(1, 65),
+                                 i -> (q.qv[i] - c3.cv[i])
+                                    * (q.qv[i] - c3.cv[i]))) AS dist
+                        FROM q CROSS JOIN c3))
+                WHERE rn = 1)),
+            p AS (
+              SELECT b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.qv[i] * b.qv[i])) AS dot,
+                     a.nrm AS na, b.nrm AS nb
+              FROM m a JOIN m b ON a.c = b.c AND a.vec_id < b.vec_id),
+            dropped AS (
+              SELECT DISTINCT vec_id FROM p
+              WHERE dot > 0
+                AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+                    >= (CAST(0.9025 AS DOUBLE) * CAST(na AS DOUBLE))
+                       * CAST(nb AS DOUBLE))
+            SELECT m.vec_id, m.c AS cluster,
+                   (d.vec_id IS NULL) AS keep
+            FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+            ORDER BY m.vec_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
