@@ -30,6 +30,16 @@ from knowledgebase_processor_spark.operators.split import (  # noqa: E402
 _split_case_sql = _split_thresholds_sql(
     {"train": 0.8, "val": 0.1, "test": 0.1})
 
+from knowledgebase_processor_spark.operators.sketches import (  # noqa: E402
+    hll_rho_sql as _hll_rho_sql, _hll_alpha)
+
+# q72 shares the register-rank SQL verbatim with the Spark plan, and the
+# alpha*m^2*2^(nbits+1) literal is the exact double Spark's F.lit holds
+# (alpha * 256 * 256 * 2^53 — every factor a power of two, so repr()
+# round-trips the identical IEEE value into DuckDB).
+_HLL_RHO_SQL = _hll_rho_sql("hx", 2)
+_HLL_RAW_NUM = repr(_hll_alpha(256) * 256 * 256 * float(1 << 53))
+
 # Executor workers must import this package + vendored markdown-it.  When
 # the harness imports this module BEFORE creating its SparkSession (the
 # normal flow), exporting PYTHONPATH here covers local-mode workers; on a
@@ -1220,6 +1230,36 @@ def _q33_dedup_corpus(spark, sf):
             .orderBy("reason"))
 
 
+def _q72_distinct_sketches(spark, sf):
+    # Mergeable distinct-count sketches (stats family scale path): HLL
+    # register fixed-point sums + estimates and KMV bottom-k estimates of
+    # the per-language distinct-word cardinality, next to the exact
+    # count.  Portable salted-md5 formula: DuckDB replays every register,
+    # the exact BIGINT harmonic sum, the k-th minimum hash, and both
+    # float estimates.
+    from knowledgebase_processor_spark.operators.sketches import (
+        hll_distinct, kmv_distinct)
+    d = _t(spark, sf, "documents", spread=True)
+    # sketch (doc_id:word) pairs, not bare words — the corpus vocabulary
+    # is tiny, and this cardinality (1.5k-5k per lang) exercises the raw
+    # harmonic estimate and the full-KMV branch, not just linear counting
+    words = d.select(
+        "lang", F.col("doc_id").cast("string").alias("did"),
+        F.explode(F.filter(F.split(F.lower(F.trim("text")),
+                                   r"[ \t\n\r\f]+"),
+                           lambda w: w != F.lit(""))).alias("tok")
+    ).select("lang", F.concat("did", F.lit(":"), "tok").alias("w"))
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("w").alias("n_exact"))
+    h = hll_distinct(words, ["lang"], "w")
+    k = kmv_distinct(words, ["lang"], "w")
+    return (exact.join(h, "lang").join(k, "lang")
+            .select("lang", "n_exact", "hll_sum_fixed",
+                    "hll_zero_registers", "hll_estimate",
+                    "kmv_kth", "kmv_estimate")
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1293,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_kmeans": _q69_kmeans,
         "q70_prepare_corpus_v2": _q70_prepare_corpus_v2,
         "q71_semdedup": _q71_semdedup,
+        "q72_distinct_sketches": _q72_distinct_sketches,
     }
 
 
@@ -2859,6 +2900,70 @@ def oracle_sql() -> dict[str, str]:
                    (d.vec_id IS NULL) AS keep
             FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
             ORDER BY m.vec_id""",
+        # q72: HLL registers from the shared rho SQL (same string the
+        # Spark plan compiles), exact BIGINT fixed-point harmonic sums,
+        # KMV k-th minimum + estimates — every intermediate replayed.
+        "q72_distinct_sketches": fr"""
+            WITH words AS (
+              SELECT lang,
+                     doc_id::VARCHAR || ':' ||
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)),
+                                          '[ \t\n\r\f]+'),
+                       w -> w <> '')) AS w
+              FROM documents),
+            hxs AS (
+              SELECT lang, w, substr(md5('hll|' || w), 1, 15) AS hx
+              FROM words),
+            regs AS (
+              SELECT lang, ('0x' || substr(hx, 1, 2))::INT AS bucket,
+                     MAX({_HLL_RHO_SQL}) AS rho
+              FROM hxs GROUP BY 1, 2),
+            hll0 AS (
+              SELECT lang,
+                     (SUM((1::BIGINT << (53 - rho)))::BIGINT
+                      + (256 - COUNT(*)) * (1::BIGINT << 53))::BIGINT
+                       AS hll_sum_fixed,
+                     (256 - COUNT(*))::BIGINT AS hll_zero_registers
+              FROM regs GROUP BY 1),
+            hll AS (
+              SELECT lang, hll_sum_fixed, hll_zero_registers,
+                     round(CASE WHEN {_HLL_RAW_NUM} / hll_sum_fixed::DOUBLE
+                                     <= 640.0
+                                 AND hll_zero_registers > 0
+                           THEN 256.0 * ln(256.0
+                                           / hll_zero_registers::DOUBLE)
+                           ELSE {_HLL_RAW_NUM} / hll_sum_fixed::DOUBLE
+                           END, 4) AS hll_estimate
+              FROM hll0),
+            kh AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5('kmv|' || w), 1, 15))::BIGINT AS hv
+              FROM words),
+            rk AS (
+              SELECT lang, hv,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+              FROM kh),
+            kmv AS (
+              SELECT lang,
+                     coalesce(MAX(CASE WHEN rn = 64 THEN hv END), -1)
+                       AS kmv_kth,
+                     COUNT(*)::BIGINT AS n_kept
+              FROM rk WHERE rn <= 64 GROUP BY 1),
+            kmv2 AS (
+              SELECT lang, kmv_kth,
+                     round(CASE WHEN kmv_kth > 0
+                           THEN 63.0 * 1152921504606846976.0
+                                / kmv_kth::DOUBLE
+                           ELSE n_kept::DOUBLE END, 4) AS kmv_estimate
+              FROM kmv),
+            ex AS (
+              SELECT lang, COUNT(DISTINCT w)::BIGINT AS n_exact
+              FROM words GROUP BY 1)
+            SELECT ex.lang, n_exact, hll_sum_fixed, hll_zero_registers,
+                   hll_estimate, kmv_kth, kmv_estimate
+            FROM ex JOIN hll USING (lang) JOIN kmv2 USING (lang)
+            ORDER BY ex.lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,153 @@
+"""Mergeable distinct-count sketches: HyperLogLog and KMV (k-minimum-values).
+
+No reference anchor (the reference never counts distincts beyond exact
+``len(set(...))`` in its stats service, kb statistics only) — these are
+the scale path for the same statistics family (`operators/stats.py`)
+when "distinct urls per domain" is asked of a 10^12-row crawl where an
+exact ``countDistinct`` shuffles every key.
+
+Scale shape (why these are the 100 TB answer):
+
+* Both sketches are ALGEBRAIC aggregates: HLL reduces a partition to at
+  most m=2^p register maxima and KMV to k hash minima, combined by
+  max/min — Spark's partial aggregation does the heavy lifting map-side,
+  so the exchange carries O(groups * m) tiny rows instead of the data.
+  (Spark's own ``approx_count_distinct`` is HLL++; this operator exists
+  because its binary sketch is not portable — the whole point here is a
+  formula an external ANSI engine can replay bit-identically.)
+* Sketches for disjoint inputs MERGE (register-wise max / union-min-k),
+  so per-partition sketches can be persisted and rolled up later without
+  rescanning — the same partial-rollup contract as
+  ``operators/rollup.py``.
+
+Portability: hashes are the repo's salted-md5 60-bit family
+(``conv(substr(md5(x),1,15),16,10)``, cf. dedup.py:398).  HLL registers
+are derived from the md5 HEX STRING (bucket = first p/4 nibbles, rho =
+leading-zero nibbles of the rest + a 15-way nibble CASE), so no engine
+needs a bit_length primitive; the harmonic sum is FIXED-POINT
+(sum of 2^(nbits+1-rho) as BIGINT — exact integer arithmetic, order-free),
+and only the final estimate division happens in floats.  DuckDB replays
+every register, sum, and estimate bit-identically (q72's oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HEX_DIGITS = 15          # 60-bit hash family (dedup.py portable formula)
+
+# extra leading zero BITS contributed by the first non-zero nibble
+_NIBBLE_EXTRA = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1,
+                 "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0,
+                 "f": 0}
+
+
+def _nibble_extra_sql(col_sql: str) -> str:
+    """CASE mapping a hex nibble to its leading-zero-bit count (ANSI)."""
+    whens = " ".join(f"WHEN '{c}' THEN {n}" for c, n in _NIBBLE_EXTRA.items())
+    return f"(CASE {col_sql} {whens} END)"
+
+
+def hll_rho_sql(hex_col: str, p_nibbles: int) -> str:
+    """ANSI SQL for the HLL rank: 1 + count of leading zero bits in the
+    (60 - 4*p_nibbles)-bit suffix of ``hex_col``.  Shared verbatim by the
+    Spark plan and the DuckDB oracle so the formula cannot drift."""
+    rest = f"substr({hex_col}, {p_nibbles + 1}, {HEX_DIGITS - p_nibbles})"
+    zn = f"length(regexp_extract({rest}, '^0*', 0))"
+    first = f"substr({rest}, {zn} + 1, 1)"
+    nbits = 4 * (HEX_DIGITS - p_nibbles)
+    return (f"(CASE WHEN {zn} = {HEX_DIGITS - p_nibbles} THEN {nbits} + 1 "
+            f"ELSE 4 * {zn} + {_nibble_extra_sql(first)} + 1 END)")
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str,
+                  p_nibbles: int = 2, salt: str = "hll") -> DataFrame:
+    """One row per (group, bucket) with the register maximum ``rho``.
+
+    This is the persistable sketch: registers for disjoint slices merge
+    with a further groupBy(bucket).max(rho).
+    """
+    hx = F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                    F.col(value_col).cast("string"))),
+                     1, HEX_DIGITS)
+    bucket = F.conv(F.substring(F.col("hx"), 1, p_nibbles), 16, 10).cast("int")
+    rows = df.select(*group_cols, hx.alias("hx")) \
+             .select(*group_cols, bucket.alias("bucket"),
+                     F.expr(hll_rho_sql("hx", p_nibbles)).alias("rho"))
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 p_nibbles: int = 2, salt: str = "hll") -> DataFrame:
+    """HyperLogLog distinct estimate per group (Flajolet et al. 2007).
+
+    Returns (group..., hll_sum_fixed, hll_zero_registers, hll_estimate)
+    where ``hll_sum_fixed`` = sum over all m registers of
+    2^(nbits + 1 - rho) in exact BIGINT fixed point (absent register:
+    rho = 0; the +1 keeps the rho = nbits+1 all-zero-suffix case an
+    integer) — the integer the oracle equality really rides on — and
+    the estimate applies the standard small-range linear-counting
+    correction.
+    """
+    m = 16 ** p_nibbles
+    nbits = 4 * (HEX_DIGITS - p_nibbles)
+    regs = hll_registers(df, group_cols, value_col, p_nibbles, salt)
+    # fixed-point harmonic term per present register: 2^(nbits + 1 - rho);
+    # rho ranges over [1, nbits+1] so the shift stays in [0, nbits]
+    term = F.expr(f"shiftleft(cast(1 as bigint), {nbits + 1} - rho)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).cast("bigint").alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"))
+    two_nbits = 1 << (nbits + 1)
+    sum_fixed = (F.col("present_sum")
+                 + (F.lit(m) - F.col("n_present")) * F.lit(two_nbits))
+    zeros = (F.lit(m) - F.col("n_present")).cast("bigint")
+    alpha = _hll_alpha(m)
+    raw = F.lit(alpha * m * m * float(two_nbits)) / sum_fixed.cast("double")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(*group_cols,
+                      sum_fixed.cast("bigint").alias("hll_sum_fixed"),
+                      zeros.alias("hll_zero_registers"),
+                      F.round(est, 4).alias("hll_estimate"))
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: int = 64, salt: str = "kmv") -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct estimate per group
+    (Bar-Yossef et al. 2002): keep the k smallest distinct 60-bit hashes;
+    if the k-th exists the estimate is (k-1) * 2^60 / kth, else the
+    group's exact distinct count (it all fit in the sketch).
+
+    The rank filter compiles to Spark's WindowGroupLimit, so each
+    partition forwards at most k rows per group before the single
+    group shuffle.
+    """
+    hv = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                           F.col(value_col).cast("string"))),
+                            1, HEX_DIGITS), 16, 10).cast("bigint")
+    hashes = df.select(*group_cols, hv.alias("hv")).distinct()
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    ranked = hashes.withColumn("rn", F.row_number().over(w)) \
+                   .filter(F.col("rn") <= k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+        F.count(F.lit(1)).alias("n_kept"))
+    est = F.when(F.col("kth").isNotNull(),
+                 F.lit(float(k - 1)) * F.lit(float(1 << 60))
+                 / F.col("kth").cast("double")) \
+           .otherwise(F.col("n_kept").cast("double"))
+    return agg.select(*group_cols,
+                      F.coalesce(F.col("kth"), F.lit(-1)).alias("kmv_kth"),
+                      F.round(est, 4).alias("kmv_estimate"))
