@@ -24,6 +24,10 @@ sys.path.insert(0, _REPO)
 
 from knowledgebase_processor_spark.operators.pagerank import (  # noqa: E402
     pagerank_oracle_sql as _pagerank_oracle_sql)
+from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
+    label_propagation_oracle_sql as _lpa_oracle_sql)
+from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
+    cms_pos_sql as _cms_pos_sql)
 from knowledgebase_processor_spark.operators.split import (  # noqa: E402
     split_thresholds_sql as _split_thresholds_sql)
 
@@ -1260,6 +1264,104 @@ def _q72_distinct_sketches(spark, sf):
             .orderBy("lang"))
 
 
+def _q73_cms_heavy_hitters(spark, sf):
+    # Count-min sketch heavy hitters (operators/heavy.py): the 4x1024
+    # counter grid is an algebraic aggregate (map-side partial sums,
+    # O(depth*width) exchange), estimates are min-over-rows against the
+    # broadcast grid.  Threshold = floor(total_tokens / 200) so the query
+    # scales with the corpus; CM never underestimates, so every true
+    # heavy hitter appears and false positives are visible as
+    # exact_count < threshold.  DuckDB replays every grid cell and every
+    # min-estimate bit-identically.
+    from knowledgebase_processor_spark.operators.heavy import heavy_hitters
+    d = _t(spark, sf, "documents")
+    words = d.select(F.explode(
+        F.filter(F.split(F.lower(F.trim("text")), r"[ \t\n\r\f]+"),
+                 lambda w: w != F.lit(""))).alias("tok"))
+    threshold = words.count() // 200  # one scalar, not a hot-path collect
+    return (heavy_hitters(words, "tok", threshold, depth=4, width=1024)
+            .orderBy(F.col("exact_count").desc(), "tok"))
+
+
+def _q74_weighted_sample(spark, sf):
+    # Deterministic weighted sampling without replacement
+    # (operators/wsample.py): Efraimidis-Spirakis via the integer
+    # max-hash identity (max of w uniforms ~ U^(1/w)) — all 60-bit
+    # integer arithmetic, so the sample membership is bit-reproducible
+    # and DuckDB re-derives the exact same 25 documents.  Weight: a
+    # 1..10 length-derived importance integer.
+    from knowledgebase_processor_spark.operators.wsample import (
+        weighted_sample)
+    d = _t(spark, sf, "documents")
+    wgt = d.select("doc_id",
+                   (F.lit(1) + F.floor(F.length("text") / 500))
+                   .cast("int").alias("wgt"))
+    return (weighted_sample(wgt, "doc_id", "wgt", k=25, max_weight=10)
+            .orderBy(F.col("sample_key").desc(), "doc_id"))
+
+
+def _q75_lpa_communities(spark, sf):
+    # Synchronous label-propagation communities
+    # (operators/communities.py): per round one edge join + one
+    # partial-agg vote count + one WindowGroupLimit top-1; deterministic
+    # via self-vote and (count DESC, label ASC) tie-break.  Graph: each
+    # doc links to its decade head (star clusters) and its parent chain
+    # doc/2 (inter-cluster bridges) — communities differ from connected
+    # components (the bridges connect everything; LPA's mode vote keeps
+    # the stars apart).  DuckDB replays the identical 4 rounds as
+    # chained CTEs.
+    from knowledgebase_processor_spark.operators.communities import (
+        label_propagation)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 1)
+    stars = d.select(F.col("doc_id").alias("src"),
+                     (F.floor(F.col("doc_id") / 10) * 10)
+                     .cast("long").alias("dst"))
+    chain = d.select(F.col("doc_id").alias("src"),
+                     F.floor(F.col("doc_id") / 2).cast("long").alias("dst"))
+    return (label_propagation(stars.unionByName(chain), iterations=4)
+            .orderBy("node"))
+
+
+def _q76_bloom_semi_join(spark, sf):
+    # Bloom-filter semi-join (operators/bloom.py): distributed bit_or
+    # build over the selective order subset, 2048-word literal broadcast,
+    # pure-codegen membership prefilter on lineitem, exact semi-join on
+    # the survivors only.  Reports the build/prefilter/exact/false-pos
+    # counts; DuckDB rebuilds every filter word and every membership
+    # verdict bit-identically.
+    from knowledgebase_processor_spark.operators.bloom import (
+        bloom_build, bloom_member, bloom_words)
+    M, K = 65536, 3
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 480000)
+    li = _t(spark, sf, "lineitem")
+    words = bloom_words(bloom_build(o, "o_orderkey", M, K), M)
+    pre = li.filter(bloom_member(F.col("l_orderkey"), words, M, K))
+    keys = o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    n_build = keys.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_pre = pre.agg(F.count(F.lit(1)).alias("n_prefilter"))
+    n_exact = (pre.join(keys, "l_orderkey", "left_semi")
+               .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (n_build.crossJoin(n_pre).crossJoin(n_exact)
+            .select("n_build_keys", "n_prefilter", "n_exact",
+                    (F.col("n_prefilter") - F.col("n_exact"))
+                    .alias("n_false_pos")))
+
+
+def _q77_setsim_join(spark, sf):
+    # Exact-recall set-similarity join with prefix filtering
+    # (operators/setjoin.py, PPJoin-style) over word 3-gram shingle
+    # sets: rarest-first global order, prefix |x|-ceil(t|x|)+1,
+    # count-first capped buckets, exact Jaccard verify on candidates
+    # only.  Unlike the MinHash/SimHash paths this guarantees EVERY
+    # pair >= t surfaces.  Oracle: naive all-pairs shingle Jaccard in
+    # DuckDB (feasible at test scale).
+    from knowledgebase_processor_spark.operators.setjoin import (
+        prefix_jaccard_join)
+    d = _t(spark, sf, "documents")
+    return (prefix_jaccard_join(d, threshold=0.35)
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1334,6 +1436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_prepare_corpus_v2": _q70_prepare_corpus_v2,
         "q71_semdedup": _q71_semdedup,
         "q72_distinct_sketches": _q72_distinct_sketches,
+        "q73_cms_heavy_hitters": _q73_cms_heavy_hitters,
+        "q74_weighted_sample": _q74_weighted_sample,
+        "q75_lpa_communities": _q75_lpa_communities,
+        "q76_bloom_semi_join": _q76_bloom_semi_join,
+        "q77_setsim_join": _q77_setsim_join,
     }
 
 
@@ -2964,6 +3071,137 @@ def oracle_sql() -> dict[str, str]:
                    hll_estimate, kmv_kth, kmv_estimate
             FROM ex JOIN hll USING (lang) JOIN kmv2 USING (lang)
             ORDER BY ex.lang""",
+        "q73_cms_heavy_hitters": (
+            r"""
+            WITH w0 AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                       w -> w <> '')) AS tok
+              FROM documents),
+            tot AS (SELECT COUNT(*) // 200 AS thr FROM w0),
+            cells AS ("""
+            + "\n              UNION ALL ".join(
+                f"SELECT {r} AS rw, {_cms_pos_sql('tok', r, 1024)} AS pos "
+                "FROM w0" for r in range(4))
+            + r"""),
+            grid AS (
+              SELECT rw, pos, COUNT(*)::BIGINT AS cnt
+              FROM cells GROUP BY 1, 2),
+            keys AS (
+              SELECT tok, COUNT(*)::BIGINT AS exact_count
+              FROM w0 GROUP BY 1),
+            probes AS ("""
+            + "\n              UNION ALL ".join(
+                f"SELECT tok, {r} AS rw, {_cms_pos_sql('tok', r, 1024)} AS pos "
+                "FROM keys" for r in range(4))
+            + r"""),
+            est AS (
+              SELECT p.tok,
+                     MIN(COALESCE(g.cnt, 0))::BIGINT AS cms_estimate
+              FROM probes p
+              LEFT JOIN grid g ON p.rw = g.rw AND p.pos = g.pos
+              GROUP BY p.tok)
+            SELECT k.tok, k.exact_count, e.cms_estimate
+            FROM keys k JOIN est e USING (tok), tot
+            WHERE e.cms_estimate >= tot.thr
+            ORDER BY k.exact_count DESC, k.tok"""),
+        "q74_weighted_sample": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     least(greatest(coalesce(
+                       CAST(1 + floor(length(text) / 500) AS INT), 1), 1), 10)
+                       AS weight_used
+              FROM documents),
+            rep AS (
+              SELECT doc_id, weight_used, t.r
+              FROM w CROSS JOIN range(1, 11) t(r)
+              WHERE t.r <= weight_used),
+            keyed AS (
+              SELECT doc_id, MIN(weight_used) AS weight_used,
+                     MAX(('0x' || substr(md5('ws|' || doc_id::VARCHAR
+                                             || '|' || r::VARCHAR),
+                                         1, 15))::BIGINT) AS sample_key
+              FROM rep GROUP BY doc_id)
+            SELECT doc_id, weight_used, sample_key
+            FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 25""",
+        "q75_lpa_communities": _lpa_oracle_sql(
+            "SELECT doc_id AS src, CAST(FLOOR(doc_id / 10) * 10 AS BIGINT)"
+            " AS dst FROM documents WHERE doc_id >= 1"
+            " UNION ALL SELECT doc_id AS src,"
+            " CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst"
+            " FROM documents WHERE doc_id >= 1",
+            iterations=4) + " ORDER BY node",
+        "q76_bloom_semi_join": r"""
+            WITH bk AS (
+              SELECT DISTINCT o_orderkey AS k FROM orders
+              WHERE o_totalprice > 480000),
+            bpos AS (
+              SELECT k, t.r,
+                     CAST(('0x' || substr(md5('bf' || r::VARCHAR || '|'
+                                              || k::VARCHAR), 1, 15))::BIGINT
+                          % 65536 AS INT) AS pos
+              FROM bk, range(0, 3) t(r)),
+            words AS (
+              SELECT pos // 32 AS word_idx,
+                     bit_or(1::BIGINT << (pos % 32)) AS word
+              FROM bpos GROUP BY 1),
+            pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+            ppos AS (
+              SELECT k, t.r,
+                     CAST(('0x' || substr(md5('bf' || r::VARCHAR || '|'
+                                              || k::VARCHAR), 1, 15))::BIGINT
+                          % 65536 AS INT) AS pos
+              FROM pk, range(0, 3) t(r)),
+            memb AS (
+              SELECT p.k,
+                     bool_and((COALESCE(w.word, 0)
+                               & (1::BIGINT << (p.pos % 32))) <> 0) AS member
+              FROM ppos p
+              LEFT JOIN words w ON p.pos // 32 = w.word_idx
+              GROUP BY p.k),
+            pre AS (
+              SELECT COUNT(*)::BIGINT AS n_prefilter
+              FROM lineitem l JOIN memb m ON l.l_orderkey = m.k
+              WHERE m.member),
+            ex AS (
+              SELECT COUNT(*)::BIGINT AS n_exact
+              FROM lineitem l JOIN memb m ON l.l_orderkey = m.k
+              WHERE m.member AND l.l_orderkey IN (SELECT k FROM bk)),
+            nb AS (SELECT COUNT(*)::BIGINT AS n_build_keys FROM bk)
+            SELECT n_build_keys, n_prefilter, n_exact,
+                   n_prefilter - n_exact AS n_false_pos
+            FROM nb, pre, ex""",
+        "q77_setsim_join": r"""
+            WITH words AS (
+              SELECT doc_id AS sid,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                       w -> w <> '') AS ws
+              FROM documents),
+            t0 AS (
+              SELECT sid, unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END) AS tok
+              FROM words),
+            toks AS (SELECT DISTINCT sid, tok FROM t0),
+            sizes AS (SELECT sid, COUNT(*)::BIGINT AS n
+                      FROM toks GROUP BY 1),
+            i0 AS (
+              SELECT a.sid AS id_a, b.sid AS id_b, COUNT(*)::BIGINT AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.sid < b.sid
+              GROUP BY 1, 2),
+            res AS (
+              SELECT id_a, id_b, inter,
+                     (na.n + nb.n - inter)::BIGINT AS union_sz,
+                     round(inter::DOUBLE
+                           / (na.n + nb.n - inter)::DOUBLE, 6) AS jaccard
+              FROM i0
+              JOIN sizes na ON i0.id_a = na.sid
+              JOIN sizes nb ON i0.id_b = nb.sid)
+            SELECT id_a, id_b, inter, union_sz, jaccard
+            FROM res WHERE jaccard >= 0.35
+            ORDER BY id_a, id_b""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
