@@ -28,6 +28,8 @@ from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
     cms_pos_sql as _cms_pos_sql)
+from knowledgebase_processor_spark.operators.kcore import (  # noqa: E402
+    kcore_oracle_sql as _kcore_oracle_sql)
 from knowledgebase_processor_spark.operators.split import (  # noqa: E402
     split_thresholds_sql as _split_thresholds_sql)
 
@@ -1362,6 +1364,70 @@ def _q77_setsim_join(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def _q78_kcore(spark, sf):
+    # k-core decomposition (operators/kcore.py): synchronous peeling —
+    # per round one partial-agg degree count + two semi-joins, lineage
+    # checkpointed.  Graph: the deterministic double-ring doc graph
+    # (i -> 2i+1 mod N, i -> 3i+7 mod N), degree ~4, so the 3-core peels
+    # a nontrivial low-degree fringe.  DuckDB replays the identical 6
+    # peels as chained CTEs.
+    from knowledgebase_processor_spark.operators.kcore import kcore
+    d = _t(spark, sf, "documents")
+    n = d.count()  # one scalar (graph size), not a hot-path collect
+    e1 = d.select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 2 + 1) % n).cast("long").alias("dst"))
+    e2 = d.select(F.col("doc_id").alias("src"),
+                  ((F.col("doc_id") * 3 + 7) % n).cast("long").alias("dst"))
+    return (kcore(e1.unionByName(e2), k=3, rounds=6)
+            .orderBy("node"))
+
+
+def _q79_stratified_sample(spark, sf):
+    # Stratified ES weighted sampling (operators/wsample.py): an
+    # independent 5-doc sample per language via the same integer
+    # max-hash keys, top-k through a rank window (WindowGroupLimit —
+    # one exchange for all strata).  DuckDB re-derives every stratum's
+    # exact membership.
+    from knowledgebase_processor_spark.operators.wsample import (
+        weighted_sample_per_group)
+    d = _t(spark, sf, "documents")
+    wgt = d.select("lang", "doc_id",
+                   (F.lit(1) + F.floor(F.length("text") / 500))
+                   .cast("int").alias("wgt"))
+    return (weighted_sample_per_group(wgt, ["lang"], "doc_id", "wgt",
+                                      k=5, max_weight=10)
+            .orderBy("lang", "rnk"))
+
+
+def _q80_stupid_backoff(spark, sf):
+    # Stupid-backoff bigram scoring (operators/lm_score.py): held-out
+    # split — model counts trained on even doc_ids, odd doc_ids scored —
+    # so the backoff branch actually fires on model-unseen bigrams.
+    # Parts-per-million integer DIV arithmetic end-to-end; DuckDB
+    # replays every per-doc sum bit-identically.
+    from knowledgebase_processor_spark.operators.lm_score import (
+        stupid_backoff)
+    d = _t(spark, sf, "documents")
+    model = d.filter(F.col("doc_id") % 2 == 0)
+    target = d.filter(F.col("doc_id") % 2 == 1)
+    return (stupid_backoff(target, model)
+            .orderBy("doc_id"))
+
+
+def _q81_histogram_quantiles(spark, sf):
+    # Fixed-width histogram quantiles (operators/histq.py): the one-pass
+    # mergeable scale path for per-language length percentiles (q57's
+    # exact percentile_disc is the sort-everything twin).  Integer
+    # bucket/rank arithmetic; DuckDB replays every cell and every picked
+    # bound.
+    from knowledgebase_processor_spark.operators.histq import (
+        histogram_quantiles)
+    d = _t(spark, sf, "documents")
+    return (histogram_quantiles(d, ["lang"], "n_chars", lo=0, hi=20000,
+                                qs_ppm=[500000, 900000, 990000])
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1441,6 +1507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_lpa_communities": _q75_lpa_communities,
         "q76_bloom_semi_join": _q76_bloom_semi_join,
         "q77_setsim_join": _q77_setsim_join,
+        "q78_kcore": _q78_kcore,
+        "q79_stratified_sample": _q79_stratified_sample,
+        "q80_stupid_backoff": _q80_stupid_backoff,
+        "q81_histogram_quantiles": _q81_histogram_quantiles,
     }
 
 
@@ -3202,6 +3272,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, inter, union_sz, jaccard
             FROM res WHERE jaccard >= 0.35
             ORDER BY id_a, id_b""",
+        "q78_kcore": _kcore_oracle_sql(
+            "SELECT doc_id AS src,"
+            " CAST((2 * doc_id + 1) % t.n AS BIGINT) AS dst"
+            " FROM documents CROSS JOIN"
+            " (SELECT COUNT(*) AS n FROM documents) t"
+            " UNION ALL SELECT doc_id AS src,"
+            " CAST((3 * doc_id + 7) % t.n AS BIGINT) AS dst"
+            " FROM documents CROSS JOIN"
+            " (SELECT COUNT(*) AS n FROM documents) t",
+            k=3, rounds=6) + " ORDER BY node",
+        "q79_stratified_sample": r"""
+            WITH w AS (
+              SELECT lang, doc_id,
+                     least(greatest(coalesce(
+                       CAST(1 + floor(length(text) / 500) AS INT), 1), 1), 10)
+                       AS weight_used
+              FROM documents),
+            rep AS (
+              SELECT lang, doc_id, weight_used, t.r
+              FROM w CROSS JOIN range(1, 11) t(r)
+              WHERE t.r <= weight_used),
+            keyed AS (
+              SELECT lang, doc_id, MIN(weight_used) AS weight_used,
+                     MAX(('0x' || substr(md5('ws|' || doc_id::VARCHAR
+                                             || '|' || r::VARCHAR),
+                                         1, 15))::BIGINT) AS sample_key
+              FROM rep GROUP BY lang, doc_id),
+            ranked AS (
+              SELECT lang, doc_id, weight_used, sample_key,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY sample_key DESC, doc_id) AS INT) AS rnk
+              FROM keyed)
+            SELECT lang, doc_id, weight_used, sample_key, rnk
+            FROM ranked WHERE rnk <= 5
+            ORDER BY lang, rnk""",
+        "q80_stupid_backoff": r"""
+            WITH model AS (
+              SELECT * FROM documents WHERE doc_id % 2 = 0),
+            target AS (
+              SELECT * FROM documents WHERE doc_id % 2 = 1),
+            mwords AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                       w -> w <> '')) AS w
+              FROM model),
+            uni AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM mwords GROUP BY 1),
+            nuni AS (SELECT COUNT(*)::BIGINT AS n FROM mwords),
+            mbg0 AS (
+              SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                       w -> w <> '') AS ws
+              FROM model),
+            mbg AS (
+              SELECT unnest(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END) AS bg
+              FROM mbg0),
+            big AS (SELECT bg, COUNT(*)::BIGINT AS c12 FROM mbg GROUP BY 1),
+            tws AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                       w -> w <> '') AS ws
+              FROM target),
+            tbg AS (
+              SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END) AS bg
+              FROM tws),
+            scored AS (
+              SELECT t.doc_id,
+                     CASE WHEN b.c12 IS NOT NULL
+                          THEN 1000000::BIGINT * b.c12 // u1.c1
+                          WHEN u2.c1 IS NOT NULL
+                          THEN 400000::BIGINT * u2.c1 // nuni.n
+                          ELSE 0::BIGINT END AS score_ppm
+              FROM tbg t
+              LEFT JOIN big b ON t.bg = b.bg
+              LEFT JOIN uni u1 ON split_part(t.bg, ' ', 1) = u1.w
+              LEFT JOIN uni u2 ON split_part(t.bg, ' ', 2) = u2.w
+              CROSS JOIN nuni),
+            per_doc AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                     SUM(score_ppm)::BIGINT AS sum_score_ppm
+              FROM scored GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   COALESCE(p.sum_score_ppm, 0)::BIGINT AS sum_score_ppm,
+                   (CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                         THEN COALESCE(p.sum_score_ppm, 0)
+                              // p.n_bigrams
+                         ELSE 0 END)::BIGINT AS avg_score_ppm
+            FROM target t LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY t.doc_id""",
+        "q81_histogram_quantiles": r"""
+            WITH h AS (
+              SELECT lang,
+                     CAST(least(greatest((n_chars - 0) // 200, 0), 99)
+                          AS INT) AS bucket,
+                     COUNT(*)::BIGINT AS cnt
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT lang, bucket, cnt,
+                     SUM(cnt) OVER (PARTITION BY lang
+                                    ORDER BY bucket) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS n
+              FROM h)
+            SELECT lang, MAX(n)::BIGINT AS n,
+                   MIN(CASE WHEN cum >= (n * 500000 + 999999) // 1000000
+                       THEN 0 + bucket::BIGINT * 200 END)::BIGINT
+                     AS q500000_lo,
+                   MIN(CASE WHEN cum >= (n * 900000 + 999999) // 1000000
+                       THEN 0 + bucket::BIGINT * 200 END)::BIGINT
+                     AS q900000_lo,
+                   MIN(CASE WHEN cum >= (n * 990000 + 999999) // 1000000
+                       THEN 0 + bucket::BIGINT * 200 END)::BIGINT
+                     AS q990000_lo
+            FROM c GROUP BY lang
+            ORDER BY lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

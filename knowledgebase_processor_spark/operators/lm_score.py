@@ -35,6 +35,67 @@ def _bigrams(text) -> "F.Column":
         .otherwise(F.slice(grams, 1, F.size(words) - 1))
 
 
+def stupid_backoff(docs: DataFrame, model_docs: DataFrame,
+                   alpha_ppm: int = 400000) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation") of ``docs`` against counts trained on
+    ``model_docs`` — the real CCNet-shaped quality signal: held-out text
+    scored by a corpus model, where BACKOFF actually fires (bigrams the
+    model never saw fall back to alpha * unigram frequency).
+
+    FIXED-POINT integer arithmetic throughout (parts-per-million, integer
+    DIV — the dsir_weights lesson): per bigram occurrence (w1, w2)
+
+        score_ppm = 1e6 * c(w1 w2) DIV c(w1)          if the model saw it
+                  = alpha_ppm * c(w2) DIV N            else (backoff)
+                  = 0                                  (w2 unseen too)
+
+    summed per document as exact BIGINTs, so the DuckDB oracle (q80)
+    replays every score bit-identically — no libm, no float-sum order.
+
+    Scale shape: model counts are two partial-aggregatable groupBys over
+    the model corpus (computed once, reusable); scoring is two hash
+    joins on the bigram/unigram string — head-gram skew collapses
+    map-side exactly as in bigram_coverage.
+    """
+    mwords = model_docs.select(F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
+                 lambda x: x != "")).alias("w")).localCheckpoint()
+    uni = mwords.groupBy("w").agg(F.count("*").alias("c1"))
+    big = (model_docs.select(F.explode(_bigrams(F.col("text"))).alias("bg"))
+           .groupBy("bg").agg(F.count("*").alias("c12")))
+    n_uni = mwords.count()  # one scalar (model size), not a hot-path collect
+
+    ex = (docs.select("doc_id", F.explode(_bigrams(F.col("text"))).alias("bg"))
+          .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+          .withColumn("w2", F.split(F.col("bg"), " ").getItem(1)))
+    scored = (ex.join(big, "bg", "left")
+              .join(uni.withColumnRenamed("w", "w1")
+                       .withColumnRenamed("c1", "c_w1"), "w1", "left")
+              .join(uni.withColumnRenamed("w", "w2")
+                       .withColumnRenamed("c1", "c_w2"), "w2", "left")
+              .withColumn("score_ppm", F.expr(f"""
+                  CASE WHEN c12 IS NOT NULL
+                       THEN CAST(1000000 AS BIGINT) * c12 DIV c_w1
+                       WHEN c_w2 IS NOT NULL
+                       THEN CAST({alpha_ppm} AS BIGINT) * c_w2
+                            DIV CAST({n_uni} AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END""")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("score_ppm").cast("bigint").alias("sum_score_ppm"))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                     .alias("n_bigrams"),
+                    F.coalesce("sum_score_ppm", F.lit(0)).cast("bigint")
+                     .alias("sum_score_ppm"))
+            .withColumn("avg_score_ppm",
+                        F.expr("CASE WHEN n_bigrams > 0 THEN sum_score_ppm"
+                               " DIV n_bigrams ELSE CAST(0 AS BIGINT) END")
+                        .cast("bigint")))
+
+
 def bigram_coverage(docs: DataFrame, min_count: int = 2) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, n_bigrams, n_common, coverage):
     coverage = fraction of the document's bigram OCCURRENCES whose

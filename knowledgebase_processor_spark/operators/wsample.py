@@ -41,6 +41,45 @@ from pyspark.sql import DataFrame, functions as F
 HEX_DIGITS = 15  # 60-bit salted-md5 family shared with dedup.py
 
 
+def weighted_sample_per_group(df: DataFrame, group_cols: list[str],
+                              id_col: str, weight_col: str, k: int,
+                              salt: str = "ws",
+                              max_weight: int = 16) -> DataFrame:
+    """Stratified variant: an independent k-item ES sample inside every
+    group (per language, per domain, per quality bucket — the standard
+    corpus-balancing sampler).
+
+    Same integer max-hash keys as :func:`weighted_sample`; the top-k per
+    group runs through a rank window instead of a global limit, which
+    Catalyst executes as WindowGroupLimit — each partition forwards at
+    most k rows per group before the single group-key shuffle, so the
+    stratified sample costs one exchange however many strata exist.
+    """
+    from pyspark.sql import Window
+    wgt = F.least(F.greatest(F.coalesce(F.col(weight_col).cast("int"),
+                                        F.lit(1)), F.lit(1)),
+                  F.lit(max_weight))
+    rep = df.select(*group_cols, F.col(id_col).alias("sid"),
+                    wgt.alias("w")) \
+            .select(*group_cols, "sid", "w",
+                    F.explode(F.sequence(F.lit(1), F.col("w"))).alias("r"))
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col("sid").cast("string"),
+                       F.lit("|"), F.col("r").cast("string"))),
+        1, HEX_DIGITS), 16, 10).cast("bigint")
+    keyed = rep.select(*group_cols, "sid", "w", hv.alias("hv")) \
+               .groupBy(*group_cols, "sid") \
+               .agg(F.max("hv").alias("sample_key"),
+                    F.first("w").alias("weight_used"))
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("sample_key").desc(), F.col("sid"))
+    return (keyed.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= k)
+            .select(*group_cols, F.col("sid").alias(id_col),
+                    "weight_used", "sample_key",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                     k: int, salt: str = "ws", max_weight: int = 16) -> DataFrame:
     """k-item weighted sample without replacement; returns
