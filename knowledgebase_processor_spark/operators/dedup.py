@@ -409,19 +409,28 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
     # Explicit whitespace class, not \s: Java regex counts \x0B as
     # whitespace and RE2 (DuckDB) does not — \s would silently break the
     # bit-identical guarantee on such input.
-    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                  lambda w: w != F.lit(""))
-    sh = F.when(
-        F.size(ws) >= 3,
-        F.transform(F.sequence(F.lit(1), F.size(ws) - 2),
-                    lambda i: F.concat_ws(" ", F.element_at(ws, i),
-                                          F.element_at(ws, i + 1),
-                                          F.element_at(ws, i + 2)))
-    ).otherwise(F.array(F.array_join(ws, " ")))
+    #
+    # Two-step select: materialize the word array FIRST, then build
+    # shingles by zip_with over shifted slices of the ws COLUMN — never
+    # transform(indices, element_at(ws, i)) over a captured expression
+    # tree, which re-evaluates the whole split per element and makes
+    # shingling O(doc^2) on crawl-scale pages (span_dedup.py lesson;
+    # found live as a 2x wall cost in q77's profile).
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
+                 lambda w: w != F.lit("")).alias("ws"))
+    ws = F.col("ws")
+    g2 = F.zip_with(ws, F.slice(ws, 2, F.greatest(F.size(ws), F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    g3 = F.zip_with(g2, F.slice(ws, 3, F.greatest(F.size(ws), F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    sh = F.when(F.size(ws) >= 3, F.slice(g3, 1, F.size(ws) - 2)) \
+          .otherwise(F.array(F.array_join(ws, " ")))
     # Materialize the shingle array ONCE, then hash num_hashes ways —
     # inlining `sh` into the seed transform would re-evaluate the whole
     # shingling chain per seed (cf. minhash_signatures' same note).
-    shingled = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+    shingled = based.select("doc_id", sh.alias("sh"))
     sig = F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
         lambda s: F.array_min(F.transform(F.col("sh"), lambda g: F.conv(

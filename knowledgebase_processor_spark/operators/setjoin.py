@@ -46,21 +46,29 @@ def doc_token_sets(docs: DataFrame, id_col: str = "doc_id",
     bare tokens for ``ngram=1``.  Shingle SETS discriminate templated
     web text where unigram sets collapse (boilerplate vocabularies
     overlap almost completely; word order does not)."""
-    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                  lambda w: w != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("sid"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
+                 lambda w: w != F.lit("")).alias("ws"))
+    ws = F.col("ws")  # materialized column, NOT a captured expression tree
     if ngram <= 1:
         elems = ws
     else:
+        # zip_with over shifted copies, never transform(indices,
+        # element_at(ws, i)): an interpreted HOF re-evaluates captured
+        # expression trees per element, making shingling O(doc^2) on
+        # crawl-scale pages (the span_dedup.py / functions/text.py
+        # lesson).  Each zip_with argument evaluates once per ROW.
+        grams = ws
+        for k in range(1, ngram):
+            shifted = F.slice(ws, k + 1, F.greatest(F.size(ws), F.lit(1)))
+            grams = F.zip_with(grams, shifted,
+                               lambda a, b: F.concat_ws(" ", a, b))
         elems = F.when(
             F.size(ws) >= ngram,
-            F.transform(F.sequence(F.lit(1), F.size(ws) - (ngram - 1)),
-                        lambda i: F.concat_ws(
-                            " ", *[F.element_at(ws, i + j)
-                                   for j in range(ngram)]))
+            F.slice(grams, 1, F.size(ws) - (ngram - 1))
         ).otherwise(F.array(F.array_join(ws, " ")))
-    return (docs.select(F.col(id_col).alias("sid"),
-                        F.explode(elems).alias("tok"))
-            .distinct())
+    return base.select("sid", F.explode(elems).alias("tok")).distinct()
 
 
 def _prefix_frame(toks: DataFrame, sizes: DataFrame,
@@ -86,7 +94,10 @@ def prefix_jaccard_join(docs: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, inter, union_sz, jaccard) — exact values, so a
     naive all-pairs oracle checks it bit-for-bit at test scale.
     """
-    toks = doc_token_sets(docs, id_col, text_col, ngram)
+    # the shingle frame feeds sizes, df-ranking, and BOTH verify sides —
+    # materialize once (the tf-frame lesson from keywords.py) instead of
+    # re-running the explode+distinct four times
+    toks = doc_token_sets(docs, id_col, text_col, ngram).localCheckpoint()
     sizes = toks.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
     prefix = _prefix_frame(toks, sizes, threshold)
 
