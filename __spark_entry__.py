@@ -30,6 +30,8 @@ from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
     cms_pos_sql as _cms_pos_sql)
 from knowledgebase_processor_spark.operators.kcore import (  # noqa: E402
     kcore_oracle_sql as _kcore_oracle_sql)
+from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
+    url_rules_oracle_sql as _url_rules_oracle_sql)
 from knowledgebase_processor_spark.operators.split import (  # noqa: E402
     split_thresholds_sql as _split_thresholds_sql)
 
@@ -1428,6 +1430,98 @@ def _q81_histogram_quantiles(spark, sf):
             .orderBy("lang"))
 
 
+def _q82_hopping_windows(spark, sf):
+    # Hopping 1h/30min windows (operators/windows.py): Catalyst expands
+    # each event into its window/slide = 2 windows inline (no
+    # explode-join), then a map-side-combinable groupBy on the window
+    # grid.  DuckDB replays the epoch-aligned grid with integer
+    # microsecond arithmetic.
+    from knowledgebase_processor_spark.operators.windows import (
+        hopping_window_stats)
+    e = _t(spark, sf, "events")
+    return (hopping_window_stats(e, "1 hour", "30 minutes")
+            .orderBy("window_start", "event_type"))
+
+
+def _q83_sorted_neighborhood(spark, sf):
+    # Sorted-neighborhood blocking (operators/rank.py): global contiguous
+    # rank WITHOUT a single-partition window (range repartition + local
+    # ranks + inlined per-partition offsets — the zipWithIndex contract
+    # on DataFrames), then rank-bucket join => exactly N*w candidate
+    # pairs however skewed the key.  DuckDB replays with a plain global
+    # ROW_NUMBER (fine at oracle scale; the whole point is Spark must
+    # not do it that way).
+    from knowledgebase_processor_spark.operators.rank import (
+        sorted_neighborhood_pairs)
+    d = _t(spark, sf, "documents")
+    return (sorted_neighborhood_pairs(d, "doc_id",
+                                      ["n_chars", "doc_id"], w=3)
+            .orderBy("rank_a", "rank_b"))
+
+
+def _q84_rrf_fusion(spark, sf):
+    # Reciprocal-rank fusion (operators/rank.py): merge a length-first
+    # ranking and a quality-first ranking score-free; both rankings come
+    # from the distributed global_rank.  1/(60+r) reciprocals are
+    # exactly-rounded doubles and each doc sums exactly two of them —
+    # bit-identical cross-engine.
+    from knowledgebase_processor_spark.functions.text import quality_score
+    from knowledgebase_processor_spark.operators.rank import (
+        global_rank, rrf_fuse)
+    d = _t(spark, sf, "documents")
+    by_len = global_rank(
+        d.select("doc_id", (-F.col("n_chars")).alias("neg")),
+        ["neg", "doc_id"]).select("doc_id", "rank")
+    by_q = global_rank(
+        d.select("doc_id",
+                 (-quality_score(F.col("text"))).alias("negq")),
+        ["negq", "doc_id"]).select("doc_id", "rank")
+    return rrf_fuse([by_len, by_q], "doc_id", k=60).limit(20)
+
+
+def _q85_json_props(spark, sf):
+    # Semi-structured extraction: typed from_json over the event props
+    # payload (JVM JacksonParser, codegen-fused with the aggregation) —
+    # the canonical crawl-metadata pattern.  DuckDB replays via
+    # json_extract.
+    e = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (e.select("event_type", k.alias("k"), "user_id")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.min("k").cast("int").alias("min_k"),
+                 F.max("k").cast("int").alias("max_k"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
+_URL_RULES = [("/src1", False), ("/src1/doc1", True), ("/src7", False),
+              ("/src12/doc", False), ("/src12/doc3", True)]
+
+
+def _q86_url_rules(spark, sf):
+    # Robots-style longest-prefix-wins URL filtering
+    # (operators/urlrules.py): the rule set is an array-of-struct
+    # LITERAL, so the decision is one whole-stage-codegen fold per row —
+    # zero joins/shuffles.  The oracle re-derives every decision through
+    # the relational form (unnest -> prefix join -> best-rule window),
+    # cross-checking the fold against the spec.
+    from knowledgebase_processor_spark.operators.urlrules import (
+        apply_url_rules)
+    d = _t(spark, sf, "documents")
+    paths = d.select("source",
+                     F.concat(F.lit("/"), F.col("source"), F.lit("/doc"),
+                              F.col("doc_id").cast("string")).alias("path"))
+    return (apply_url_rules(paths, "path", _URL_RULES)
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+                 .cast("bigint").alias("n_allowed"),
+                 F.sum(F.when(F.col("allowed"), 0).otherwise(1))
+                 .cast("bigint").alias("n_blocked"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1511,6 +1605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stratified_sample": _q79_stratified_sample,
         "q80_stupid_backoff": _q80_stupid_backoff,
         "q81_histogram_quantiles": _q81_histogram_quantiles,
+        "q82_hopping_windows": _q82_hopping_windows,
+        "q83_sorted_neighborhood": _q83_sorted_neighborhood,
+        "q84_rrf_fusion": _q84_rrf_fusion,
+        "q85_json_props": _q85_json_props,
+        "q86_url_rules": _q86_url_rules,
     }
 
 
@@ -3394,6 +3493,82 @@ def oracle_sql() -> dict[str, str]:
                      AS q990000_lo
             FROM c GROUP BY lang
             ORDER BY lang""",
+        "q82_hopping_windows": r"""
+            WITH cells AS (
+              SELECT make_timestamp((epoch_us(ts) // 1800000000)
+                                    * 1800000000) AS ws0,
+                     event_type, value
+              FROM events),
+            ex AS (
+              SELECT ws0 AS window_start, event_type, value FROM cells
+              UNION ALL
+              SELECT ws0 - INTERVAL 30 MINUTE, event_type, value
+              FROM cells)
+            SELECT window_start,
+                   window_start + INTERVAL 60 MINUTE AS window_end,
+                   event_type, COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_value
+            FROM ex GROUP BY 1, 2, 3
+            ORDER BY window_start, event_type""",
+        "q83_sorted_neighborhood": r"""
+            WITH r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                       AS rank
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.rank::BIGINT AS rank_a, b.rank::BIGINT AS rank_b
+            FROM r a JOIN r b
+              ON b.rank > a.rank AND b.rank - a.rank <= 3
+            ORDER BY rank_a, rank_b""",
+        "q84_rrf_fusion": f"""
+            WITH r1 AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS rank
+              FROM documents),
+            r2 AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ({_QUALITY}) DESC, doc_id) AS rank
+              FROM documents),
+            un AS (
+              SELECT doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) AS s
+              FROM r1
+              UNION ALL
+              SELECT doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank) FROM r2)
+            SELECT doc_id, SUM(s) AS rrf_score,
+                   COUNT(*)::BIGINT AS n_lists
+            FROM un GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 20""",
+        "q85_json_props": r"""
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT)
+                     AS sum_k,
+                   CAST(MIN(json_extract(props, '$.k')::INT) AS INT)
+                     AS min_k,
+                   CAST(MAX(json_extract(props, '$.k')::INT) AS INT)
+                     AS max_k,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+            ORDER BY event_type""",
+        "q86_url_rules": (
+            lambda _o: f"""
+            WITH base AS (
+              SELECT source,
+                     '/' || source || '/doc' || doc_id::VARCHAR AS path
+              FROM documents),
+            dec AS ({_o})
+            SELECT b.source,
+                   SUM(CASE WHEN d.allowed THEN 1 ELSE 0 END)::BIGINT
+                     AS n_allowed,
+                   SUM(CASE WHEN d.allowed THEN 0 ELSE 1 END)::BIGINT
+                     AS n_blocked
+            FROM base b JOIN dec d ON b.path = d.path
+            GROUP BY b.source ORDER BY b.source"""
+        )(_url_rules_oracle_sql("SELECT path FROM base",
+                                _URL_RULES)),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
