@@ -1522,6 +1522,74 @@ def _q86_url_rules(spark, sf):
             .orderBy("source"))
 
 
+_SRC_VALUES = [f"src{i}" for i in range(20)]
+
+
+def _q87_incremental_kg(spark, sf):
+    # Incremental KG maintenance (operators/incremental.py): fingerprint
+    # delta -> re-extract ONLY added/changed docs (semi-join prefilter
+    # before the Arrow stage) -> retract = old triples of changed/removed
+    # docs (hash join on the triple table's own source_doc key).
+    # Deterministic synthetic recrawl: doc_id%10==3 removed, %10==4
+    # edited, every %10==5 doc re-added under a new id.  Output: triple
+    # counts per (action, pred).  Oracle: pinned VALUES at the driver's
+    # sf0.01 (extraction is not SQL-expressible; the constituent delta
+    # logic is value-checked unpinned by q60).
+    from knowledgebase_processor_spark.operators.incremental import (
+        incremental_kg_update)
+    from knowledgebase_processor_spark.pipeline import documents_to_triples
+    d = _t(spark, sf, "documents", spread=True)
+    fmt = lambda df: df.select(
+        F.concat(F.lit("corpus/doc-"), F.col("doc_id").cast("string"))
+         .alias("doc_id"), "text")
+    old = fmt(d)
+    new_raw = (d.filter(F.col("doc_id") % 10 != 3)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 10 == 4,
+                              F.concat(F.col("text"),
+                                       F.lit("\n\nRecrawl update.")))
+                       .otherwise(F.col("text")).alias("text")))
+    added = (d.filter(F.col("doc_id") % 10 == 5)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    new = fmt(new_raw.unionByName(added))
+    old_triples = documents_to_triples(old)
+    return (incremental_kg_update(old, new, old_triples)
+            .groupBy("action", "pred")
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            .orderBy("action", "pred"))
+
+
+def _q88_kmv_overlap(spark, sf):
+    # Corpus-overlap estimation from two bottom-k sketches
+    # (operators/sketches.py::kmv_overlap): shingle-set Jaccard between
+    # the even-doc and odd-doc corpus halves WITHOUT joining them — each
+    # side reduces to 128 hash minima.  Shingles (word 3-grams via the
+    # q29 zip-free portable formula) give a key space that actually
+    # exercises the estimator; integer minima/counts + exact-rounded
+    # float estimates; DuckDB replays everything.
+    from knowledgebase_processor_spark.operators.setjoin import (
+        doc_token_sets)
+    from knowledgebase_processor_spark.operators.sketches import kmv_overlap
+    d = _t(spark, sf, "documents")
+    sh = doc_token_sets(d, "doc_id", "text", ngram=3)
+    a = sh.filter(F.col("sid") % 2 == 0).select("tok")
+    b = sh.filter(F.col("sid") % 2 == 1).select("tok")
+    return kmv_overlap(a, b, "tok", k=128)
+
+
+def _q89_lang_source_pivot(spark, sf):
+    # Native pivot (crosstab) — lang x source doc counts with an explicit
+    # value list (deterministic schema; Catalyst compiles to one
+    # HashAggregate pair with pivot-CASE projections, no per-value scan).
+    # DuckDB replays via CASE sums.
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .pivot("source", _SRC_VALUES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, _SRC_VALUES)
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1610,6 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_rrf_fusion": _q84_rrf_fusion,
         "q85_json_props": _q85_json_props,
         "q86_url_rules": _q86_url_rules,
+        "q87_incremental_kg": _q87_incremental_kg,
+        "q88_kmv_overlap": _q88_kmv_overlap,
+        "q89_lang_source_pivot": _q89_lang_source_pivot,
     }
 
 
@@ -3569,6 +3640,90 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b.source ORDER BY b.source"""
         )(_url_rules_oracle_sql("SELECT path FROM base",
                                 _URL_RULES)),
+        # q87: extraction is not SQL-expressible; pinned VALUES at the
+        # driver's sf0.01 (delta logic value-checked unpinned by q60,
+        # triple extraction differentially by the golden/live suite).
+        "q87_incremental_kg": """
+            SELECT * FROM (VALUES
+              ('assert', 'http://example.org/kb/vocab#originalPath', 100::BIGINT),
+              ('assert', 'http://example.org/kb/vocab#pathWithoutExtension', 100::BIGINT),
+              ('assert', 'http://example.org/kb/vocab#sourceDocument', 100::BIGINT),
+              ('assert', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 300::BIGINT),
+              ('assert', 'http://www.w3.org/2000/01/rdf-schema#label', 100::BIGINT),
+              ('assert', 'http://www.w3.org/2000/01/rdf-schema#seeAlso', 100::BIGINT),
+              ('retract', 'http://example.org/kb/vocab#originalPath', 100::BIGINT),
+              ('retract', 'http://example.org/kb/vocab#pathWithoutExtension', 100::BIGINT),
+              ('retract', 'http://example.org/kb/vocab#sourceDocument', 100::BIGINT),
+              ('retract', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 300::BIGINT),
+              ('retract', 'http://www.w3.org/2000/01/rdf-schema#label', 100::BIGINT),
+              ('retract', 'http://www.w3.org/2000/01/rdf-schema#seeAlso', 100::BIGINT)
+            ) AS t(action, pred, n_triples)
+            ORDER BY action, pred""",
+        "q88_kmv_overlap": r"""
+            WITH words AS (
+              SELECT doc_id AS sid,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT sid, unnest(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END) AS tok
+              FROM words),
+            ha AS (
+              SELECT DISTINCT ('0x' || substr(md5('kmv|' || tok), 1, 15))
+                       ::BIGINT AS hv
+              FROM sh WHERE sid % 2 = 0),
+            hb AS (
+              SELECT DISTINCT ('0x' || substr(md5('kmv|' || tok), 1, 15))
+                       ::BIGINT AS hv
+              FROM sh WHERE sid % 2 = 1),
+            ka AS (SELECT hv FROM (
+                     SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) rn FROM ha)
+                   WHERE rn <= 128),
+            kb AS (SELECT hv FROM (
+                     SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) rn FROM hb)
+                   WHERE rn <= 128),
+            merged AS (
+              SELECT hv, COUNT(*) AS sides FROM (
+                SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
+              GROUP BY hv),
+            ranked AS (
+              SELECT hv, sides, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+              FROM merged),
+            agg AS (
+              SELECT MAX(CASE WHEN rn = 128 THEN hv END) AS union_kth,
+                     COUNT(*)::BIGINT AS n_union_kept,
+                     SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_shared
+              FROM ranked WHERE rn <= 128)
+            SELECT COALESCE(union_kth, -1) AS union_kth, n_union_kept,
+                   n_shared,
+                   round(CASE WHEN union_kth IS NOT NULL
+                         THEN 127.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                              / union_kth::DOUBLE
+                         ELSE n_union_kept::DOUBLE END, 4)
+                     AS union_estimate,
+                   round(n_shared::DOUBLE
+                         / least(n_union_kept, 128)::DOUBLE, 6)
+                     AS jaccard_estimate,
+                   round((n_shared::DOUBLE
+                          / least(n_union_kept, 128)::DOUBLE)
+                         * (CASE WHEN union_kth IS NOT NULL
+                            THEN 127.0::DOUBLE
+                                 * 1152921504606846976.0::DOUBLE
+                                 / union_kth::DOUBLE
+                            ELSE n_union_kept::DOUBLE END), 4)
+                     AS intersection_estimate
+            FROM agg""",
+        "q89_lang_source_pivot": (
+            "SELECT lang, "
+            + ", ".join(
+                f"SUM(CASE WHEN source = 'src{i}' THEN 1 ELSE 0 END)"
+                f"::BIGINT AS src{i}" for i in range(20))
+            + " FROM documents GROUP BY lang ORDER BY lang"),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -122,6 +122,73 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                       F.round(est, 4).alias("hll_estimate"))
 
 
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                k: int = 128, salt: str = "kmv") -> DataFrame:
+    """Corpus-overlap estimation from two KMV sketches (Beyer et al.
+    2007): how much vocabulary / how many shingles do two corpora share,
+    WITHOUT joining them — each side reduces to its k minimum hashes.
+
+    Estimators (all from the two bottom-k sets alone):
+      * union kth minimum U_k  ->  distinct(A ∪ B) ≈ (k-1)·2^60 / U_k
+      * Jaccard ≈ |{bottom-k of the union} ∩ A-sketch ∩ B-sketch| / k
+      * distinct(A ∩ B) ≈ Jaccard · union-estimate
+    Degenerate small inputs (union sketch not full) fall back to the
+    exact distinct of the merged minima, mirroring ``kmv_distinct``.
+
+    Everything up to the two final float estimates is integer (hash
+    minima, shared counts), so the q88 oracle replays it bit-exactly.
+    Scale shape: each bottom-k pass is rewritten by Catalyst to a
+    TakeOrderedAndProject(limit=k) below the rank window (per-partition
+    heaps forward <= k rows each; plan-asserted in tests), then the
+    estimator runs on <= 2k rows in one tiny union frame — the corpora
+    are never joined.
+    """
+    def sketch(df: DataFrame, side: str) -> DataFrame:
+        hv = F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + "|"),
+                           F.col(value_col).cast("string"))),
+            1, HEX_DIGITS), 16, 10).cast("bigint")
+        hashes = df.select(hv.alias("hv")).distinct()
+        from pyspark.sql import Window
+        w = Window.orderBy("hv")
+        # bottom-k of ONE global sketch: Catalyst's
+        # LimitPushDownThroughWindow rewrites this rank filter to a
+        # TakeOrderedAndProject(limit=k) BELOW the window (plan-asserted
+        # in tests) — per-partition heaps forward <= k rows each, so the
+        # single-partition window sees at most k rows, never the data.
+        return (hashes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("hv", F.lit(side).alias("side")))
+
+    a, b = sketch(df_a, "a"), sketch(df_b, "b")
+    merged = (a.unionByName(b)
+              .groupBy("hv")
+              .agg(F.count(F.lit(1)).alias("sides")))
+    from pyspark.sql import Window
+    w = Window.orderBy("hv")
+    ranked = merged.withColumn("rn", F.row_number().over(w)) \
+                   .filter(F.col("rn") <= k)
+    agg = ranked.agg(
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("union_kth"),
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+         .cast("bigint").alias("n_shared"))
+    union_est = F.when(
+        F.col("union_kth").isNotNull(),
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("union_kth").cast("double")) \
+        .otherwise(F.col("n_union_kept").cast("double"))
+    jac = F.col("n_shared").cast("double") / \
+        F.least(F.col("n_union_kept"), F.lit(k)).cast("double")
+    return agg.select(
+        F.coalesce(F.col("union_kth"), F.lit(-1)).alias("union_kth"),
+        F.col("n_union_kept").cast("bigint").alias("n_union_kept"),
+        "n_shared",
+        F.round(union_est, 4).alias("union_estimate"),
+        F.round(jac, 6).alias("jaccard_estimate"),
+        F.round(jac * union_est, 4).alias("intersection_estimate"))
+
+
 def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                  k: int = 64, salt: str = "kmv") -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct estimate per group
