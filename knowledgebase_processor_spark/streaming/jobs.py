@@ -136,6 +136,22 @@ def session_event_stats(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_close"), "n_events"))
 
 
+def hopping_event_stats(events: DataFrame, window: str = "1 hour",
+                        slide: str = "30 minutes",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.windows.hopping_window_stats``:
+    the SAME overlapping-window expression under a watermark, so each
+    window's state is dropped once the watermark passes its end.
+    Hopping windows are watermark-friendly because window starts are a
+    pure function of event time — no session-merge state.  The
+    equivalence test runs this on a file-source stream and pins it to
+    the batch operator's output row-for-row.
+    """
+    from ..operators.windows import hopping_window_stats
+    return hopping_window_stats(events.withWatermark("ts", watermark),
+                                window, slide)
+
+
 def decontaminate_crawl_stream(docs_stream: DataFrame, benchmark: DataFrame,
                                clean_dir: str, flagged_dir: str,
                                checkpoint_dir: str, n: int = 8):

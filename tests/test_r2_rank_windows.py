@@ -120,3 +120,38 @@ def test_url_rules_prefix_is_bytewise_not_segment(spark):
            for r in apply_url_rules(df, "path", [("/src1", False)])
            .collect()}
     assert got == {"/src12/doc": False, "/src1/doc": False}
+
+
+# ------------------------------------------------- streaming hopping ----
+
+def test_hopping_stream_matches_batch(spark, tmp_path):
+    import datetime
+    from knowledgebase_processor_spark.streaming.jobs import (
+        hopping_event_stats)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(minutes=11 * i),
+             "t" if i % 3 else "u", float(i)) for i in range(60)]
+    batch = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "ev")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (hopping_event_stats(stream, watermark="0 seconds").writeStream
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start(out_dir))
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # append mode emits only windows CLOSED by the final watermark
+    # (= max event time with a 0s delay); trailing open windows stay in
+    # state — the defined streaming semantics, so pin exactly that set
+    max_ts = max(r[0] for r in rows)
+    exp = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in hopping_window_stats(batch).collect()
+           if r["window_end"] <= max_ts}
+    assert got == exp and len(got) > 4
