@@ -1590,6 +1590,50 @@ def _q89_lang_source_pivot(spark, sf):
             .orderBy("lang"))
 
 
+def _q90_skew_join(spark, sf):
+    # Explicit skew-handling join (operators/skew.py, north-rule "salted
+    # keys for head-entity skew"): a synthetic head key (70% of docs on
+    # key 0) joined to a 100-row dimension through replicated_join — the
+    # dimension replicates salt ways and the fact side salts row-level,
+    # so the hot key spreads over 16 reducers.  The salt NEVER reaches
+    # the result: the oracle is the plain join, proving the rewrite is
+    # semantics-preserving.
+    from knowledgebase_processor_spark.operators.skew import replicated_join
+    d = _t(spark, sf, "documents")
+    fact = d.select("doc_id", "lang",
+                    F.when(F.col("doc_id") % 10 < 7, F.lit(0))
+                    .otherwise(F.col("doc_id") % 100).alias("hot_key"))
+    dim = (spark.range(100)
+           .select(F.col("id").alias("hot_key"),
+                   F.substring(F.md5(F.col("id").cast("string")), 1, 6)
+                   .alias("dim_attr")))
+    joined = replicated_join(fact, dim, "hot_key", salt=16)
+    return (joined.groupBy("dim_attr", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("dim_attr", "lang"))
+
+
+def _q91_funnel(spark, sf):
+    # Strict ordered funnel (operators/funnel.py): signup -> view ->
+    # click -> purchase, each step strictly after the previous
+    # conversion.  One min-aggregate per step, all joins on the user
+    # key.  Integer-exact timestamps; DuckDB replays the chain.
+    from knowledgebase_processor_spark.operators.funnel import (
+        funnel_summary)
+    e = _t(spark, sf, "events")
+    return funnel_summary(e, ["signup", "view", "click", "purchase"])
+
+
+def _q92_retention(spark, sf):
+    # Weekly retention cohorts (operators/funnel.py): cohort = first
+    # active week, exact integer epoch-week offsets, distinct users per
+    # (cohort, offset) cell.
+    from knowledgebase_processor_spark.operators.funnel import (
+        retention_cohorts)
+    e = _t(spark, sf, "events")
+    return retention_cohorts(e).orderBy("cohort_week", "offset_weeks")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1681,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_incremental_kg": _q87_incremental_kg,
         "q88_kmv_overlap": _q88_kmv_overlap,
         "q89_lang_source_pivot": _q89_lang_source_pivot,
+        "q90_skew_join": _q90_skew_join,
+        "q91_funnel": _q91_funnel,
+        "q92_retention": _q92_retention,
     }
 
 
@@ -3724,6 +3771,55 @@ def oracle_sql() -> dict[str, str]:
                 f"SUM(CASE WHEN source = 'src{i}' THEN 1 ELSE 0 END)"
                 f"::BIGINT AS src{i}" for i in range(20))
             + " FROM documents GROUP BY lang ORDER BY lang"),
+        "q90_skew_join": r"""
+            WITH fact AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 10 < 7 THEN 0
+                          ELSE doc_id % 100 END AS hot_key
+              FROM documents),
+            dim AS (
+              SELECT r AS hot_key, substr(md5(r::VARCHAR), 1, 6) AS dim_attr
+              FROM range(0, 100) t(r))
+            SELECT d.dim_attr, f.lang, COUNT(*)::BIGINT AS n_docs
+            FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+            GROUP BY d.dim_attr, f.lang
+            ORDER BY d.dim_attr, f.lang""",
+        "q91_funnel": r"""
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+              SELECT s1.u, MIN(e.ts) AS t2
+              FROM s1 JOIN events e ON e.user_id = s1.u
+              WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (
+              SELECT s2.u, MIN(e.ts) AS t3
+              FROM s2 JOIN events e ON e.user_id = s2.u
+              WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+            s4 AS (
+              SELECT s3.u, MIN(e.ts) AS t4
+              FROM s3 JOIN events e ON e.user_id = s3.u
+              WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+            SELECT 1 AS step, 'signup' AS step_name,
+                   (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+            UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)::BIGINT
+            UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)::BIGINT
+            UNION ALL SELECT 4, 'purchase',
+                      (SELECT COUNT(*) FROM s4)::BIGINT""",
+        "q92_retention": r"""
+            WITH e AS (
+              -- ::TIMESTAMP: DuckDB's week-trunc yields DATE, Spark's
+              -- yields TIMESTAMP; the driver hashes serialized values
+              SELECT user_id AS u, date_trunc('week', ts)::TIMESTAMP AS wk
+              FROM events),
+            first AS (SELECT u, MIN(wk) AS cohort_week FROM e GROUP BY 1),
+            active AS (SELECT DISTINCT u, wk FROM e)
+            SELECT f.cohort_week,
+                   ((epoch(a.wk)::BIGINT - epoch(f.cohort_week)::BIGINT)
+                    // 604800)::BIGINT AS offset_weeks,
+                   COUNT(DISTINCT a.u)::BIGINT AS n_users
+            FROM active a JOIN first f ON a.u = f.u
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
