@@ -271,3 +271,49 @@ def test_prefix_join_capped_bucket_guard_reports(spark):
     assert "common one two" in dropped
     # and the join still runs, bounded, on the surviving buckets
     prefix_jaccard_join(df, threshold=0.2, max_bucket=5).collect()
+
+
+# ------------------------------------------- adversarial-scale probes ----
+
+def test_doc_token_sets_linear_on_crawl_scale_doc(spark):
+    # regression: the transform-over-indices shingler was O(doc^2) —
+    # a 200k-word page must shingle in seconds, not hours
+    import time
+    from knowledgebase_processor_spark.operators.setjoin import (
+        doc_token_sets)
+    big = " ".join(f"w{i}" for i in range(200_000))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    t0 = time.perf_counter()
+    n = doc_token_sets(df, ngram=3).count()
+    assert time.perf_counter() - t0 < 60
+    assert n > 100_000
+
+
+def test_new_operators_tolerate_null_and_empty_inputs(spark):
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.bloom import (
+        bloom_build, bloom_member, bloom_words)
+    from knowledgebase_processor_spark.operators.heavy import heavy_hitters
+    from knowledgebase_processor_spark.operators.setjoin import (
+        prefix_jaccard_join)
+    from knowledgebase_processor_spark.operators.wsample import (
+        weighted_sample)
+    # null keys: md5(NULL) is NULL -> bloom membership NULL -> filtered
+    # out (not a crash, not a false accept)
+    words = bloom_words(bloom_build(
+        spark.createDataFrame([("a",)], "k string"), "k", 1024, 3), 1024)
+    probe = spark.createDataFrame([("a",), (None,)], "k string")
+    got = [r["k"] for r in
+           probe.filter(bloom_member(F.col("k"), words, 1024, 3)).collect()]
+    assert got == ["a"]
+    # empty frames flow through every operator
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_jaccard_join(empty_docs).count() == 0
+    empty_v = spark.createDataFrame([], "v string")
+    assert heavy_hitters(empty_v, "v", 1).count() == 0
+    empty_w = spark.createDataFrame([], "id long, w int")
+    assert weighted_sample(empty_w, "id", "w", 5).count() == 0
+    # null/empty text docs shingle to the degenerate single element
+    null_docs = spark.createDataFrame([(1, None), (2, "")],
+                                      "doc_id long, text string")
+    assert prefix_jaccard_join(null_docs, threshold=0.9).count() in (0, 1)
