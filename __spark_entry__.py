@@ -1634,6 +1634,19 @@ def _q92_retention(spark, sf):
     return retention_cohorts(e).orderBy("cohort_week", "offset_weeks")
 
 
+def _q93_chunk_documents(spark, sf):
+    # RAG/passage chunking (operators/chunking.py): 64-word windows,
+    # 16-word overlap, map-only (zero shuffles) — chunk starts are a
+    # bounded sequence (one entry per chunk, not per word), slices run
+    # over the materialized word array.  Full provenance (doc, index,
+    # word offset); DuckDB rebuilds every chunk bit-identically.
+    from knowledgebase_processor_spark.operators.chunking import (
+        chunk_documents)
+    d = _t(spark, sf, "documents")
+    return (chunk_documents(d, chunk_words=64, overlap=16)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1728,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_skew_join": _q90_skew_join,
         "q91_funnel": _q91_funnel,
         "q92_retention": _q92_retention,
+        "q93_chunk_documents": _q93_chunk_documents,
     }
 
 
@@ -3820,6 +3834,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT a.u)::BIGINT AS n_users
             FROM active a JOIN first f ON a.u = f.u
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q93_chunk_documents": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            st AS (
+              SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) >= 1),
+            cand AS (
+              SELECT st.doc_id, st.ws, st.n, t.s::INT AS s
+              FROM st CROSS JOIN range(1, 100000, 48) t(s)
+              WHERE t.s <= st.n),
+            starts AS (
+              SELECT doc_id, ws, n, s,
+                     (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                      - 1)::INT AS chunk_idx
+              FROM cand WHERE s = 1 OR s + 16 <= n)
+            SELECT doc_id, chunk_idx, (s - 1)::INT AS word_offset,
+                   len(list_slice(ws, s, least(s + 63, n)))::INT
+                     AS n_words,
+                   array_to_string(list_slice(ws, s, least(s + 63, n)), ' ')
+                     AS chunk_text
+            FROM starts
+            ORDER BY doc_id, chunk_idx""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
@@ -3832,7 +3871,8 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q37_media_features", "q45_prepare_corpus",
                        "q33_dedup_corpus", "q32_ann_ivf",
                        "q62_video_frames", "q66_bpe_merges",
-                       "q67_bpe_encode", "q70_prepare_corpus_v2"}
+                       "q67_bpe_encode", "q70_prepare_corpus_v2",
+                       "q87_incremental_kg"}
 
 
 if __name__ == "__main__":
