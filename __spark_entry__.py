@@ -1647,6 +1647,34 @@ def _q93_chunk_documents(spark, sf):
             .orderBy("doc_id", "chunk_idx"))
 
 
+def _q94_linear_classifier(spark, sf):
+    # fastText-style hashed-feature linear classifier inference
+    # (operators/classifier.py): feature hashing + integer surrogate
+    # weights, margin folded inside ONE projection (no explode, no
+    # shuffle before the final sort).  DuckDB replays every margin
+    # bit-exactly from the same md5 formulas.
+    from knowledgebase_processor_spark.operators.classifier import (
+        linear_margin)
+    d = _t(spark, sf, "documents")
+    return (linear_margin(d, dims=1024)
+            .orderBy(F.col("margin").desc(), "doc_id").limit(50))
+
+
+_BM25_TERMS = ["the", "and", "of", "la", "der", "le"]
+
+
+def _q95_bm25(spark, sf):
+    # Quantized BM25 retrieval (operators/bm25.py): the scale-grade
+    # upgrade of the reference's substring search (q05).  idf in
+    # micro-nats per term (the q64 fixed-point precedent), integer
+    # milli tf-saturation, integer per-doc sums; tf filters to the
+    # query terms BEFORE its groupBy; df broadcasts; top-k is
+    # TakeOrdered.
+    from knowledgebase_processor_spark.operators.bm25 import bm25_scores
+    d = _t(spark, sf, "documents")
+    return bm25_scores(d, _BM25_TERMS, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1742,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_funnel": _q91_funnel,
         "q92_retention": _q92_retention,
         "q93_chunk_documents": _q93_chunk_documents,
+        "q94_linear_classifier": _q94_linear_classifier,
+        "q95_bm25": _q95_bm25,
     }
 
 
@@ -3859,6 +3889,69 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM starts
             ORDER BY doc_id, chunk_idx""",
+        "q94_linear_classifier": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+            feat AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('w|' ||
+                        ((('0x' || substr(md5('f|' || w), 1, 15))::BIGINT
+                          % 1024))::VARCHAR), 1, 15))::BIGINT % 2001 - 1000)
+                       AS wgt
+              FROM tok),
+            m AS (
+              SELECT doc_id, SUM(wgt)::BIGINT AS margin
+              FROM feat GROUP BY doc_id)
+            SELECT b.doc_id, COALESCE(len(b.ws), 0)::BIGINT AS n_tokens,
+                   COALESCE(m.margin, 0)::BIGINT AS margin
+            FROM base b LEFT JOIN m USING (doc_id)
+            ORDER BY margin DESC, doc_id LIMIT 50""",
+        "q95_bm25": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
+            stats AS (
+              SELECT COUNT(*)::BIGINT AS n_docs,
+                     (SUM(dl) * 1000 // COUNT(*))::BIGINT AS avgdl_milli
+              FROM dl),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM base),
+            qt AS (SELECT doc_id, t FROM tok
+                   WHERE t IN ('the','and','of','la','der','le')),
+            tf AS (SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+                   FROM qt GROUP BY 1, 2),
+            dft AS (SELECT t, COUNT(DISTINCT doc_id)::BIGINT AS df
+                    FROM qt GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(1e6 * ln(1.0 + (s.n_docs - dft.df + 0.5)
+                                          / (dft.df + 0.5)))::BIGINT
+                       AS idf_micro,
+                     tf.tf, d.dl, s.avgdl_milli
+              FROM tf JOIN dft USING (t)
+              JOIN dl d ON tf.doc_id = d.doc_id
+              CROSS JOIN stats s),
+            sc2 AS (
+              SELECT doc_id,
+                     idf_micro * (tf * (1200 + 1000))
+                     // (tf * 1000 + (1200 * ((1000 - 750)
+                          + (750 * dl * 1000) // avgdl_milli)) // 1000)
+                       AS score_micro
+              FROM scored),
+            per_doc AS (
+              SELECT doc_id, SUM(score_micro)::BIGINT AS score_micro
+              FROM sc2 GROUP BY 1)
+            SELECT p.doc_id, d.dl, p.score_micro
+            FROM per_doc p JOIN dl d USING (doc_id)
+            ORDER BY p.score_micro DESC, p.doc_id LIMIT 20""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
