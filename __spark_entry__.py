@@ -32,6 +32,8 @@ from knowledgebase_processor_spark.operators.kcore import (  # noqa: E402
     kcore_oracle_sql as _kcore_oracle_sql)
 from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
     url_rules_oracle_sql as _url_rules_oracle_sql)
+from knowledgebase_processor_spark.operators.zorder import (  # noqa: E402
+    z_value_sql as _z_value_sql)
 from knowledgebase_processor_spark.operators.split import (  # noqa: E402
     split_thresholds_sql as _split_thresholds_sql)
 
@@ -1675,6 +1677,59 @@ def _q95_bm25(spark, sf):
     return bm25_scores(d, _BM25_TERMS, k=20)
 
 
+def _q96_phrase_search(spark, sf):
+    # Positional phrase search (operators/index.py): exact adjacent
+    # 3-word phrase via (doc, position) equi-join chain — position
+    # frames filter to the phrase terms before any shuffle.  DuckDB
+    # replays with zipped unnest positions.
+    from knowledgebase_processor_spark.operators.index import phrase_hits
+    d = _t(spark, sf, "documents")
+    return (phrase_hits(d, ["slow", "hash", "batch"])
+            .orderBy(F.col("n_hits").desc(), "doc_id").limit(50))
+
+
+def _q97_table_profile(spark, sf):
+    # One-pass ANALYZE-style column profile of lineitem: every column's
+    # n/nulls/distincts/min/max computed in a single scan (one row of
+    # struct aggregates, unpivoted) — the CBO-statistics pattern.
+    # countDistinct over several columns in one pass is exact here; the
+    # HLL sketch family (q72) is the approximate twin at 10^12 rows.
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_returnflag", "l_shipdate"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                  .cast("bigint").alias(f"{c}__nulls"),
+                 F.countDistinct(c).alias(f"{c}__ndv"),
+                 F.min(c).cast("string").alias(f"{c}__min"),
+                 F.max(c).cast("string").alias(f"{c}__max")]
+    wide = li.agg(*aggs)
+    parts = None
+    for c in cols:
+        row = wide.select(F.lit(c).alias("column"),
+                          F.col(f"{c}__n").alias("n"),
+                          F.col(f"{c}__nulls").alias("n_nulls"),
+                          F.col(f"{c}__ndv").alias("n_distinct"),
+                          F.col(f"{c}__min").alias("min_s"),
+                          F.col(f"{c}__max").alias("max_s"))
+        parts = row if parts is None else parts.unionByName(row)
+    return parts.orderBy("column")
+
+
+def _q98_zorder_layout(spark, sf):
+    # Z-order/Morton layout keys (operators/zorder.py): static unrolled
+    # bit-interleave (pure codegen), per-file min/max boxes in BOTH
+    # dimensions — the OPTIMIZE ZORDER BY statistics.  DuckDB replays
+    # the identical interleave expression.
+    from knowledgebase_processor_spark.operators.zorder import (
+        zorder_layout)
+    li = _t(spark, sf, "lineitem")
+    return (zorder_layout(li, "l_orderkey", "l_partkey", file_bits=10)
+            .orderBy("file_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1772,6 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_chunk_documents": _q93_chunk_documents,
         "q94_linear_classifier": _q94_linear_classifier,
         "q95_bm25": _q95_bm25,
+        "q96_phrase_search": _q96_phrase_search,
+        "q97_table_profile": _q97_table_profile,
+        "q98_zorder_layout": _q98_zorder_layout,
     }
 
 
@@ -3952,6 +4010,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, d.dl, p.score_micro
             FROM per_doc p JOIN dl d USING (doc_id)
             ORDER BY p.score_micro DESC, p.doc_id LIMIT 20""",
+        "q96_phrase_search": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            pos AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS p
+              FROM base),
+            a AS (SELECT doc_id, p AS start FROM pos WHERE w = 'slow'),
+            b AS (SELECT doc_id, p - 1 AS start FROM pos WHERE w = 'hash'),
+            c AS (SELECT doc_id, p - 2 AS start FROM pos
+                  WHERE w = 'batch'),
+            hits AS (
+              SELECT a.doc_id, a.start FROM a
+              JOIN b USING (doc_id, start)
+              JOIN c USING (doc_id, start))
+            SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+            FROM hits GROUP BY doc_id
+            ORDER BY n_hits DESC, doc_id LIMIT 50""",
+        "q97_table_profile": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS "column", COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_nulls,
+                   COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+                   MIN({c})::VARCHAR AS min_s, MAX({c})::VARCHAR AS max_s
+                FROM lineitem"""
+            for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                      "l_returnflag", "l_shipdate"]) + " ORDER BY \"column\"",
+        "q98_zorder_layout": (
+            lambda _z: f"""
+            WITH rows_z AS (
+              SELECT l_orderkey AS x, l_partkey AS y, {_z} AS z
+              FROM lineitem)
+            SELECT (z >> {2 * 16 - 10})::BIGINT AS file_id,
+                   COUNT(*)::BIGINT AS n_rows,
+                   MIN(x)::BIGINT AS x_min, MAX(x)::BIGINT AS x_max,
+                   MIN(y)::BIGINT AS y_min, MAX(y)::BIGINT AS y_max
+            FROM rows_z GROUP BY 1 ORDER BY file_id"""
+        )(_z_value_sql("l_orderkey", "l_partkey", 16)),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
