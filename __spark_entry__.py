@@ -1279,13 +1279,24 @@ def _q73_cms_heavy_hitters(spark, sf):
     # heavy hitter appears and false positives are visible as
     # exact_count < threshold.  DuckDB replays every grid cell and every
     # min-estimate bit-identically.
-    from knowledgebase_processor_spark.operators.heavy import heavy_hitters
+    from knowledgebase_processor_spark.operators.heavy import (
+        cms_counters, cms_estimate)
     d = _t(spark, sf, "documents")
     words = d.select(F.explode(
         F.filter(F.split(F.lower(F.trim("text")), r"[ \t\n\r\f]+"),
                  lambda w: w != F.lit(""))).alias("tok"))
-    threshold = words.count() // 200  # one scalar, not a hot-path collect
-    return (heavy_hitters(words, "tok", threshold, depth=4, width=1024)
+    # relative threshold folded into the plan as a 1-row broadcast frame
+    # (no separate count() pass over the corpus)
+    grid = cms_counters(words, "tok", 4, 1024)
+    keys = words.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(grid, keys.select("tok"), "tok", 4, 1024)
+    thr = words.agg(
+        (F.count(F.lit(1)) / 200).cast("bigint").alias("thr"))
+    return (est.crossJoin(F.broadcast(thr))
+            .filter(F.col("cms_estimate") >= F.col("thr"))
+            .join(keys, "tok")
+            .select("tok", F.col("exact_count").cast("bigint")
+                    .alias("exact_count"), "cms_estimate")
             .orderBy(F.col("exact_count").desc(), "tok"))
 
 
@@ -1343,11 +1354,15 @@ def _q76_bloom_semi_join(spark, sf):
     words = bloom_words(bloom_build(o, "o_orderkey", M, K), M)
     pre = li.filter(bloom_member(F.col("l_orderkey"), words, M, K))
     keys = o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    # ONE pass over the prefiltered rows: broadcast-left-join the key
+    # set and count total + matched in the same aggregate (instead of a
+    # count pass plus a semi-join pass re-reading the fact table)
+    marked = pre.join(F.broadcast(keys.withColumn("__m", F.lit(1))),
+                      "l_orderkey", "left")
+    cnts = marked.agg(F.count(F.lit(1)).alias("n_prefilter"),
+                      F.count("__m").alias("n_exact"))
     n_build = keys.agg(F.count(F.lit(1)).alias("n_build_keys"))
-    n_pre = pre.agg(F.count(F.lit(1)).alias("n_prefilter"))
-    n_exact = (pre.join(keys, "l_orderkey", "left_semi")
-               .agg(F.count(F.lit(1)).alias("n_exact")))
-    return (n_build.crossJoin(n_pre).crossJoin(n_exact)
+    return (n_build.crossJoin(cnts)
             .select("n_build_keys", "n_prefilter", "n_exact",
                     (F.col("n_prefilter") - F.col("n_exact"))
                     .alias("n_false_pos")))
