@@ -118,9 +118,12 @@ def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
         table = [sum((lambda d: d * d)(float(qj[i]) - float(c[i]))
                      for i in range(sub)) for c in book]
         # try_element_at: a null code (NaN source vector) nulls the score
-        # and sorts last instead of throwing under ANSI
-        term = F.try_element_at(F.array(*[F.lit(t) for t in table]),
-                                F.element_at(F.col("codes"), j + 1) + 1)
+        # and sorts last instead of throwing under ANSI.  ONE lit(list)
+        # call per table — element-wise F.lit costs a py4j round-trip
+        # per entry (the bloom.py plan-construction lesson)
+        term = F.try_element_at(
+            F.lit([float(t) for t in table]).cast("array<double>"),
+            F.element_at(F.col("codes"), j + 1) + 1)
         score = term if score is None else score + term
     return (encoded.select(F.col(id_col),
                            F.round(score, 6).alias("adc_dist"))
