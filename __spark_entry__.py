@@ -1745,6 +1745,52 @@ def _q98_zorder_layout(spark, sf):
             .orderBy("file_id"))
 
 
+def _q99_record_merge(spark, sf):
+    # Record-preference merge (operators/recordmerge.py): canonical-row
+    # assembly after coreference — field survivorship by source
+    # priority with per-field lineage and membership audit.  Two
+    # deterministic synthetic sources derived from documents (disjoint
+    # coverage, NULL holes, conflicting values) exercise every rule.
+    from knowledgebase_processor_spark.operators.recordmerge import (
+        merge_records)
+    d = _t(spark, sf, "documents")
+    a = (d.filter(F.col("doc_id") % 3 != 0)
+         .select("doc_id", "lang", "n_chars"))
+    b = (d.filter(F.col("doc_id") % 4 != 0)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+                 .otherwise(F.col("lang")).alias("lang"),
+                 (F.col("n_chars") + 1000).alias("n_chars")))
+    return (merge_records([("crawl", a), ("archive", b)],
+                          "doc_id", ["lang", "n_chars"])
+            .orderBy("doc_id"))
+
+
+def _q100_corpus_datacard(spark, sf):
+    # Corpus data card: the release-notes summary row — doc/lang/char/
+    # token totals, exact-duplicate rate from whitespace-normalized
+    # fingerprints, language entropy inputs.  Two partial-agg passes
+    # (row stats + distinct fingerprints), no window, no collect;
+    # DuckDB replays every number.
+    from knowledgebase_processor_spark.functions.text import (
+        fingerprint, token_count)
+    d = _t(spark, sf, "documents")
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(token_count(F.col("text"))).cast("bigint")
+         .alias("total_tokens"))
+    fp = (d.select(fingerprint(F.col("text")).alias("fp"))
+          .agg(F.countDistinct("fp").alias("n_distinct_fp")))
+    return (row.crossJoin(fp)
+            .select("n_docs", "n_langs", "total_chars", "total_tokens",
+                    "n_distinct_fp",
+                    F.round(F.lit(1.0) - F.col("n_distinct_fp")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("dup_rate")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1845,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_phrase_search": _q96_phrase_search,
         "q97_table_profile": _q97_table_profile,
         "q98_zorder_layout": _q98_zorder_layout,
+        "q99_record_merge": _q99_record_merge,
+        "q100_corpus_datacard": _q100_corpus_datacard,
     }
 
 
@@ -4067,6 +4115,43 @@ def oracle_sql() -> dict[str, str]:
                    MIN(y)::BIGINT AS y_min, MAX(y)::BIGINT AS y_max
             FROM rows_z GROUP BY 1 ORDER BY file_id"""
         )(_z_value_sql("l_orderkey", "l_partkey", 16)),
+        "q99_record_merge": r"""
+            WITH a AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id % 3 <> 0),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END
+                       AS lang,
+                     n_chars + 1000 AS n_chars
+              FROM documents WHERE doc_id % 4 <> 0)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   COALESCE(a.lang, b.lang) AS lang,
+                   CASE WHEN a.lang IS NOT NULL THEN 'crawl'
+                        WHEN b.lang IS NOT NULL THEN 'archive' END
+                     AS lang__src,
+                   COALESCE(a.n_chars, b.n_chars) AS n_chars,
+                   CASE WHEN a.n_chars IS NOT NULL THEN 'crawl'
+                        WHEN b.n_chars IS NOT NULL THEN 'archive' END
+                     AS n_chars__src,
+                   concat_ws(',',
+                     CASE WHEN a.doc_id IS NOT NULL THEN 'crawl' END,
+                     CASE WHEN b.doc_id IS NOT NULL THEN 'archive' END)
+                     AS present_in
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ORDER BY doc_id""",
+        "q100_corpus_datacard": f"""
+            SELECT n_docs, n_langs, total_chars, total_tokens,
+                   n_distinct_fp,
+                   round(1.0 - n_distinct_fp / (n_docs::DOUBLE), 6)
+                     AS dup_rate
+            FROM (SELECT COUNT(*)::BIGINT AS n_docs,
+                         COUNT(DISTINCT lang)::BIGINT AS n_langs,
+                         SUM(n_chars)::BIGINT AS total_chars,
+                         SUM({_WCOUNT})::BIGINT AS total_tokens
+                  FROM documents)
+            CROSS JOIN (SELECT COUNT(DISTINCT {_FPRINT})::BIGINT
+                          AS n_distinct_fp FROM documents)""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

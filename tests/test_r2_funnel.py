@@ -93,3 +93,29 @@ def test_retention_cohorts_matches_python(spark):
         off = int((ts - first[u]).total_seconds() // (7 * 24 * 3600))
         cells.setdefault((first[u], off), set()).add(u)
     assert got == {k: len(v) for k, v in cells.items()}
+
+
+# -------------------------------------------------------- record merge ----
+
+def test_merge_records_survivorship_and_lineage(spark):
+    from pyspark.sql import functions as F
+    from knowledgebase_processor_spark.operators.recordmerge import (
+        merge_records)
+    a = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20), (3, "de", None)],
+        "k long, lang string, n long")
+    b = spark.createDataFrame(
+        [(2, "fr", 99), (3, "es", 30), (4, "it", 40)],
+        "k long, lang string, n long")
+    got = {r["k"]: r.asDict()
+           for r in merge_records([("a", a), ("b", b)], "k",
+                                  ["lang", "n"]).collect()}
+    assert got[1] == {"k": 1, "lang": "en", "lang__src": "a",
+                      "n": 10, "n__src": "a", "present_in": "a"}
+    # a's NULL lang loses to b's value; a's n wins by priority
+    assert got[2] == {"k": 2, "lang": "fr", "lang__src": "b",
+                      "n": 20, "n__src": "a", "present_in": "a,b"}
+    assert got[3] == {"k": 3, "lang": "de", "lang__src": "a",
+                      "n": 30, "n__src": "b", "present_in": "a,b"}
+    assert got[4] == {"k": 4, "lang": "it", "lang__src": "b",
+                      "n": 40, "n__src": "b", "present_in": "b"}
