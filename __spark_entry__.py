@@ -1285,13 +1285,18 @@ def _q73_cms_heavy_hitters(spark, sf):
     words = d.select(F.explode(
         F.filter(F.split(F.lower(F.trim("text")), r"[ \t\n\r\f]+"),
                  lambda w: w != F.lit(""))).alias("tok"))
-    # relative threshold folded into the plan as a 1-row broadcast frame
-    # (no separate count() pass over the corpus)
-    grid = cms_counters(words, "tok", 4, 1024)
-    keys = words.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    # ONE tokenize pass: the corpus collapses to the distinct-token
+    # frame first (localCheckpoint so Catalyst's three consumers don't
+    # re-explode the corpus per branch), then the grid is the WEIGHTED
+    # sketch over distinct tokens (cell sums identical to sketching raw
+    # tokens), and the threshold is sum(exact_count)/200 over the same
+    # tiny frame — no second or third scan anywhere
+    keys = words.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count")) \
+                .localCheckpoint()
+    grid = cms_counters(keys, "tok", 4, 1024, weight_col="exact_count")
     est = cms_estimate(grid, keys.select("tok"), "tok", 4, 1024)
-    thr = words.agg(
-        (F.count(F.lit(1)) / 200).cast("bigint").alias("thr"))
+    thr = keys.agg(
+        (F.sum("exact_count") / 200).cast("bigint").alias("thr"))
     return (est.crossJoin(F.broadcast(thr))
             .filter(F.col("cms_estimate") >= F.col("thr"))
             .join(keys, "tok")

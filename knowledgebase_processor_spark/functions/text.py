@@ -11,6 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# The engine-wide PORTABLE whitespace class.  Spelled out — never \s —
+# because Java regex counts \x0B (vertical tab) as whitespace and
+# DuckDB's RE2 does not: one stray \x0B in a crawled page would make
+# every cross-engine oracle hash-diverge.  This is the single most
+# correctness-critical expression in the engine; every operator that is
+# value-checked against DuckDB must tokenize through PORTABLE_WS /
+# portable_words so the class is single-sourced.
+PORTABLE_WS = r"[ \t\n\r\f]+"
+
+
+def portable_words(text: Column) -> Column:
+    """Non-empty lowercase whitespace tokens under ``PORTABLE_WS`` —
+    the shared tokenizer for every DuckDB-verified operator (quality,
+    BPE, span-dedup, decontamination, LM scoring, BM25, inverted index,
+    set-similarity join, classifier, chunking, shingles)."""
+    return F.filter(F.split(F.lower(F.trim(text)), PORTABLE_WS),
+                    lambda w: w != F.lit(""))
+
 
 # --- reference ops ---------------------------------------------------------
 
@@ -115,8 +133,7 @@ def shingles(text: Column, n: int = 3) -> Column:
     The whitespace class is spelled out (no ``\\s``) because Java regex
     counts \\x0B as whitespace and RE2 does not — the explicit class
     keeps the DuckDB oracles (q29/q30) bit-identical."""
-    words = F.filter(F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+"),
-                     lambda x: x != "")
+    words = portable_words(text)
     # zip_with over shifted copies, NOT transform(indices, i -> ...):
     # interpreted higher-order functions re-evaluate captured expression
     # trees per element, so referencing `words` inside the lambda makes

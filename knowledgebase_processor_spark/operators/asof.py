@@ -76,10 +76,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     unioned = l_side.unionByName(r_side.select(*l_side.columns))
     w = (Window.partitionBy(on).orderBy("__rts_order", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = unioned
-    for c in out_r.values():
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    result = filled.filter(F.col("__side") == 1).drop("__side", "__rts_order")
+    # Fill ONE struct holding the entire right row, not per-column fills:
+    # last(col, ignorenulls=True) per column would mix columns from
+    # DIFFERENT right rows whenever the latest right row carries a NULL
+    # in some value column (that column would keep an older row's value
+    # while the others advance — a row that never existed, and a
+    # corrupted staleness check).  The struct is non-null for every
+    # right row even when all its fields are null, so the whole latest
+    # row moves atomically.  Bonus: one window state, not |rcols|.
+    vals = list(out_r.values())
+    filled = unioned.withColumn(
+        "__rvals",
+        F.when(F.col("__side") == 0, F.struct(*[F.col(c) for c in vals])))
+    filled = filled.withColumn(
+        "__rvals", F.last("__rvals", ignorenulls=True).over(w))
+    result = filled.filter(F.col("__side") == 1)
+    for c in vals:
+        result = result.withColumn(c, F.col("__rvals")[c])
+    result = result.drop("__side", "__rts_order", "__rvals")
     if tolerance_us is not None:
         # materialize staleness FIRST — nulling the suffixed ts column
         # in-loop would corrupt the predicate for later columns

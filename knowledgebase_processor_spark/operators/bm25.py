@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_words
+
 K1_MILLI = 1200
 B_MILLI = 750
 
@@ -41,8 +43,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     doc_id as tie-break."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
     toks = words.select("doc_id", F.explode("ws").alias("t"))
     dl = words.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
 

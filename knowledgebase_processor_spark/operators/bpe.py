@@ -37,14 +37,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-# the engine-wide explicit whitespace class (Java \s vs RE2 \s differ)
-_WS = r"[ \t\n\r\f]+"
+from ..functions.text import portable_words as _words_col  # engine-wide
+# explicit whitespace class (Java \s vs RE2 \s differ), single-sourced
+
 _EOW = "</w>"
-
-
-def _words_col(text) -> "F.Column":
-    return F.filter(F.split(F.lower(F.trim(text)), _WS),
-                    lambda w: w != F.lit(""))
 
 
 # --------------------------------------------------------------------------

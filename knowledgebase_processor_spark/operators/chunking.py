@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_words
+
 
 def chunk_documents(docs: DataFrame, chunk_words: int = 64,
                     overlap: int = 16, id_col: str = "doc_id",
@@ -42,8 +44,7 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     stride = chunk_words - overlap
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
     ws = F.col("ws")
     # starts: 1, 1+stride, ... while start <= n (1-based); drop a tail
     # start whose window adds no new words (start+chunk-1 <= prev cover

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_words
+
 HEX_DIGITS = 15
 
 
@@ -38,8 +40,7 @@ def linear_margin(docs: DataFrame, dims: int = 1024,
     hashed linear model; empty docs score 0."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
 
     def h60(col):
         return F.conv(F.substring(F.md5(col), 1, HEX_DIGITS), 16, 10) \

@@ -37,14 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Explicit whitespace class, not \s: Java regex counts \x0B as
-# whitespace and RE2 (DuckDB) does not (cf. dedup.py portable formula).
-_WS = r"[ \t\n\r\f]+"
-
-
-def _words(text) -> "F.Column":
-    return F.filter(F.split(F.lower(F.trim(text)), _WS),
-                    lambda w: w != F.lit(""))
+from ..functions.text import portable_words as _words  # single-sourced
+# tokenizer (explicit whitespace class, not \s — see functions/text.py)
 
 
 def _word_ngrams(text, n: int) -> "F.Column":

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, portable_words, shingles
 
 # Deterministic multipliers for the minhash permutation family
 # h_i(x) = (a_i * x + b_i) mod 2^31-1.  The 31-bit Mersenne prime keeps
@@ -418,8 +418,7 @@ def minhash_signatures_portable(docs: DataFrame, id_col: str = "doc_id",
     # found live as a 2x wall cost in q77's profile).
     based = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
     ws = F.col("ws")
     g2 = F.zip_with(ws, F.slice(ws, 2, F.greatest(F.size(ws), F.lit(1))),
                     lambda a, b: F.concat_ws(" ", a, b))
@@ -479,8 +478,7 @@ def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
     VERIFICATION path; the engine-native ``simhash`` (64-slot array
     aggregate, zero explosion) is the in-pipeline scale path.
     """
-    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                  lambda w: w != F.lit(""))
+    ws = portable_words(F.col(text_col))
     words = docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("word"))
     h = words.select("doc_id", F.conv(
         F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("hv"))
@@ -667,11 +665,18 @@ def dedup_corpus(docs: DataFrame, id_col: str = "doc_id",
              .select("doc_id",
                      F.coalesce("near_canonical", "canonical_id").alias("cid"),
                      F.col("canonical_id").alias("exact_cid")))
-    return canon.select(
+    # materialize the result eagerly so exact_map can be UNPERSISTED
+    # before returning: a long-lived session calling dedup_corpus per
+    # crawl batch would otherwise pin one cached doc_id map per call
+    # (CacheManager holds it until session end) and slowly evict useful
+    # executor storage
+    out = canon.select(
         "doc_id", F.col("cid").alias("canonical_id"),
         F.when(F.col("doc_id") == F.col("cid"), F.lit("kept"))
          .when(F.col("doc_id") != F.col("exact_cid"), F.lit("exact"))
-         .otherwise(F.lit("near")).alias("reason"))
+         .otherwise(F.lit("near")).alias("reason")).localCheckpoint()
+    exact_map.unpersist()
+    return out
 
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",

@@ -27,12 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.text import portable_words
+
 
 def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
     return base.select("doc_id",
                        F.posexplode("ws").alias("pos0", "w")) \
                .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")

@@ -23,12 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_words
+
 
 def _bigrams(text) -> "F.Column":
     """Word bigrams, [] when fewer than 2 words; the portable
     whitespace-class split shared with the shingle oracles (q29/q30)."""
-    words = F.filter(F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+"),
-                     lambda x: x != "")
+    words = portable_words(text)
     shifted = F.slice(words, 2, F.greatest(F.size(words), F.lit(1)))
     grams = F.zip_with(words, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(words) < 2, F.array().cast("array<string>")) \
@@ -58,9 +59,9 @@ def stupid_backoff(docs: DataFrame, model_docs: DataFrame,
     joins on the bigram/unigram string — head-gram skew collapses
     map-side exactly as in bigram_coverage.
     """
-    mwords = model_docs.select(F.explode(
-        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f]+"),
-                 lambda x: x != "")).alias("w")).localCheckpoint()
+    mwords = model_docs.select(
+        F.explode(portable_words(F.col("text"))).alias("w")) \
+        .localCheckpoint()
     uni = mwords.groupBy("w").agg(F.count("*").alias("c1"))
     big = (model_docs.select(F.explode(_bigrams(F.col("text"))).alias("bg"))
            .groupBy("bg").agg(F.count("*").alias("c12")))

@@ -92,10 +92,14 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
     sub = len(codebooks[0][0])
     for j, book in enumerate(codebooks):
         darr = F.array(*[_sub_d2(v, c, j * sub) for c in book])
-        pos = F.array_position(darr, F.array_min(darr))
-        # pos == 0 when the min is NaN (NaN != NaN): null code, not -1 —
-        # ANSI element_at would otherwise throw downstream
-        codes.append(F.when(pos > 0, pos - 1).cast("int"))
+        mn = F.array_min(darr)
+        pos = F.array_position(darr, mn)
+        # Spark treats NaN==NaN as TRUE in array_min/array_position
+        # (unlike ANSI float equality), so a NaN source vector would get
+        # a normal-looking code — guard with an explicit isnan check:
+        # NaN (or null) vector -> null code, which pq_topk sorts last
+        codes.append(F.when((~F.isnan(mn)) & (pos > 0), pos - 1)
+                     .cast("int"))
     return vecs.select(F.col(id_col), *[F.col(c) for c in keep],
                        F.array(*codes).alias("codes"))
 
@@ -125,9 +129,13 @@ def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
             F.lit([float(t) for t in table]).cast("array<double>"),
             F.element_at(F.col("codes"), j + 1) + 1)
         score = term if score is None else score + term
+    # asc_nulls_last, NOT asc: Spark's default ascending order is NULLS
+    # FIRST, which would put every null-code row at the HEAD of the
+    # top-k, displacing all real neighbors
     return (encoded.select(F.col(id_col),
                            F.round(score, 6).alias("adc_dist"))
-            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(topk))
+            .orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
+            .limit(topk))
 
 
 def pq_topk_rerank(encoded: DataFrame, vecs: DataFrame,
@@ -150,7 +158,8 @@ def pq_topk_rerank(encoded: DataFrame, vecs: DataFrame,
         dist = term if dist is None else dist + term
     return (vecs.join(F.broadcast(cand), id_col)
             .select(F.col(id_col), F.round(dist, 6).alias("l2_dist"))
-            .orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(topk))
+            .orderBy(F.asc_nulls_last("l2_dist"), F.asc(id_col))
+            .limit(topk))
 
 
 def ivfpq_encode(vecs: DataFrame, centroids: list[list[float]],
@@ -201,4 +210,5 @@ def ivfpq_topk(encoded: DataFrame, centroids: list[list[float]],
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(topk)
+    return (out.orderBy(F.asc_nulls_last("adc_dist"), F.asc(id_col))
+            .limit(topk))

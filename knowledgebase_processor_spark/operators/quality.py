@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.text import portable_words
+
 from ..functions.text import LANG_STOPWORDS
 
 # Published Gopher rule thresholds (Rae et al. 2021 table A1).
@@ -51,8 +53,7 @@ GOPHER_MAX_TOP_4GRAM_CHAR_FRAC = 0.16
 def _words(text: Column) -> Column:
     """Non-empty lowercase whitespace tokens.  Explicit whitespace class
     (not ``\\s``) so the DuckDB RE2 oracle tokenizes identically."""
-    return F.filter(F.split(F.lower(F.trim(text)), r"[ \t\n\r\f]+"),
-                    lambda w: w != "")
+    return portable_words(text)
 
 
 def _nonempty_units(text: Column, sep_pattern: str) -> Column:

@@ -45,7 +45,13 @@ def global_rank(df: DataFrame, order_cols: list[str],
               .withColumn("__pid", F.spark_partition_id())
     local = Window.partitionBy("__pid").orderBy(*[F.col(c)
                                                   for c in order_cols])
-    ranked = parts.withColumn("__lr", F.row_number().over(local))
+    # materialize ONCE: the offsets collect below and every downstream
+    # consumer (sorted_neighborhood_pairs reads this frame twice,
+    # rrf_fuse's callers once each) would otherwise re-execute the
+    # range-repartition + per-partition sort per use — measured 3x the
+    # wall cost on q83 before this localCheckpoint
+    ranked = parts.withColumn("__lr", F.row_number().over(local)) \
+                  .localCheckpoint()
     # one tiny collect: rows-per-partition -> cumulative offsets
     counts = {r["__pid"]: r["c"] for r in
               ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.text import portable_words
+
 
 def doc_token_sets(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", ngram: int = 3) -> DataFrame:
@@ -48,8 +50,7 @@ def doc_token_sets(docs: DataFrame, id_col: str = "doc_id",
     overlap almost completely; word order does not)."""
     base = docs.select(
         F.col(id_col).alias("sid"),
-        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f]+"),
-                 lambda w: w != F.lit("")).alias("ws"))
+        portable_words(F.col(text_col)).alias("ws"))
     ws = F.col("ws")  # materialized column, NOT a captured expression tree
     if ngram <= 1:
         elems = ws

@@ -43,14 +43,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-_WS = r"[ \t\n\r\f]+"
+from ..functions.text import portable_words
 
 
 def _words(text) -> "F.Column":
-    return F.coalesce(
-        F.filter(F.split(F.lower(F.trim(text)), _WS),
-                 lambda w: w != F.lit("")),
-        F.array().cast("array<string>"))
+    # single-sourced portable tokenizer, null-text hardened for the
+    # posexplode path (null array would drop the row silently)
+    return F.coalesce(portable_words(text), F.array().cast("array<string>"))
 
 
 def _h60(col) -> "F.Column":

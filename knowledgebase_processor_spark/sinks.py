@@ -91,20 +91,28 @@ def iceberg_merge_sql(table: str, source_view: str, key_cols: list[str],
 
 
 def iceberg_replace_docs_sql(table: str, source_view: str,
-                             key: str = "source_doc") -> list[str]:
+                             key: str = "source_doc",
+                             cols: list[str] | None = None) -> list[str]:
     """Document-scoped replace for MULTI-row-per-key tables (triples):
     the reference's delete-children-then-reinsert transaction
     (metadata_store/store.py:222-297) as two Iceberg statements.
 
     A single MERGE cannot express "replace all N old rows of a document
     with M new rows" (it matches row-to-row), so the canonical Iceberg
-    pattern is a keyed DELETE + INSERT; Iceberg's snapshot isolation
-    makes the pair atomic per statement and idempotent on retry.
-    """
+    pattern is a keyed DELETE + INSERT.  Each statement commits its OWN
+    snapshot — the pair is NOT atomic by itself (a crash between them
+    loses the batch's old rows with the new ones never arriving, and a
+    concurrent reader sees the gap), which is why `merge_upsert_iceberg`
+    runs the pair on a WAP branch and publishes with a single
+    fast-forward.  Columns are named explicitly in the INSERT so the
+    statement never depends on the incoming view's column ORDER
+    matching the table schema."""
+    collist = ", ".join(cols) if cols else "*"
+    into = f"({collist}) " if cols else ""
     return [
         f"DELETE FROM {table} WHERE {key} IN "
         f"(SELECT DISTINCT {key} FROM {source_view})",
-        f"INSERT INTO {table} SELECT * FROM {source_view}",
+        f"INSERT INTO {table} {into}SELECT {collist} FROM {source_view}",
     ]
 
 
@@ -118,16 +126,36 @@ def merge_upsert_iceberg(spark: SparkSession, new_rows: DataFrame,
     same idempotent semantics.  On a production session
     (``spark.sql.catalog.<name>`` = org.apache.iceberg.spark.SparkCatalog)
     the generated statements execute as-is.
-    """
+
+    Atomicity: DELETE and INSERT each commit their own Iceberg snapshot,
+    so the pair is staged on a write-audit-publish BRANCH and published
+    with one ``fast_forward`` call — readers of main never observe the
+    deleted-but-not-reinserted gap, and a crash mid-pair leaves main
+    untouched (the orphan branch is dropped on the next run by
+    CREATE OR REPLACE).  This is the documented Iceberg WAP pattern,
+    equivalent to the reference's single SQLite transaction
+    (metadata_store/store.py:187-299)."""
     catalog = table.split(".", 1)[0] if "." in table else "spark_catalog"
     impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
     if not impl:
         return False
     import hashlib
-    view = "incoming_" + hashlib.sha256(table.encode()).hexdigest()[:12]
+    tag = hashlib.sha256(table.encode()).hexdigest()[:12]
+    view = f"incoming_{tag}"
+    branch = f"upsert_{tag}"
     new_rows.createOrReplaceTempView(view)
-    for stmt in iceberg_replace_docs_sql(table, view, key):
-        spark.sql(stmt)
+    spark.sql(f"ALTER TABLE {table} CREATE OR REPLACE BRANCH {branch}")
+    spark.conf.set("spark.wap.branch", branch)
+    try:
+        for stmt in iceberg_replace_docs_sql(table, view, key,
+                                             cols=new_rows.columns):
+            spark.sql(stmt)
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    tbl = table.split(".", 1)[1] if "." in table else table
+    spark.sql(f"CALL {catalog}.system.fast_forward("
+              f"table => '{tbl}', branch => 'main', to => '{branch}')")
+    spark.sql(f"ALTER TABLE {table} DROP BRANCH {branch}")
     return True
 
 

@@ -63,13 +63,23 @@ RECORD_SCHEMA = StructType([
 
 def _inflate(buf: bytes) -> bytes:
     """Inflate a (possibly multi-member) gzip stream; passthrough if not
-    gzip.  Per-record members simply concatenate."""
+    gzip.  Per-record members simply concatenate.
+
+    Tolerant like the record parser below: a corrupt member (bit-flipped
+    deflate data, bad CRC trailer) keeps whatever inflated cleanly so
+    far and stops — propagating ``zlib.error`` out of the mapInPandas
+    generator would fail the task, Spark's retries would hit the same
+    bytes deterministically, and one damaged archive would abort the
+    whole read instead of skipping its damaged records."""
     if buf[:2] != b"\x1f\x8b":
         return buf
     out, pos = [], 0
     while pos < len(buf) and buf[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(buf[pos:]))
+        try:
+            out.append(d.decompress(buf[pos:]))
+        except zlib.error:
+            break                       # corrupt member: keep the prefix
         # unused_data is the remainder AFTER this member's trailer
         rest = d.unused_data
         pos = len(buf) - len(rest) if rest else len(buf)

@@ -124,10 +124,12 @@ def session_event_stats(events: DataFrame, gap: str = "30 minutes",
     watermark, so state for a session is dropped once the watermark
     passes its close.  Works identically on a batch frame (no watermark
     semantics there), which is how the equivalence test pins it to the
-    batch operator: both split a user's events wherever the inter-event
-    gap reaches ``gap`` — Spark/Flink session-window semantics (an event
-    landing exactly at the previous window's exclusive end opens a NEW
-    session).
+    batch operator: both split a user's events only when the inter-event
+    gap EXCEEDS ``gap`` — an event landing exactly at the previous
+    window's end is absorbed into that session (verified empirically
+    against ``F.session_window`` and pinned by the equivalence test's
+    exactly-30-minute gaps; same strictly-greater rule as
+    ``operators/sessions.py``).
     """
     return (events.withWatermark("ts", watermark)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

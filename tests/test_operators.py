@@ -944,6 +944,31 @@ def test_asof_join_null_ts_rows(spark):
     assert got == {"x": None, "y": 7}  # null-ts right row never matches
 
 
+def test_asof_join_null_field_does_not_mix_rows(spark):
+    """The matched right row must arrive ATOMICALLY: when the latest
+    right row carries a NULL in a value column, that NULL is the answer
+    — a per-column forward-fill would resurrect the value from an OLDER
+    right row (a row that never existed) and let it survive a tolerance
+    it actually violates.  Regression for the round-2 review finding."""
+    import datetime as dt
+    from knowledgebase_processor_spark.operators.asof import asof_join
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, t(10), "L")],
+                                 "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t(1), 7, "a"), (1, t(5), None, "b")],
+        "user_id int, ts timestamp, val int, note string")
+    row = asof_join(left, right, on="user_id", ts="ts").collect()[0]
+    # latest right row is (t=5, val=NULL, note='b') — all three columns
+    # must come from THAT row, not val=7 from the t=1 row
+    assert (row.val, row.note, row.ts_right.second) == (None, "b", 5)
+    # tolerance: the t=1 row is 9 s stale; with a 6 s tolerance the
+    # match (t=5, 5 s old) survives and still reports val=NULL
+    tol = asof_join(left, right, on="user_id", ts="ts",
+                    tolerance_us=6_000_000).collect()[0]
+    assert (tol.val, tol.note) == (None, "b")
+
+
 def test_interval_join_grid_equals_naive(spark):
     """Grid-bucketized result must equal the naive BETWEEN join on a
     corpus with boundary hits, nested/overlapping intervals, cross-grid

@@ -70,11 +70,13 @@ def test_pq_adc_matches_numpy_and_recalls(spark):
     assert rr_overlap >= 8, (rr_overlap, rr_ids, exact)
 
 
-def test_pq_nan_vector_does_not_crash(spark):
-    """A NaN vector must flow through, not throw: Spark's SQL NaN
-    semantics (NaN = NaN is true, NaN sorts greatest) give it a
-    deterministic code via array_position, and the ANSI element_at
-    guard covers the hypothetical not-found path."""
+def test_pq_nan_vector_gets_null_code_and_sorts_last(spark):
+    """A NaN vector must flow through, not throw — and it must NOT get
+    a normal-looking code (Spark's array_min/array_position treat
+    NaN==NaN as true, so without the explicit isnan guard it would):
+    the code is null, the ADC score is null, and the row sorts LAST in
+    top-k (asc_nulls_last), never displacing a real neighbor.
+    Regression for the round-2 review finding."""
     from knowledgebase_processor_spark.operators.pq import (
         pq_encode, pq_topk, pq_train)
     vecs = _load(spark).limit(50)
@@ -82,9 +84,15 @@ def test_pq_nan_vector_does_not_crash(spark):
     bad = spark.createDataFrame(
         [(999999, [float("nan")] * 64)], "vec_id long, embedding array<double>")
     enc = pq_encode(vecs.select("vec_id", "embedding").unionByName(bad), books)
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(c is None for c in codes[999999])        # null, not a code
+    assert all(c is not None for vid, cs in codes.items() if vid != 999999
+               for c in cs)
     out = pq_topk(enc, books, [0.0] * 64, topk=51).collect()
     assert len(out) == 51
-    assert any(r["vec_id"] == 999999 for r in out)
+    assert out[-1]["vec_id"] == 999999                  # last, not first
+    assert out[-1]["adc_dist"] is None
+    assert all(r["adc_dist"] is not None for r in out[:-1])
 
 
 def test_ivfpq_matches_numpy_and_recalls(spark):

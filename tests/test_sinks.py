@@ -89,6 +89,12 @@ def test_iceberg_replace_docs_sql_text():
         "(SELECT DISTINCT source_doc FROM incoming)",
         "INSERT INTO kg.kg_triples SELECT * FROM incoming",
     ]
+    # with explicit columns the INSERT is order-independent: names are
+    # pinned on both the target and the projection
+    stmts = sinks.iceberg_replace_docs_sql(
+        "kg.kg_triples", "incoming", cols=["subj", "pred", "source_doc"])
+    assert stmts[1] == ("INSERT INTO kg.kg_triples (subj, pred, source_doc) "
+                        "SELECT subj, pred, source_doc FROM incoming")
 
 
 def test_iceberg_upsert_falls_back_without_catalog(spark):

@@ -60,6 +60,26 @@ def test_truncated_tail_and_leading_garbage():
     assert list(iter_warc_records(b"no records here")) == []
 
 
+def test_corrupt_gzip_member_keeps_clean_prefix():
+    """A bit-flipped gzip member must not raise out of the parse (one
+    damaged archive must not abort the task — Spark retries hit the
+    same bytes deterministically): the records whose members inflated
+    cleanly before the damage survive.  Regression for the round-2
+    review finding (zlib.error propagated from _inflate)."""
+    buf = bytearray(warc_bytes(RECS, compress=True))
+    # find the 3rd member's magic and flip a byte well inside it
+    pos = -1
+    for _ in range(3):
+        pos = buf.index(b"\x1f\x8b\x08", pos + 1)
+    buf[pos + 20] ^= 0xFF
+    got = list(iter_warc_records(bytes(buf)))
+    assert 0 < len(got) <= len(RECS)            # no raise, prefix kept
+    assert [h["warc-target-uri"] for _, h, _ in got] == \
+        [r[1] for r in RECS[: len(got)]]
+    # total garbage after the magic: empty result, still no raise
+    assert list(iter_warc_records(b"\x1f\x8b\x08" + b"\x00" * 64)) == []
+
+
 def test_records_and_pages(spark):
     recs = warc_records(_files_df(spark, warc_bytes(RECS)))
     assert recs.count() == len(RECS)
