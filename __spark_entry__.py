@@ -471,7 +471,7 @@ def _q30_ngram_jaccard(spark, sf):
     # DuckDB recomputes exactly, bands included.
     from knowledgebase_processor_spark.operators.dedup import (
         minhash_lsh_pairs_portable, ngram_jaccard_pairs)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     cand = minhash_lsh_pairs_portable(d).select("doc_a", "doc_b")
     return (ngram_jaccard_pairs(d, cand, threshold=0.0)
             .orderBy("doc_a", "doc_b"))
@@ -491,7 +491,7 @@ def _q32_ann_ivf(spark, sf):
     # IVF cell assignment + nprobe probing, exact rescoring inside cells.
     from knowledgebase_processor_spark.operators.similarity import (
         ivf_centroids, ivf_topk)
-    v = _t(spark, sf, "embeddings")
+    v = _t(spark, sf, "embeddings", spread=True)
     first = v.orderBy("vec_id").first()
     q = [float(x) for x in first.embedding]
     cents = ivf_centroids(v, dim=len(q), k_cells=8)
@@ -731,7 +731,7 @@ def _q46_pq_adc(spark, sf):
     # top-10 against vec_id 0's embedding via literal lookup tables.
     from knowledgebase_processor_spark.operators.pq import pq_encode, pq_topk
     books = _q46_books()
-    v = _t(spark, sf, "embeddings")
+    v = _t(spark, sf, "embeddings", spread=True)
     q = [float(x) for x in
          v.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     enc = pq_encode(v.select("vec_id", "embedding"), books)
@@ -1383,7 +1383,7 @@ def _q77_setsim_join(spark, sf):
     # DuckDB (feasible at test scale).
     from knowledgebase_processor_spark.operators.setjoin import (
         prefix_jaccard_join)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return (prefix_jaccard_join(d, threshold=0.35)
             .orderBy("id_a", "id_b"))
 

@@ -69,14 +69,23 @@ def pq_train(vecs: DataFrame, dim: int, m: int = 8, k: int = 16,
     return books
 
 
-def _sub_d2(vec: Column, cent: list[float], off: int) -> Column:
+def _sub_d2(vec_col: str, cent: list[float], off: int) -> str:
     """Left-fold squared distance of vec[off:off+len(cent)] to cent —
-    the summation order DuckDB's list_reduce reproduces exactly."""
+    the summation order DuckDB's list_reduce reproduces exactly.
+
+    Returns SQL TEXT, not a Column: building this fold from Column ops
+    costs ~5 py4j round-trips per dimension per centroid (~40k calls =
+    ~9 s of DRIVER time for an M=16,K=256 codebook — measured on q46);
+    one expr-string parse per centroid is ~300x fewer crossings with a
+    bit-identical expression tree.  Literals are rendered with repr()
+    (shortest round-trip form, exact for doubles) + the 'D' suffix so
+    ANSI SQL parses DOUBLE, never DECIMAL."""
     acc = None
     for i, c in enumerate(cent):
-        d = F.element_at(vec, off + i + 1).cast("double") - F.lit(float(c))
-        term = d * d                    # NOT **2: POWER() is only 1-ulp
-        acc = term if acc is None else acc + term
+        d = (f"(CAST(element_at(`{vec_col}`, {off + i + 1}) AS DOUBLE)"
+             f" - ({float(c)!r}D))")
+        term = f"({d} * {d})"           # NOT power(): POWER() is only 1-ulp
+        acc = term if acc is None else f"({acc} + {term})"
     return acc
 
 
@@ -87,11 +96,11 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
     the nearest centroid (first minimum wins — ``array_position`` of the
     min, deterministic and DuckDB-replicable).  ``keep`` passes extra
     columns through the projection (stays narrow — no join-back)."""
-    v = F.col(vec_col)
     codes = []
     sub = len(codebooks[0][0])
     for j, book in enumerate(codebooks):
-        darr = F.array(*[_sub_d2(v, c, j * sub) for c in book])
+        darr = F.expr("array(" + ", ".join(
+            _sub_d2(vec_col, c, j * sub) for c in book) + ")")
         mn = F.array_min(darr)
         pos = F.array_position(darr, mn)
         # Spark treats NaN==NaN as TRUE in array_min/array_position
@@ -150,12 +159,8 @@ def pq_topk_rerank(encoded: DataFrame, vecs: DataFrame,
     rows, not the corpus).  Output: (id, l2_dist) ascending."""
     cand = pq_topk(encoded, codebooks, query_vec, topk=shortlist,
                    id_col=id_col).select(id_col)
-    v = F.col(vec_col)
-    dist = None
-    for i, qv in enumerate(query_vec):
-        d = F.element_at(v, i + 1).cast("double") - F.lit(float(qv))
-        term = d * d
-        dist = term if dist is None else dist + term
+    # one expr-string parse for the whole left-fold (see _sub_d2 note)
+    dist = F.expr(_sub_d2(vec_col, [float(x) for x in query_vec], 0))
     return (vecs.join(F.broadcast(cand), id_col)
             .select(F.col(id_col), F.round(dist, 6).alias("l2_dist"))
             .orderBy(F.asc_nulls_last("l2_dist"), F.asc(id_col))
@@ -176,8 +181,9 @@ def ivfpq_encode(vecs: DataFrame, centroids: list[list[float]],
     """
     from .similarity import ivf_assign
     assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in centroids])
+    # ONE nested-list literal (py4j-cheap), not K*dim F.lit calls
+    cents = F.lit([[float(x) for x in c] for c in centroids]) \
+             .cast("array<array<double>>")
     resid = F.zip_with(F.col("v").cast("array<double>"),
                        F.element_at(cents, F.col("cell") + 1),
                        lambda a, b: a - b)

@@ -39,7 +39,7 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     return (vecs.select(F.col(id_col).alias("vec_id"),
                         F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), 6)
                         .alias("cosine"))
@@ -56,7 +56,8 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit sketch: bucket id from the signs of <v, plane_i>."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        # one list-literal call per plane, not dim F.lit round-trips
+        p = F.lit([float(x) for x in plane]).cast("array<double>")
         bit = F.when(dot(vec.cast("array<double>"), p) >= 0,
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
@@ -93,7 +94,7 @@ def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
 
     planes = _hyperplanes(dim, bits, seed)
     bucketed = cosine_lsh_buckets(vecs, dim, bits, id_col, vec_col, seed)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     # bucket + margins depend only on the literal vector + seeded planes:
     # plain python, no Spark job, and no crash on an empty corpus
     qbucket = 0
@@ -151,7 +152,8 @@ def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
     v = F.col(vec_col).cast("array<double>")
     best_cell, best_sim = F.lit(-1), F.lit(-2.0)
     for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(x) for x in c])
+        # one list-literal call per centroid, not dim F.lit round-trips
+        cc = F.lit([float(x) for x in c]).cast("array<double>")
         sim = cosine_sim(v, cc)
         better = sim > best_sim
         best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
@@ -183,7 +185,7 @@ def ivf_topk(vecs: DataFrame, query_vec: list[float],
                     key=lambda i: -_cos(query_vec, centroids[i]))
     probe_cells = ranked[:max(1, nprobe)]
     assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     return (assigned.filter(F.col("cell").isin(probe_cells))
             .select("vec_id",
                     F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)
