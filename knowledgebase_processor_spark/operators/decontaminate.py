@@ -90,17 +90,25 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
              .distinct())
     base = docs.select(F.col(id_col).alias("doc_id"),
                        _word_ngrams(F.col(text_col), n).alias("grams"))
-    exploded = base.select("doc_id", F.explode("grams").alias("g")) \
-                   .select("doc_id", _h60(F.col("g")).alias("gh"))
-    hits = (exploded.join(F.broadcast(bench), "gh")
-            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    return (base.select("doc_id", F.size("grams").alias("n_grams"))
-            .join(hits, "doc_id", "left")
-            .select("doc_id", "n_grams",
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    # ONE pass over the gram chain: n_grams rides each exploded row (a
+    # constant int per doc), the broadcast probe is a LEFT join with a
+    # hit marker, and one per-doc aggregate finishes — the previous
+    # two-consumer form evaluated the whole tokenize+n-gram+md5 chain
+    # twice and shuffled a doc_id-keyed join back together.
+    # explode_outer keeps gram-less docs (null gh matches nothing, and
+    # count() of the null marker is 0), so no restore join is needed.
+    rows = base.select("doc_id", F.size("grams").alias("n_grams"),
+                       F.explode_outer("grams").alias("g")) \
+               .select("doc_id", "n_grams", _h60(F.col("g")).alias("gh"))
+    marked = rows.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "gh", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.max("n_grams").alias("n_grams"),
+                 F.count("__hit").alias("n_hits"))
+            .select("doc_id", "n_grams", "n_hits",
                     F.when(F.col("n_grams") == 0,
                            F.lit(None).cast("double"))
-                    .otherwise(F.coalesce("n_hits", F.lit(0)).cast("double")
+                    .otherwise(F.col("n_hits").cast("double")
                                / F.col("n_grams").cast("double"))
                     .alias("frac")))
 
