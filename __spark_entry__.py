@@ -1796,6 +1796,76 @@ def _q100_corpus_datacard(spark, sf):
                     .alias("dup_rate")))
 
 
+def _q101_link_prediction(spark, sf):
+    # Link prediction over the deterministic doc graph {(i,i/2),(i,i/3)}
+    # (operators/linkpred.py): wedge-blocked candidates, hub guard,
+    # integer-micro Resource Allocation weights, exact Jaccard.  DuckDB
+    # replays adjacency, degrees, the hub filter, the wedge join and
+    # both scores bit-identically (RA is integer DIV end-to-end).
+    from knowledgebase_processor_spark.operators.linkpred import (
+        link_prediction)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    h2 = F.floor(F.col("doc_id") / 2).cast("long")
+    h3 = F.floor(F.col("doc_id") / 3).cast("long")
+    edges = (d.select(F.col("doc_id").alias("src"), h2.alias("dst"))
+             .union(d.select(F.col("doc_id").alias("src"), h3.alias("dst"))))
+    return (link_prediction(edges, max_hub_degree=1000, min_common=2)
+            .orderBy("u", "v"))
+
+
+_JL_IN_DIM, _JL_OUT_DIM, _JL_SEED = 64, 8, 7
+
+
+def _q102_jl_projection(spark, sf):
+    # Johnson-Lindenstrauss random projection 64 -> 8 dims
+    # (operators/projection.py): seeded Gaussian literals folded into
+    # one codegen projection per output dim; the oracle rebuilds the
+    # SAME matrix (same python Random stream) and replays every
+    # multiply-add left-fold to the ulp.
+    from knowledgebase_processor_spark.operators.projection import (
+        jl_matrix, project)
+    v = _t(spark, sf, "embeddings", spread=True)
+    mat = jl_matrix(_JL_IN_DIM, _JL_OUT_DIM, seed=_JL_SEED)
+    return project(v, mat).orderBy("vec_id")
+
+
+def _q102_oracle_sql() -> str:
+    from knowledgebase_processor_spark.operators.projection import jl_matrix
+    mat = jl_matrix(_JL_IN_DIM, _JL_OUT_DIM, seed=_JL_SEED)
+    dims = ", ".join(
+        " + ".join(f"((e[{i + 1}]) * ({w!r}))" for i, w in enumerate(row))
+        for row in mat)
+    return f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings)
+            SELECT vec_id, [{dims}] AS projected
+            FROM v ORDER BY vec_id"""
+
+
+def _q103_int8_quantize(spark, sf):
+    # Per-vector symmetric int8 quantization (operators/quantize.py):
+    # floor-of-one-division codes (round() half-mode differs across
+    # engines, floor does not), clamped at ±127, plus the left-fold
+    # reconstruction SSE — every number replayed by DuckDB.
+    from knowledgebase_processor_spark.operators.quantize import (
+        quantize_int8)
+    v = _t(spark, sf, "embeddings", spread=True)
+    return quantize_int8(v).orderBy("vec_id")
+
+
+def _q104_scd2_history(spark, sf):
+    # SCD type-2 history from per-user event snapshots (operators/
+    # scd.py): gaps-and-islands run ids entirely in window SQL, one
+    # key shuffle; validity ranges + is_current + run lengths.  DuckDB
+    # replays lag/sum/lead verbatim.
+    from knowledgebase_processor_spark.operators.scd import scd2_history
+    e = _t(spark, sf, "events")
+    return (scd2_history(e, key="user_id", ts="ts", value="event_type",
+                         tiebreak="event_id")
+            .orderBy("key", "effective_from", "value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1898,6 +1968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_zorder_layout": _q98_zorder_layout,
         "q99_record_merge": _q99_record_merge,
         "q100_corpus_datacard": _q100_corpus_datacard,
+        "q101_link_prediction": _q101_link_prediction,
+        "q102_jl_projection": _q102_jl_projection,
+        "q103_int8_quantize": _q103_int8_quantize,
+        "q104_scd2_history": _q104_scd2_history,
     }
 
 
@@ -4157,6 +4231,96 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             CROSS JOIN (SELECT COUNT(DISTINCT {_FPRINT})::BIGINT
                           AS n_distinct_fp FROM documents)""",
+        "q101_link_prediction": r"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id >= 2),
+            e0 AS (
+              SELECT doc_id AS a, CAST(FLOOR(doc_id / 2) AS BIGINT) AS b
+              FROM d
+              UNION ALL
+              SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT) FROM d),
+            und AS (
+              SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+              FROM e0 WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL),
+            adj AS (SELECT u AS n, v AS nbr FROM und
+                    UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY n),
+            via AS (
+              SELECT adj.nbr AS w, adj.n AS side,
+                     dn.deg AS deg_side, dw.deg AS deg_w
+              FROM adj JOIN deg dn ON adj.n = dn.n
+                       JOIN deg dw ON adj.nbr = dw.n
+              WHERE dw.deg <= 1000),
+            wed AS (
+              SELECT l.w, l.side AS u, r.side AS v,
+                     l.deg_side AS du, r.deg_side AS dv, l.deg_w
+              FROM via l JOIN via r ON l.w = r.w AND l.side < r.side),
+            sc AS (
+              SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                     CAST(SUM(1000000 // deg_w) AS BIGINT) AS ra_micro,
+                     MAX(du) AS du, MAX(dv) AS dv
+              FROM wed GROUP BY u, v
+              HAVING COUNT(*) >= 2)
+            SELECT u, v, common_neighbors, ra_micro,
+                   common_neighbors
+                     / CAST(du + dv - common_neighbors AS DOUBLE) AS jaccard
+            FROM sc ANTI JOIN und USING (u, v)
+            ORDER BY u, v""",
+        "q102_jl_projection": _q102_oracle_sql(),
+        "q103_int8_quantize": r"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings),
+            s AS (
+              SELECT vec_id, e,
+                     CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                          THEN list_max(list_transform(e, x -> abs(x)))
+                               / 127.0 END AS scale
+              FROM v),
+            c AS (
+              SELECT vec_id, e, scale,
+                     list_transform(e, x ->
+                       CASE WHEN scale IS NULL THEN 0
+                            ELSE GREATEST(-127, LEAST(127,
+                                 CAST(FLOOR(x / scale) AS INT))) END) AS codes
+              FROM s)
+            SELECT vec_id, CAST(len(e) AS INT) AS n_dims, scale, codes,
+                   CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+                   CASE WHEN len(e) = 0 THEN 0.0
+                        ELSE list_reduce(
+                          list_transform(range(1, len(e) + 1), i ->
+                            (e[i] - codes[i] * coalesce(scale, 0.0))
+                            * (e[i] - codes[i] * coalesce(scale, 0.0))),
+                          (a, b) -> a + b) END AS sse
+            FROM c ORDER BY vec_id""",
+        "q104_scd2_history": r"""
+            WITH f AS (
+              SELECT user_id AS key, ts, event_type AS value,
+                     event_id AS tb,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NOT DISTINCT FROM event_type
+                          THEN 0 ELSE 1 END AS chg
+              FROM events),
+            r AS (
+              SELECT *, SUM(chg) OVER (PARTITION BY key ORDER BY ts, tb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM f),
+            h AS (
+              SELECT key, run, MAX(value) AS value,
+                     MIN(ts) AS effective_from,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM r GROUP BY key, run),
+            o AS (
+              SELECT key, value, effective_from,
+                     lead(effective_from) OVER
+                       (PARTITION BY key
+                        ORDER BY effective_from, run) AS effective_to,
+                     n_obs
+              FROM h)
+            SELECT key, value, effective_from, effective_to,
+                   (effective_to IS NULL) AS is_current, n_obs
+            FROM o ORDER BY key, effective_from, value""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,197 @@
+"""Round-2 additions, batch 6: link prediction, JL random projection,
+int8 quantization, SCD2 snapshot history — each against a pure-python
+replication plus its defining invariants (hub guard, known-edge
+exclusion; distance-preservation direction of the projection; clamp /
+floor / zero-vector edges; run splitting incl. ties and null values)."""
+
+import datetime as dt
+import math
+import random
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark.operators.linkpred import (
+    RA_MICRO, link_prediction)
+from knowledgebase_processor_spark.operators.projection import (
+    jl_matrix, project)
+from knowledgebase_processor_spark.operators.quantize import quantize_int8
+from knowledgebase_processor_spark.operators.scd import scd2_history
+
+
+# ---------------------------------------------------- link prediction ----
+
+def _py_linkpred(edges, max_hub=1000, min_common=1):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    scores = defaultdict(lambda: [0, 0])
+    for w, nbrs in adj.items():
+        if deg[w] > max_hub:
+            continue
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                s = scores[(u, v)]
+                s[0] += 1
+                s[1] += RA_MICRO // deg[w]
+    out = {}
+    for (u, v), (cn, ra) in scores.items():
+        if cn >= min_common and (u, v) not in und:
+            jac = cn / (deg[u] + deg[v] - cn)
+            out[(u, v)] = (cn, ra, jac)
+    return out
+
+
+def test_link_prediction_matches_python_bruteforce(spark):
+    rnd = random.Random(11)
+    edges = {(rnd.randrange(40), rnd.randrange(40)) for _ in range(160)}
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.v): (r.common_neighbors, r.ra_micro, r.jaccard)
+           for r in link_prediction(df).collect()}
+    exp = _py_linkpred(edges)
+    assert set(got) == set(exp)
+    for k, (cn, ra, jac) in exp.items():
+        gcn, gra, gjac = got[k]
+        assert (gcn, gra) == (cn, ra), k
+        assert abs(gjac - jac) < 1e-12, k
+
+
+def test_link_prediction_excludes_known_edges_and_hubs(spark):
+    # star hub 0 -- {1..6} plus a path 1-2: the hub exceeds the guard,
+    # so the ONLY wedges run through nodes 1 and 2 (degree 2 each)
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = link_prediction(df, max_hub_degree=5).collect()
+    got = {(r.u, r.v): r for r in rows}
+    # wedge through 1: (0,2) is a KNOWN edge? no — 0-2 IS an edge (hub
+    # spoke), so it is excluded; nothing else shares a small neighbor
+    assert got == {}
+    # raising the guard admits the hub: spokes pair through it, but
+    # known edges (1,2) and spokes never appear
+    rows = link_prediction(df, max_hub_degree=6).collect()
+    pairs = {(r.u, r.v) for r in rows}
+    assert (1, 2) not in pairs          # existing edge stays excluded
+    assert (3, 4) in pairs              # spoke pair via the hub
+    for r in rows:
+        if (r.u, r.v) == (3, 4):
+            assert r.common_neighbors == 1
+            assert r.ra_micro == RA_MICRO // 6
+
+
+# ------------------------------------------------------ JL projection ----
+
+def test_jl_projection_matches_numpy(spark):
+    import numpy as np
+    rnd = random.Random(3)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    mat = jl_matrix(16, 4, seed=9)
+    got = {r.vec_id: r.projected for r in project(df, mat).collect()}
+    m = np.array(mat)
+    for i, v in vecs:
+        exp = m @ np.array(v)
+        assert np.allclose(got[i], exp, rtol=1e-12), i
+
+
+def test_jl_projection_preserves_distances_statistically(spark):
+    # JL direction check on clustered data: a pair of identical vectors
+    # projects to identical images; far pairs stay far on average
+    base = [1.0] * 64
+    rows = [(0, base), (1, list(base)),
+            (2, [x + 10.0 for x in base])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mat = jl_matrix(64, 8, seed=7)
+    got = {r.vec_id: r.projected for r in project(df, mat).collect()}
+    assert got[0] == got[1]
+    d_close = sum((a - b) ** 2 for a, b in zip(got[0], got[1]))
+    d_far = sum((a - b) ** 2 for a, b in zip(got[0], got[2]))
+    assert d_close == 0.0 and d_far > 0.0
+
+
+# ---------------------------------------------------- int8 quantization ----
+
+def test_quantize_int8_matches_python(spark):
+    rnd = random.Random(5)
+    vecs = [(i, [rnd.uniform(-2, 2) for _ in range(8)]) for i in range(30)]
+    vecs.append((97, [0.0] * 8))                       # zero vector
+    vecs.append((98, [-1.5] + [0.25] * 7))             # max at a negative
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for i, v in vecs:
+        r = got[i]
+        maxabs = max(abs(x) for x in v)
+        if maxabs == 0:
+            assert r.scale is None and r.codes == [0] * len(v)
+            assert r.sse == 0.0 and r.sum_codes == 0
+            continue
+        scale = maxabs / 127.0
+        codes = [max(-127, min(127, math.floor(x / scale))) for x in v]
+        assert r.codes == codes, i
+        assert r.sum_codes == sum(codes)
+        sse = 0.0
+        for x, c in zip(v, codes):
+            d = x - c * scale
+            sse = sse + d * d
+        assert r.sse == sse, i                          # bit-exact fold
+        # codes are a faithful quantization: one step of the grid
+        assert all(abs(x - c * scale) <= scale + 1e-12
+                   for x, c in zip(v, codes))
+
+
+def test_quantize_int8_negative_extreme_clamps(spark):
+    # v = -maxabs divides to exactly/near -127; the clamp guarantees the
+    # code never escapes [-127, 127] whatever the rounding did
+    df = spark.createDataFrame(
+        [(1, [-3.0, 3.0, 1.0])], "vec_id long, embedding array<double>")
+    r = quantize_int8(df).collect()[0]
+    assert r.codes[0] == -127 and r.codes[1] == 127
+    assert -127 <= min(r.codes) and max(r.codes) <= 127
+
+
+# ------------------------------------------------------- SCD2 history ----
+
+def test_scd2_history_runs_and_currency(spark):
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), "a", 1), (1, t(1), "a", 2), (1, t(2), "b", 3),
+        (1, t(3), "a", 4),                     # a reappears: NEW run
+        (2, t(0), "x", 5),
+        (3, t(0), None, 6), (3, t(1), None, 7), (3, t(2), "y", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    hist = scd2_history(df, key="user_id", ts="ts", value="event_type",
+                        tiebreak="event_id").collect()
+    by_key = defaultdict(list)
+    for r in sorted(hist, key=lambda r: (r.key, r.effective_from)):
+        by_key[r.key].append(r)
+    u1 = by_key[1]
+    assert [(r.value, r.n_obs, r.is_current) for r in u1] == [
+        ("a", 2, False), ("b", 1, False), ("a", 1, True)]
+    # ranges tile: each run's effective_to == next run's effective_from
+    assert u1[0].effective_to == u1[1].effective_from
+    assert u1[1].effective_to == u1[2].effective_from
+    assert u1[2].effective_to is None
+    assert [(r.value, r.is_current) for r in by_key[2]] == [("x", True)]
+    # null runs group together via null-safe comparison
+    assert [(r.value, r.n_obs) for r in by_key[3]] == [(None, 2), ("y", 1)]
+
+
+def test_scd2_history_tie_timestamps_are_deterministic(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "b", 2), (1, t0, "a", 1), (1, t0, "c", 3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    hist = sorted(scd2_history(df, key="user_id", ts="ts",
+                               value="event_type", tiebreak="event_id")
+                  .collect(), key=lambda r: r.run_order
+                  if hasattr(r, "run_order") else (r.effective_from, r.value))
+    # tiebreak=event_id orders a,b,c -> three runs, last one current
+    vals = {r.value for r in hist}
+    assert vals == {"a", "b", "c"}
+    assert sum(1 for r in hist if r.is_current) == 1
