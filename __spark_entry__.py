@@ -1866,6 +1866,38 @@ def _q104_scd2_history(spark, sf):
             .orderBy("key", "effective_from", "value"))
 
 
+def _q105_er_scores(spark, sf):
+    # Entity-resolution candidate scoring (operators/er.py): sorted-
+    # neighborhood blocking (exactly N*w pairs) -> normalized-key
+    # Levenshtein + token-set Jaccard + match flag.  Keys are the first
+    # 32 chars of the ASCII-normalized text, so template near-dups block
+    # together.  The normalization is also what makes the oracle exact:
+    # Spark's levenshtein counts codepoints, DuckDB's counts bytes —
+    # they agree on the guaranteed-ASCII keys.
+    from knowledgebase_processor_spark.operators.er import (
+        er_candidate_scores, er_key)
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.substring(er_key(F.col("text")), 1, 32).alias("title"))
+    return (er_candidate_scores(d, "doc_id", "title", w=3,
+                                sim_threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+def _q106_anomaly_flags(spark, sf):
+    # Rolling z-score anomaly flags in exact fixed point (operators/
+    # anomaly.py): integer cents, squared denominator-cleared k-sigma
+    # test — no float mean, no sqrt, so DuckDB replays every flag
+    # bit-identically.  Window = 8 trailing events per user.
+    from knowledgebase_processor_spark.operators.anomaly import (
+        rolling_zscore_flags)
+    e = _t(spark, sf, "events")
+    return (rolling_zscore_flags(e, key="user_id", ts="ts",
+                                 value="value", tiebreak="event_id",
+                                 window=8, k_sigma=3, min_prior=4)
+            .orderBy("key", "ts", "tb"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1972,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_jl_projection": _q102_jl_projection,
         "q103_int8_quantize": _q103_int8_quantize,
         "q104_scd2_history": _q104_scd2_history,
+        "q105_er_scores": _q105_er_scores,
+        "q106_anomaly_flags": _q106_anomaly_flags,
     }
 
 
@@ -4321,6 +4355,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, value, effective_from, effective_to,
                    (effective_to IS NULL) AS is_current, n_obs
             FROM o ORDER BY key, effective_from, value""",
+        "q105_er_scores": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     trim(substr(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')), 1, 32)) AS k
+              FROM documents),
+            r AS (
+              SELECT doc_id AS rid, k,
+                     row_number() OVER (ORDER BY k, doc_id) AS rank
+              FROM d),
+            p AS (
+              SELECT a.rid AS id_a, b.rid AS id_b,
+                     a.k AS key_a, b.k AS key_b
+              FROM r a JOIN r b
+                ON b.rank > a.rank AND b.rank - a.rank <= 3),
+            s AS (
+              SELECT id_a, id_b, key_a, key_b,
+                     CAST(levenshtein(key_a, key_b) AS BIGINT) AS lev,
+                     GREATEST(len(key_a), len(key_b)) AS maxlen,
+                     list_distinct(list_filter(string_split(key_a, ' '),
+                                               x -> x <> '')) AS ta,
+                     list_distinct(list_filter(string_split(key_b, ' '),
+                                               x -> x <> '')) AS tb
+              FROM p),
+            t AS (
+              SELECT id_a, id_b, key_a, key_b, lev,
+                     CASE WHEN maxlen = 0 THEN 1.0
+                          ELSE 1.0 - lev / CAST(maxlen AS DOUBLE)
+                     END AS lev_sim,
+                     len(list_intersect(ta, tb)) AS inter,
+                     len(ta) + len(tb) - len(list_intersect(ta, tb)) AS un
+              FROM s)
+            SELECT id_a, id_b, key_a, key_b, lev, lev_sim,
+                   CASE WHEN un = 0 THEN 1.0
+                        ELSE inter / CAST(un AS DOUBLE) END AS tok_jaccard,
+                   (lev_sim >= 0.8 OR
+                    CASE WHEN un = 0 THEN 1.0
+                         ELSE inter / CAST(un AS DOUBLE) END >= 0.8)
+                     AS is_match
+            FROM t ORDER BY id_a, id_b""",
+        "q106_anomaly_flags": r"""
+            WITH b AS (
+              SELECT user_id AS key, ts, event_id AS tb,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events),
+            s AS (
+              SELECT key, ts, tb, cents,
+                     CAST(COUNT(cents) OVER w AS BIGINT) AS n_prior,
+                     CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+                       AS sum_prior,
+                     CAST(COALESCE(SUM(cents * cents) OVER w, 0) AS BIGINT)
+                       AS ss_prior
+              FROM b
+              WINDOW w AS (PARTITION BY key ORDER BY ts, tb
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+            SELECT key, ts, tb, cents, n_prior, sum_prior, ss_prior,
+                   CASE WHEN n_prior >= 4 THEN
+                     (cents * n_prior - sum_prior)
+                       * (cents * n_prior - sum_prior)
+                     > 9 * (n_prior * ss_prior - sum_prior * sum_prior)
+                   END AS is_anomaly
+            FROM s ORDER BY key, ts, tb""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -184,3 +184,38 @@ def decontaminate_crawl_stream(docs_stream: DataFrame, benchmark: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def correlate_event_streams(left: DataFrame, right: DataFrame,
+                            key: str = "user_id", ts: str = "ts",
+                            id_col: str = "event_id",
+                            within: str = "5 minutes",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream INNER interval join: each left event pairs with the
+    right events of the same key that happen strictly after it but
+    within ``within`` — the click->error correlation / attribution
+    primitive, as a true two-stream join rather than a foreachBatch
+    lookup.
+
+    Both sides carry a watermark so Spark can BOUND the join state: a
+    buffered left row is dropped once the right watermark passes
+    l_ts + within, and vice versa — without the time-range condition in
+    the join predicate the state store grows with the full history,
+    which is the standard stream-stream-join OOM.  Inner-join matches
+    emit as soon as both sides arrive (no close-of-window latency).
+
+    Works identically on batch frames (watermarks are no-ops there),
+    which is how the equivalence test pins it to the plain interval
+    join.  Returns (key, l_event, l_ts, r_event, r_ts).
+    """
+    l = left.select(F.col(key).alias("key"),
+                    F.col(id_col).alias("l_event"),
+                    F.col(ts).alias("l_ts")).withWatermark("l_ts", watermark)
+    r = right.select(F.col(key).alias("r_key"),
+                     F.col(id_col).alias("r_event"),
+                     F.col(ts).alias("r_ts")).withWatermark("r_ts", watermark)
+    cond = ((F.col("key") == F.col("r_key"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond).select("key", "l_event", "l_ts",
+                                  "r_event", "r_ts")

@@ -182,6 +182,102 @@ def test_scd2_history_runs_and_currency(spark):
     assert [(r.value, r.n_obs) for r in by_key[3]] == [(None, 2), ("y", 1)]
 
 
+def test_er_scores_match_python_bruteforce(spark):
+    from knowledgebase_processor_spark.operators.er import (
+        er_candidate_scores)
+    recs = [(1, "Acme Corp"), (2, "acme corp."), (3, "ACME  Corporation"),
+            (4, "Zeta Ltd"), (5, "zeta ltd"), (6, "Wholly Different")]
+    df = spark.createDataFrame(recs, "rid long, name string")
+    rows = er_candidate_scores(df, "rid", "name", w=2,
+                               sim_threshold=0.8).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+
+    def norm(s):
+        import re
+        return re.sub(" +", " ",
+                      re.sub("[^a-z0-9 ]", "", s.lower())).strip()
+
+    keys = {i: norm(n) for i, n in recs}
+    ranked = sorted(keys, key=lambda i: (keys[i], i))
+    exp_pairs = {(ranked[i], ranked[j])
+                 for i in range(len(ranked))
+                 for j in range(i + 1, min(i + 3, len(ranked)))}
+    assert set(got) == exp_pairs
+    import itertools
+    for (a, b), r in got.items():
+        ka, kb = keys[a], keys[b]
+        assert (r.key_a, r.key_b) == (ka, kb)
+        # python Levenshtein
+        la, lb = len(ka), len(kb)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ka[i - 1] != kb[j - 1]))
+            prev = cur
+        assert r.lev == prev[lb], (a, b)
+        ta, tb_ = set(ka.split()) - {""}, set(kb.split()) - {""}
+        un = len(ta | tb_)
+        jac = 1.0 if un == 0 else len(ta & tb_) / un
+        assert abs(r.tok_jaccard - jac) < 1e-12
+    # the exact duplicates match, the unrelated name does not match acme
+    assert got[(1, 2)].is_match and got[(4, 5)].is_match
+
+
+def test_er_key_normalizes_to_ascii(spark):
+    from knowledgebase_processor_spark.operators.er import er_key
+    df = spark.createDataFrame(
+        [("  Héllo,  WORLD!! 42 ",)], "s string")
+    out = df.select(er_key(F.col("s")).alias("k")).collect()[0].k
+    assert out == "hllo world 42"          # non-ascii stripped, squeezed
+
+
+def test_rolling_zscore_flags_match_python(spark):
+    from knowledgebase_processor_spark.operators.anomaly import (
+        rolling_zscore_flags)
+    rnd = random.Random(17)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for m in range(30):
+            val = round(rnd.uniform(1, 20), 2)
+            if m == 20:
+                val = 500.0                          # planted spike
+            rows.append((u, dt.datetime(2024, 1, 1, 0, m), eid, val))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {(r.key, r.tb): r for r in rolling_zscore_flags(
+        df, key="user_id", ts="ts", value="value", tiebreak="event_id",
+        window=8, k_sigma=3, min_prior=4).collect()}
+    assert len(got) == len(rows)
+    per_user = defaultdict(list)
+    for u, ts, eid_, val in rows:
+        per_user[u].append((ts, eid_, round(val * 100)))
+    n_flagged = 0
+    for u, evs in per_user.items():
+        evs.sort()
+        for i, (ts, eid_, c) in enumerate(evs):
+            prior = [x[2] for x in evs[max(0, i - 8):i]]
+            r = got[(u, eid_)]
+            assert r.cents == c
+            assert r.n_prior == len(prior)
+            assert r.sum_prior == sum(prior)
+            assert r.ss_prior == sum(x * x for x in prior)
+            if len(prior) < 4:
+                assert r.is_anomaly is None
+            else:
+                n, s = len(prior), sum(prior)
+                ss = sum(x * x for x in prior)
+                exp = (c * n - s) ** 2 > 9 * (n * ss - s * s)
+                assert r.is_anomaly == exp, (u, i)
+                n_flagged += r.is_anomaly
+    # every planted spike is flagged (4 users), background mostly quiet
+    spikes = [r for r in got.values() if r.cents == 50000]
+    assert all(r.is_anomaly for r in spikes) and len(spikes) == 4
+
+
 def test_scd2_history_tie_timestamps_are_deterministic(spark):
     t0 = dt.datetime(2024, 1, 1)
     rows = [(1, t0, "b", 2), (1, t0, "a", 1), (1, t0, "c", 3)]

@@ -155,3 +155,46 @@ def test_hopping_stream_matches_batch(spark, tmp_path):
            for r in hopping_window_stats(batch).collect()
            if r["window_end"] <= max_ts}
     assert got == exp and len(got) > 4
+
+
+def test_correlate_event_streams_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join == the batch interval join on the
+    same inputs: inner matches emit as both sides arrive, the watermark
+    only bounds state, so an availableNow run over finite sources must
+    produce the complete match set."""
+    import datetime
+    from knowledgebase_processor_spark.streaming.jobs import (
+        correlate_event_streams)
+    base = datetime.datetime(2024, 1, 1)
+    clicks, errors = [], []
+    for i in range(40):
+        clicks.append((i % 5, 1000 + i, base + datetime.timedelta(minutes=3 * i)))
+        if i % 2:
+            errors.append((i % 5, 2000 + i,
+                           base + datetime.timedelta(minutes=3 * i + 4)))
+    schema = "user_id long, event_id long, ts timestamp"
+    cdf = spark.createDataFrame(clicks, schema)
+    edf = spark.createDataFrame(errors, schema)
+    csrc, esrc = str(tmp_path / "c"), str(tmp_path / "e")
+    cdf.write.parquet(csrc)
+    edf.write.parquet(esrc)
+    cs = spark.readStream.schema(cdf.schema).parquet(csrc)
+    es = spark.readStream.schema(edf.schema).parquet(esrc)
+    out = str(tmp_path / "out")
+    q = (correlate_event_streams(cs, es).writeStream
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start(out))
+    q.awaitTermination(180)
+    got = {(r.key, r.l_event, r.r_event)
+           for r in spark.read.parquet(out).collect()}
+    exp = {(c[0], c[1], e[1])
+           for c in clicks for e in errors
+           if c[0] == e[0] and c[2] < e[2]
+           and e[2] <= c[2] + datetime.timedelta(minutes=5)}
+    assert got == exp and len(exp) > 10
+    # batch equivalence: same function on static frames, same rows
+    batch = {(r.key, r.l_event, r.r_event)
+             for r in correlate_event_streams(cdf, edf).collect()}
+    assert batch == exp
