@@ -745,9 +745,12 @@ def _q46_oracle_sql(books: list) -> str:
     sub = len(books[0][0])
 
     def chain(j: int, cent: list, arr: str) -> str:
+        # CAST('<repr>' AS DOUBLE): a bare decimal literal parses as
+        # DECIMAL and double-rounds on the way to DOUBLE (see q102) —
+        # a 1-ulp distance skew here could even flip the argmin code
         return " + ".join(
-            f"(({arr}[{j * sub + i + 1}]) - ({cent[i]!r}))"
-            f" * (({arr}[{j * sub + i + 1}]) - ({cent[i]!r}))"
+            f"(({arr}[{j * sub + i + 1}]) - CAST('{cent[i]!r}' AS DOUBLE))"
+            f" * (({arr}[{j * sub + i + 1}]) - CAST('{cent[i]!r}' AS DOUBLE))"
             for i in range(sub))
 
     darrs = ",\n                   ".join(
@@ -1832,8 +1835,14 @@ def _q102_jl_projection(spark, sf):
 def _q102_oracle_sql() -> str:
     from knowledgebase_processor_spark.operators.projection import jl_matrix
     mat = jl_matrix(_JL_IN_DIM, _JL_OUT_DIM, seed=_JL_SEED)
+    # CAST('<repr>' AS DOUBLE), never a bare decimal literal: DuckDB
+    # parses bare 0.123... as DECIMAL and the decimal->double conversion
+    # double-rounds (int128/10^k), losing the last ulp on ~1/3 of
+    # values; the string cast goes through strtod (correctly rounded),
+    # so the fold matches Spark bit-for-bit.
     dims = ", ".join(
-        " + ".join(f"((e[{i + 1}]) * ({w!r}))" for i, w in enumerate(row))
+        " + ".join(f"((e[{i + 1}]) * (CAST('{w!r}' AS DOUBLE)))"
+                   for i, w in enumerate(row))
         for row in mat)
     return f"""
             WITH v AS (
