@@ -1907,6 +1907,28 @@ def _q106_anomaly_flags(spark, sf):
             .orderBy("key", "ts", "tb"))
 
 
+def _q107_shortest_paths(spark, sf):
+    # Multi-source bounded-round Bellman-Ford (operators/shortest_path
+    # .py) over the deterministic downward doc DAG (parent -> child via
+    # /2 and /3, integer weight dst%7+1), seeds {1,2,3}.  The round
+    # horizon is part of the SEMANTICS (min over paths of <= 12 edges),
+    # so the DuckDB recursive CTE replays it with a round counter and
+    # matches exactly even where the graph is deeper than the horizon.
+    from knowledgebase_processor_spark.operators.shortest_path import (
+        shortest_paths)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    w = (F.col("doc_id") % 7 + 1).cast("bigint")
+    h2 = F.floor(F.col("doc_id") / 2).cast("long")
+    h3 = F.floor(F.col("doc_id") / 3).cast("long")
+    edges = (d.select(h2.alias("src"), F.col("doc_id").alias("dst"),
+                      w.alias("w"))
+             .union(d.select(h3.alias("src"), F.col("doc_id").alias("dst"),
+                             w.alias("w"))))
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    return (shortest_paths(edges, seeds, weight="w", rounds=12)
+            .orderBy("node"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2015,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_scd2_history": _q104_scd2_history,
         "q105_er_scores": _q105_er_scores,
         "q106_anomaly_flags": _q106_anomaly_flags,
+        "q107_shortest_paths": _q107_shortest_paths,
     }
 
 
@@ -4427,6 +4450,28 @@ def oracle_sql() -> dict[str, str]:
                      > 9 * (n_prior * ss_prior - sum_prior * sum_prior)
                    END AS is_anomaly
             FROM s ORDER BY key, ts, tb""",
+        "q107_shortest_paths": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id FROM documents WHERE doc_id >= 2),
+            e AS (
+              SELECT CAST(FLOOR(doc_id / 2) AS BIGINT) AS es,
+                     doc_id AS ed,
+                     CAST(doc_id % 7 + 1 AS BIGINT) AS ew
+              FROM d
+              UNION ALL
+              SELECT CAST(FLOOR(doc_id / 3) AS BIGINT), doc_id,
+                     CAST(doc_id % 7 + 1 AS BIGINT)
+              FROM d),
+            walk(node, dist, r) AS (
+              SELECT node, CAST(0 AS BIGINT), 0
+              FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+                           (CAST(3 AS BIGINT))) s(node)
+              UNION ALL
+              SELECT e.ed, walk.dist + e.ew, walk.r + 1
+              FROM walk JOIN e ON e.es = walk.node
+              WHERE walk.r < 12)
+            SELECT node, MIN(dist) AS dist
+            FROM walk GROUP BY node ORDER BY node""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -291,3 +291,48 @@ def test_scd2_history_tie_timestamps_are_deterministic(spark):
     vals = {r.value for r in hist}
     assert vals == {"a", "b", "c"}
     assert sum(1 for r in hist if r.is_current) == 1
+
+
+# ----------------------------------------------------- shortest paths ----
+
+def _py_bf(edges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for s, d_, w in edges:
+            if s in dist and (d_ not in new or dist[s] + w < new[d_]):
+                new[d_] = min(new.get(d_, 1 << 60), dist[s] + w)
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
+def test_shortest_paths_match_python_bellman_ford(spark):
+    from knowledgebase_processor_spark.operators.shortest_path import (
+        shortest_paths)
+    rnd = random.Random(23)
+    edges = [(rnd.randrange(30), rnd.randrange(30), rnd.randrange(1, 6))
+             for _ in range(70)]
+    seeds = [0, 7]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {r.node: r.dist
+           for r in shortest_paths(e, s, weight="w", rounds=40).collect()}
+    assert got == _py_bf(edges, seeds, 40)
+
+
+def test_shortest_paths_horizon_is_exact(spark):
+    # a pure path graph: after R rounds only the first R nodes past the
+    # seed hold distances — the horizon is semantics, not approximation
+    from knowledgebase_processor_spark.operators.shortest_path import (
+        shortest_paths)
+    edges = [(i, i + 1, 2) for i in range(10)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist
+           for r in shortest_paths(e, s, weight="w", rounds=3).collect()}
+    assert got == {0: 0, 1: 2, 2: 4, 3: 6}
+    # hop-count mode (weight omitted): every edge costs 1
+    got = {r.node: r.dist for r in shortest_paths(e, s, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
