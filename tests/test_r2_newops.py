@@ -336,3 +336,99 @@ def test_shortest_paths_horizon_is_exact(spark):
     # hop-count mode (weight omitted): every edge costs 1
     got = {r.node: r.dist for r in shortest_paths(e, s, rounds=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+# ------------------------------------------------ adversarial corners ----
+
+def test_link_prediction_complete_graph_is_empty(spark):
+    # every pair already linked -> anti-join leaves nothing
+    from knowledgebase_processor_spark.operators.linkpred import (
+        link_prediction)
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert link_prediction(df).count() == 0
+
+
+def test_link_prediction_ignores_self_loops_and_nulls(spark):
+    from knowledgebase_processor_spark.operators.linkpred import (
+        link_prediction)
+    df = spark.createDataFrame(
+        [(1, 1), (1, None), (None, 2), (1, 2), (2, 3)],
+        "src long, dst long")
+    rows = link_prediction(df).collect()
+    assert {(r.u, r.v) for r in rows} == {(1, 3)}
+    r = rows[0]
+    assert (r.common_neighbors, r.ra_micro) == (1, RA_MICRO // 2)
+    assert abs(r.jaccard - 1.0) < 1e-12       # deg1=1, deg3=1, cn=1
+
+
+def test_anomaly_constant_series_never_flags(spark):
+    # zero variance: rhs == 0, lhs == 0 for the same value -> False;
+    # any deviation flags immediately (lhs > 0 = rhs)
+    from knowledgebase_processor_spark.operators.anomaly import (
+        rolling_zscore_flags)
+    rows = [(1, dt.datetime(2024, 1, 1, 0, m), m, 5.0) for m in range(10)]
+    rows.append((1, dt.datetime(2024, 1, 1, 0, 10), 10, 5.01))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.tb: r.is_anomaly for r in rolling_zscore_flags(
+        df, key="user_id", ts="ts", value="value",
+        tiebreak="event_id").collect()}
+    assert out[9] is False                    # same value: not anomalous
+    assert out[10] is True                    # 1-cent deviation at sigma=0
+    assert out[0] is None and out[3] is None  # cold start
+
+
+def test_anomaly_null_value_rows_flow_through(spark):
+    from knowledgebase_processor_spark.operators.anomaly import (
+        rolling_zscore_flags)
+    rows = [(1, dt.datetime(2024, 1, 1, 0, m), m,
+             None if m == 5 else float(m)) for m in range(8)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.tb: r for r in rolling_zscore_flags(
+        df, key="user_id", ts="ts", value="value",
+        tiebreak="event_id").collect()}
+    assert len(out) == 8
+    assert out[5].cents is None and out[5].is_anomaly is None
+    # the null row contributes nothing to later windows (count skips it)
+    assert out[7].n_prior == 6                # 7 predecessors minus null
+
+
+def test_scd2_single_and_empty_inputs(spark):
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string, event_id long")
+    assert scd2_history(df, key="user_id", ts="ts", value="event_type",
+                        tiebreak="event_id").count() == 0
+    one = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+    r = scd2_history(one, key="user_id", ts="ts", value="event_type",
+                     tiebreak="event_id").collect()[0]
+    assert (r.value, r.effective_to, r.is_current, r.n_obs) == \
+        ("a", None, True, 1)
+
+
+def test_er_scores_empty_keys_do_not_crash(spark):
+    from knowledgebase_processor_spark.operators.er import (
+        er_candidate_scores)
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "abc")], "rid long, name string")
+    rows = er_candidate_scores(df, "rid", "name", w=2).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    # the two all-symbol names normalize to "" and match each other
+    empty_pair = [r for r in rows if r.key_a == "" and r.key_b == ""]
+    assert empty_pair and all(r.lev == 0 and r.lev_sim == 1.0
+                              and r.tok_jaccard == 1.0 and r.is_match
+                              for r in empty_pair)
+
+
+def test_shortest_paths_negative_weight_edges_are_dropped(spark):
+    from knowledgebase_processor_spark.operators.shortest_path import (
+        shortest_paths)
+    e = spark.createDataFrame([(0, 1, 5), (0, 1, -3), (1, 2, 1)],
+                              "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(e, s, weight="w",
+                                                  rounds=5).collect()}
+    assert got == {0: 0, 1: 5, 2: 6}          # the -3 edge never relaxes
