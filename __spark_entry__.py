@@ -1929,6 +1929,32 @@ def _q107_shortest_paths(spark, sf):
             .orderBy("node"))
 
 
+def _q108_chunk_dedup(spark, sf):
+    # Chunk-level exact dedup for RAG (operators/chunking.dedup_chunks):
+    # chunk -> portable md5 fingerprint -> min-struct winner per
+    # fingerprint (line_dedup shape: partial-agg, no window on the
+    # boilerplate key, no join-back), with the copy count surfaced.
+    from knowledgebase_processor_spark.operators.chunking import (
+        dedup_chunks)
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    return dedup_chunks(d).orderBy("doc_id", "chunk_idx")
+
+
+def _q109_token_budget_mix(spark, sf):
+    # Pretraining-mix sampling (operators/mix.py): target proportions
+    # over the source tag + global token budget -> deterministic
+    # per-source rates and hash-membership sample; summary row per
+    # source.  DuckDB replays token counts, totals, rates and the exact
+    # kept set.
+    from knowledgebase_processor_spark.operators.mix import (
+        token_budget_mix)
+    d = _t(spark, sf, "documents", spread=True)
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    return (token_budget_mix(d, weights, budget_tokens=2000)
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2038,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_er_scores": _q105_er_scores,
         "q106_anomaly_flags": _q106_anomaly_flags,
         "q107_shortest_paths": _q107_shortest_paths,
+        "q108_chunk_dedup": _q108_chunk_dedup,
+        "q109_token_budget_mix": _q109_token_budget_mix,
     }
 
 
@@ -4472,6 +4500,85 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.r < 12)
             SELECT node, MIN(dist) AS dist
             FROM walk GROUP BY node ORDER BY node""",
+        "q108_chunk_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            st AS (
+              SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) >= 1),
+            cand AS (
+              SELECT st.doc_id, st.ws, st.n, t.s::INT AS s
+              FROM st CROSS JOIN range(1, 100000, 48) t(s)
+              WHERE t.s <= st.n),
+            starts AS (
+              SELECT doc_id, ws, n, s,
+                     (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                      - 1)::INT AS chunk_idx
+              FROM cand WHERE s = 1 OR s + 16 <= n),
+            ch AS (
+              SELECT doc_id, chunk_idx, (s - 1)::INT AS word_offset,
+                     len(list_slice(ws, s, least(s + 63, n)))::INT
+                       AS n_words,
+                     array_to_string(list_slice(ws, s, least(s + 63, n)),
+                                     ' ') AS chunk_text
+              FROM starts),
+            fp AS (
+              SELECT *, ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT
+                          AS f,
+                     CAST(COUNT(*) OVER (PARTITION BY
+                       ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT)
+                       AS BIGINT) AS n_copies
+              FROM ch)
+            SELECT doc_id, chunk_idx, word_offset, n_words, chunk_text,
+                   n_copies
+            FROM fp
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY f
+              ORDER BY doc_id, chunk_idx, word_offset, n_words,
+                       chunk_text) = 1
+            ORDER BY doc_id, chunk_idx""",
+        "q109_token_budget_mix": r"""
+            WITH w(source, weight) AS (VALUES
+              ('src0', CAST('0.4' AS DOUBLE)),
+              ('src1', CAST('0.3' AS DOUBLE)),
+              ('src2', CAST('0.2' AS DOUBLE)),
+              ('src3', CAST('0.1' AS DOUBLE))),
+            base AS (
+              SELECT d.doc_id, d.source, w.weight,
+                     CAST(len(regexp_extract_all(d.text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS toks
+              FROM documents d JOIN w ON d.source = w.source),
+            tot AS (
+              SELECT source, weight,
+                     CAST(COUNT(*) AS BIGINT) AS total_docs,
+                     CAST(SUM(toks) AS BIGINT) AS total_tokens
+              FROM base GROUP BY source, weight),
+            rt AS (
+              SELECT *,
+                     LEAST(CAST('1.0' AS DOUBLE),
+                           (CAST('2000.0' AS DOUBLE) * weight)
+                             / CAST(total_tokens AS DOUBLE)) AS rate,
+                     CAST(FLOOR(CAST('2000.0' AS DOUBLE) * weight)
+                          AS BIGINT) AS target_tokens
+              FROM tot),
+            kept AS (
+              SELECT b.source,
+                     CAST(COUNT(*) AS BIGINT) AS kept_docs,
+                     CAST(SUM(b.toks) AS BIGINT) AS kept_tokens
+              FROM base b JOIN rt ON b.source = rt.source
+              WHERE CAST(('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))
+                           ::BIGINT AS DOUBLE)
+                    < rt.rate * CAST('1152921504606846976' AS DOUBLE)
+              GROUP BY b.source)
+            SELECT rt.source, rt.weight, rt.total_docs, rt.total_tokens,
+                   rt.target_tokens, rt.rate,
+                   COALESCE(kept.kept_docs, 0) AS kept_docs,
+                   COALESCE(kept.kept_tokens, 0) AS kept_tokens
+            FROM rt LEFT JOIN kept ON rt.source = kept.source
+            ORDER BY rt.source""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

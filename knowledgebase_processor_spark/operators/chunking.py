@@ -66,3 +66,40 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
         (F.col("start") - 1).cast("int").alias("word_offset"),
         F.size(piece).cast("int").alias("n_words"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def dedup_chunks(docs: DataFrame, chunk_words: int = 64,
+                 overlap: int = 16, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Chunk-level exact dedup for RAG corpora: chunk every document
+    (``chunk_documents``), fingerprint each chunk's normalized text
+    (portable md5-prefix), keep ONE canonical copy per fingerprint —
+    retrieval indexes otherwise rank N copies of the same boilerplate
+    passage above everything else.
+
+    Winner election is the line_dedup shape: one partial-aggregatable
+    ``min(struct(doc_id, chunk_idx, ...))`` per fingerprint — map-side
+    combine absorbs boilerplate-fingerprint skew, and there is NO
+    window over the hot key and NO join-back.  Output: the kept chunk
+    rows plus ``n_copies`` (how many chunks shared the fingerprint).
+
+    Chunk text is already whitespace-normalized (``array_join`` of the
+    portable word array), so exact-after-normalization equality is the
+    right granularity; near-dup chunking would feed these fingerprints
+    to the MinHash family instead.
+    """
+    ch = chunk_documents(docs, chunk_words, overlap, id_col, text_col)
+    fp = F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 15), 16, 10) \
+          .cast("bigint")
+    won = (ch.select(fp.alias("fp"),
+                     F.struct("doc_id", "chunk_idx", "word_offset",
+                              "n_words", "chunk_text").alias("row"))
+           .groupBy("fp")
+           .agg(F.min("row").alias("w"),
+                F.count(F.lit(1)).alias("n_copies")))
+    return won.select(F.col("w.doc_id").alias("doc_id"),
+                      F.col("w.chunk_idx").alias("chunk_idx"),
+                      F.col("w.word_offset").alias("word_offset"),
+                      F.col("w.n_words").alias("n_words"),
+                      F.col("w.chunk_text").alias("chunk_text"),
+                      "n_copies")

@@ -432,3 +432,52 @@ def test_shortest_paths_negative_weight_edges_are_dropped(spark):
     got = {r.node: r.dist for r in shortest_paths(e, s, weight="w",
                                                   rounds=5).collect()}
     assert got == {0: 0, 1: 5, 2: 6}          # the -3 edge never relaxes
+
+
+# --------------------------------------- chunk dedup / token-budget mix ----
+
+def test_dedup_chunks_keeps_one_canonical_copy(spark):
+    from knowledgebase_processor_spark.operators.chunking import (
+        chunk_documents, dedup_chunks)
+    boiler = " ".join(f"w{i}" for i in range(64))
+    docs = [(1, boiler + " tail one"), (2, boiler + " tail two"),
+            (3, "completely different text " * 20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    all_chunks = chunk_documents(df).collect()
+    kept = dedup_chunks(df).collect()
+    # the shared 64-word boilerplate chunk appears once, from doc 1
+    shared = [r for r in kept if r.chunk_text == boiler.lower()]
+    assert len(shared) == 1
+    assert shared[0].doc_id == 1 and shared[0].n_copies == 2
+    # every fingerprint survives exactly once and nothing is invented
+    assert len(kept) == len({r.chunk_text for r in all_chunks})
+    assert sum(r.n_copies for r in kept) == len(all_chunks)
+
+
+def test_token_budget_mix_rates_and_determinism(spark):
+    from knowledgebase_processor_spark.operators.mix import (
+        sampled_docs, token_budget_mix)
+    rnd = random.Random(31)
+    rows = [(i, f"s{i % 3}", "tok " * rnd.randrange(5, 40))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"s0": 0.5, "s1": 0.5}          # s2 excluded
+    out = {r.source: r for r in
+           token_budget_mix(df, weights, budget_tokens=500).collect()}
+    assert set(out) == {"s0", "s1"}           # weight-0 source dropped
+    for s, r in out.items():
+        assert r.target_tokens == 250
+        assert 0 < r.rate <= 1.0
+        assert r.kept_docs <= r.total_docs
+        # the sample lands in the right neighborhood of the quota
+        assert r.kept_tokens < 2.5 * r.target_tokens
+    # a source under quota keeps everything (rate clamps at 1)
+    tiny = spark.createDataFrame(
+        [(1, "s0", "only a few tokens here")], "doc_id long, source string, text string")
+    t = token_budget_mix(tiny, {"s0": 1.0}, budget_tokens=10**6).collect()[0]
+    assert t.rate == 1.0 and t.kept_docs == 1
+    # membership is deterministic and matches the summary counts
+    s1 = {r.doc_id for r in sampled_docs(df, weights, 500).collect()}
+    s2 = {r.doc_id for r in sampled_docs(df, weights, 500).collect()}
+    assert s1 == s2
+    assert len(s1) == sum(r.kept_docs for r in out.values())
