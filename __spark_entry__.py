@@ -1955,6 +1955,74 @@ def _q109_token_budget_mix(spark, sf):
             .orderBy("source"))
 
 
+_Q110_BITS, _Q110_SEED, _Q110_K = 4, 42, 3
+
+
+def _q110_hard_negatives(spark, sf):
+    # Hard-negative mining for contrastive training (operators/
+    # negatives.py): hyperplane-LSH buckets -> same-bucket cross-label
+    # pairs -> exact cosine rescore -> top-k per anchor
+    # (WindowGroupLimit).  The oracle replays plane signs, buckets,
+    # candidate set, the left-fold cosines and the ranks exactly.
+    from knowledgebase_processor_spark.operators.negatives import (
+        hard_negatives)
+    v = _t(spark, sf, "embeddings", spread=True)
+    return (hard_negatives(v, dim=64, k=_Q110_K, bits=_Q110_BITS,
+                           seed=_Q110_SEED)
+            .orderBy("anchor_id", "rank"))
+
+
+def _q110_oracle_sql() -> str:
+    from knowledgebase_processor_spark.operators.similarity import (
+        _hyperplanes)
+    planes = _hyperplanes(64, _Q110_BITS, _Q110_SEED)
+
+    def lit(x: float) -> str:
+        # CAST('<repr>' AS DOUBLE): bare decimal literals double-round
+        # through DECIMAL (the q102 lesson)
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def dot_plane(plane: list) -> str:
+        return " + ".join(f"((e[{i + 1}]) * ({lit(w)}))"
+                          for i, w in enumerate(plane))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot_plane(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    norm = " + ".join(f"((e[{i + 1}]) * (e[{i + 1}]))" for i in range(64))
+    dot_ab = " + ".join(f"((a.e[{i + 1}]) * (b.e[{i + 1}]))"
+                        for i in range(64))
+    return f"""
+            WITH v AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, label, e,
+                     ({bucket}) AS bucket,
+                     sqrt({norm}) AS nrm
+              FROM v),
+            ok AS (
+              SELECT bucket FROM m GROUP BY bucket
+              HAVING COUNT(*) <= 10000),
+            mb AS (SELECT m.* FROM m JOIN ok USING (bucket)),
+            pairs AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                     a.label AS anchor_label, b.label AS neg_label,
+                     round(({dot_ab})
+                           / GREATEST(a.nrm * b.nrm,
+                                      CAST('1e-12' AS DOUBLE)), 6)
+                       AS cosine
+              FROM mb a JOIN mb b ON a.bucket = b.bucket
+              WHERE a.vec_id <> b.vec_id AND a.label <> b.label)
+            SELECT anchor_id, neg_id, anchor_label, neg_label, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                     ORDER BY cosine DESC, neg_id) AS INT) AS rank
+            FROM pairs
+            QUALIFY rank <= {_Q110_K}
+            ORDER BY anchor_id, rank"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2066,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_shortest_paths": _q107_shortest_paths,
         "q108_chunk_dedup": _q108_chunk_dedup,
         "q109_token_budget_mix": _q109_token_budget_mix,
+        "q110_hard_negatives": _q110_hard_negatives,
     }
 
 
@@ -4579,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(kept.kept_tokens, 0) AS kept_tokens
             FROM rt LEFT JOIN kept ON rt.source = kept.source
             ORDER BY rt.source""",
+        "q110_hard_negatives": _q110_oracle_sql(),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

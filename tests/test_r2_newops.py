@@ -481,3 +481,41 @@ def test_token_budget_mix_rates_and_determinism(spark):
     s2 = {r.doc_id for r in sampled_docs(df, weights, 500).collect()}
     assert s1 == s2
     assert len(s1) == sum(r.kept_docs for r in out.values())
+
+
+# --------------------------------------------------- hard negatives ----
+
+def test_hard_negatives_bucketed_subset_of_bruteforce(spark):
+    from knowledgebase_processor_spark.operators.negatives import (
+        hard_negatives, hard_negatives_bruteforce)
+    rnd = random.Random(41)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(16)], i % 3)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    lsh = hard_negatives(df, dim=16, k=3, bits=2).collect()
+    bf = hard_negatives_bruteforce(df, k=60).collect()
+    bf_scores = {(r.anchor_id, r.neg_id): r.cosine for r in bf}
+    for r in lsh:
+        # label constraint holds and the score equals the exact cosine
+        assert r.anchor_label != r.neg_label
+        assert bf_scores[(r.anchor_id, r.neg_id)] == r.cosine
+    # bits=0 = one bucket = brute force exactly
+    one = {(r.anchor_id, r.neg_id, r.rank)
+           for r in hard_negatives(df, dim=16, k=3, bits=0).collect()}
+    exact = {(r.anchor_id, r.neg_id, r.rank)
+             for r in hard_negatives_bruteforce(df, k=3).collect()}
+    assert one == exact
+
+
+def test_hard_negatives_megabucket_guard_drops_whole_bucket(spark):
+    from knowledgebase_processor_spark.operators.negatives import (
+        hard_negatives)
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)], i % 2)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    # bits=0: everything lands in bucket 0; cap below corpus size drops
+    # the lone bucket whole -> empty result, never a quadratic join
+    assert hard_negatives(df, dim=8, k=3, bits=0, max_bucket=10).count() == 0
