@@ -2023,6 +2023,23 @@ def _q110_oracle_sql() -> str:
             ORDER BY anchor_id, rank"""
 
 
+def _q111_random_walks(spark, sf):
+    # DeepWalk-style deterministic random walks (operators/walks.py)
+    # over the downward doc DAG; next hops are md5(walk|step|node) mod
+    # out-degree, so DuckDB's recursive CTE replays every hop exactly.
+    from knowledgebase_processor_spark.operators.walks import random_walks
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    h2 = F.floor(F.col("doc_id") / 2).cast("long")
+    h3 = F.floor(F.col("doc_id") / 3).cast("long")
+    edges = (d.select(h2.alias("src"), F.col("doc_id").alias("dst"))
+             .union(d.select(h3.alias("src"), F.col("doc_id").alias("dst"))))
+    seeds = _t(spark, sf, "documents") \
+        .filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 50)) \
+        .select(F.col("doc_id").alias("node"))
+    return (random_walks(edges, seeds, walk_len=6)
+            .orderBy("walk_id", "step"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2135,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_chunk_dedup": _q108_chunk_dedup,
         "q109_token_budget_mix": _q109_token_budget_mix,
         "q110_hard_negatives": _q110_hard_negatives,
+        "q111_random_walks": _q111_random_walks,
     }
 
 
@@ -4649,6 +4667,40 @@ def oracle_sql() -> dict[str, str]:
             FROM rt LEFT JOIN kept ON rt.source = kept.source
             ORDER BY rt.source""",
         "q110_hard_negatives": _q110_oracle_sql(),
+        "q111_random_walks": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id FROM documents WHERE doc_id >= 2),
+            -- DISTINCT subquery, NOT a bare UNION: inside WITH
+            -- RECURSIVE DuckDB parses a CTE-level UNION as the
+            -- recursive-union operator and skips the dedup
+            e0 AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT CAST(FLOOR(doc_id / 2) AS BIGINT) AS src,
+                       doc_id AS dst
+                FROM d
+                UNION ALL
+                SELECT CAST(FLOOR(doc_id / 3) AS BIGINT), doc_id FROM d)),
+            adj AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                       - 1 AS idx
+              FROM e0),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY src),
+            walk(walk_id, step, node) AS (
+              SELECT doc_id, 0, doc_id FROM documents
+              WHERE doc_id BETWEEN 1 AND 50
+              UNION ALL
+              SELECT w.walk_id, w.step + 1, a.dst
+              FROM walk w
+              JOIN deg ON deg.src = w.node
+              JOIN adj a ON a.src = w.node
+                AND a.idx = ('0x' || substr(md5(
+                      w.walk_id || '|' || w.step || '|' || w.node),
+                      1, 15))::BIGINT % deg.deg
+              WHERE w.step < 6)
+            SELECT walk_id, CAST(step AS INT) AS step, node
+            FROM walk ORDER BY walk_id, step""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

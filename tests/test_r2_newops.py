@@ -519,3 +519,54 @@ def test_hard_negatives_megabucket_guard_drops_whole_bucket(spark):
     # bits=0: everything lands in bucket 0; cap below corpus size drops
     # the lone bucket whole -> empty result, never a quadratic join
     assert hard_negatives(df, dim=8, k=3, bits=0, max_bucket=10).count() == 0
+
+
+# ----------------------------------------------------- random walks ----
+
+def _py_walks(edges, seeds, walk_len):
+    import hashlib
+    adj = defaultdict(set)
+    for s, d_ in edges:
+        adj[s].add(d_)
+    nbrs = {n: sorted(v) for n, v in adj.items()}
+    rows = []
+    for w in seeds:
+        cur = w
+        rows.append((w, 0, w))
+        for step in range(walk_len):
+            ns = nbrs.get(cur)
+            if not ns:
+                break
+            h = int(hashlib.md5(f"{w}|{step}|{cur}".encode())
+                    .hexdigest()[:15], 16)
+            cur = ns[h % len(ns)]
+            rows.append((w, step + 1, cur))
+    return set(rows)
+
+
+def test_random_walks_match_python_replication(spark):
+    from knowledgebase_processor_spark.operators.walks import random_walks
+    rnd = random.Random(13)
+    edges = list({(rnd.randrange(25), rnd.randrange(25))
+                  for _ in range(60)})
+    seeds = list(range(10))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {(r.walk_id, r.step, r.node)
+           for r in random_walks(e, s, walk_len=5).collect()}
+    assert got == _py_walks(edges, seeds, 5)
+    # determinism across runs
+    again = {(r.walk_id, r.step, r.node)
+             for r in random_walks(e, s, walk_len=5).collect()}
+    assert again == got
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from knowledgebase_processor_spark.operators.walks import random_walks
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(0,), (2,)], "node long")
+    got = sorted((r.walk_id, r.step, r.node)
+                 for r in random_walks(e, s, walk_len=9).collect())
+    # walk 0 deterministically follows the path and stops at sink 2;
+    # walk 2 emits only its seed row
+    assert got == [(0, 0, 0), (0, 1, 1), (0, 2, 2), (2, 0, 2)]
