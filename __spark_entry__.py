@@ -2040,6 +2040,43 @@ def _q111_random_walks(spark, sf):
             .orderBy("walk_id", "step"))
 
 
+def _q112_quality_ensemble(spark, sf):
+    # Quality-signal ensemble: three independent document rankings
+    # (Gopher-style heuristic quality, bigram-coverage fluency, hashed
+    # linear-classifier margin) fused with FIXED-POINT reciprocal-rank
+    # fusion — 1e12 DIV (60 + rank) summed as BIGINT.  Integer RRF is
+    # deliberate: a three-way float reciprocal sum is not
+    # aggregation-order-stable (IEEE + is commutative, not associative),
+    # while the micro-unit sum is bit-exact in any engine and any
+    # partial-agg order.  Rankings come from the distributed
+    # global_rank (no single-partition window).
+    from knowledgebase_processor_spark.functions.text import quality_score
+    from knowledgebase_processor_spark.operators.classifier import (
+        linear_margin)
+    from knowledgebase_processor_spark.operators.lm_score import (
+        bigram_coverage)
+    from knowledgebase_processor_spark.operators.rank import global_rank
+    d = _t(spark, sf, "documents")
+    by_q = global_rank(
+        d.select("doc_id", (-quality_score(F.col("text"))).alias("s")),
+        ["s", "doc_id"]).select("doc_id", "rank")
+    by_f = global_rank(
+        bigram_coverage(d, min_count=3)
+        .select("doc_id",
+                (-F.coalesce(F.col("coverage"), F.lit(0.0))).alias("s")),
+        ["s", "doc_id"]).select("doc_id", "rank")
+    by_m = global_rank(
+        linear_margin(d, dims=1024)
+        .select("doc_id", (-F.col("margin")).alias("s")),
+        ["s", "doc_id"]).select("doc_id", "rank")
+    un = by_q.unionByName(by_f).unionByName(by_m)
+    return (un.groupBy("doc_id")
+            .agg(F.sum(F.expr("1000000000000 DIV (60 + rank)"))
+                 .cast("bigint").alias("rrf_micro"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.desc("rrf_micro"), "doc_id").limit(25))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2153,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_token_budget_mix": _q109_token_budget_mix,
         "q110_hard_negatives": _q110_hard_negatives,
         "q111_random_walks": _q111_random_walks,
+        "q112_quality_ensemble": _q112_quality_ensemble,
     }
 
 
@@ -4701,6 +4739,74 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.step < 6)
             SELECT walk_id, CAST(step AS INT) AS step, node
             FROM walk ORDER BY walk_id, step""",
+        "q112_quality_ensemble": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END) AS bg
+              FROM words),
+            common AS (
+              SELECT bg FROM (SELECT bg, COUNT(*) c FROM bg GROUP BY bg)
+              WHERE c >= 3),
+            totals AS (SELECT doc_id, COUNT(*) AS n_bigrams
+                       FROM bg GROUP BY doc_id),
+            hits AS (
+              SELECT bg.doc_id, COUNT(*) AS n_common
+              FROM bg JOIN common USING (bg) GROUP BY bg.doc_id),
+            cov AS (
+              SELECT d.doc_id,
+                     COALESCE(CASE WHEN COALESCE(t.n_bigrams, 0) = 0
+                                   THEN NULL
+                                   ELSE COALESCE(h.n_common, 0)::DOUBLE
+                                        / t.n_bigrams::DOUBLE END,
+                              0.0) AS coverage
+              FROM documents d
+              LEFT JOIN totals t USING (doc_id)
+              LEFT JOIN hits h USING (doc_id)),
+            tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+            feat AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('w|' ||
+                        ((('0x' || substr(md5('f|' || w), 1, 15))::BIGINT
+                          % 1024))::VARCHAR), 1, 15))::BIGINT % 2001
+                      - 1000) AS wgt
+              FROM tok),
+            marg AS (
+              SELECT d.doc_id,
+                     COALESCE((SELECT SUM(wgt)::BIGINT FROM feat
+                               WHERE feat.doc_id = d.doc_id), 0)
+                       AS margin
+              FROM documents d),
+            r1 AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY ({_Q112_QUALITY}) DESC, doc_id) AS rank
+              FROM documents),
+            r2 AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY coverage DESC, doc_id) AS rank
+              FROM cov),
+            r3 AS (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY margin DESC, doc_id) AS rank
+              FROM marg),
+            un AS (
+              SELECT doc_id, rank FROM r1
+              UNION ALL SELECT doc_id, rank FROM r2
+              UNION ALL SELECT doc_id, rank FROM r3)
+            SELECT doc_id,
+                   CAST(SUM(1000000000000 // (60 + rank)) AS BIGINT)
+                     AS rrf_micro,
+                   COUNT(*)::BIGINT AS n_lists
+            FROM un GROUP BY doc_id
+            ORDER BY rrf_micro DESC, doc_id LIMIT 25""".replace(
+                "{_Q112_QUALITY}", _QUALITY),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

