@@ -2077,6 +2077,39 @@ def _q112_quality_ensemble(spark, sf):
             .orderBy(F.desc("rrf_micro"), "doc_id").limit(25))
 
 
+_Q113_BOUNDS = [64, 128, 256, 512]
+
+
+def _q113_padding_waste(spark, sf):
+    # Sequence-length bucketing report: assign each document to the
+    # smallest length bucket that holds it (docs beyond the last bound
+    # truncate to it — the packer's LEAST(n, max) rule), then per
+    # bucket: docs, real tokens, padded tokens (docs x bound) and the
+    # waste fraction — the planning table for choosing batch shapes,
+    # complementary to q48's packer utilization.  One scan + one tiny
+    # groupBy; every number is an exact integer except one final
+    # division.
+    from knowledgebase_processor_spark.functions.text import token_count
+    d = _t(spark, sf, "documents")
+    toks = F.least(token_count(F.col("text")).cast("bigint"),
+                   F.lit(_Q113_BOUNDS[-1]))
+    bound = F.lit(_Q113_BOUNDS[-1])
+    for b in reversed(_Q113_BOUNDS[:-1]):
+        bound = F.when(toks <= b, F.lit(b)).otherwise(bound)
+    base = d.select(toks.alias("toks"), bound.alias("bucket"))
+    return (base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").cast("bigint").alias("real_tokens"))
+            .select("bucket", "n_docs", "real_tokens",
+                    (F.col("n_docs") * F.col("bucket")).cast("bigint")
+                    .alias("padded_tokens"),
+                    ((F.col("n_docs") * F.col("bucket")
+                      - F.col("real_tokens")).cast("double")
+                     / (F.col("n_docs") * F.col("bucket")).cast("double"))
+                    .alias("waste_frac"))
+            .orderBy("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2191,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_hard_negatives": _q110_hard_negatives,
         "q111_random_walks": _q111_random_walks,
         "q112_quality_ensemble": _q112_quality_ensemble,
+        "q113_padding_waste": _q113_padding_waste,
     }
 
 
@@ -4807,6 +4841,25 @@ def oracle_sql() -> dict[str, str]:
             FROM un GROUP BY doc_id
             ORDER BY rrf_micro DESC, doc_id LIMIT 25""".replace(
                 "{_Q112_QUALITY}", _QUALITY),
+        "q113_padding_waste": f"""
+            WITH t AS (
+              SELECT LEAST(CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT),
+                     512) AS toks
+              FROM documents),
+            b AS (
+              SELECT toks,
+                     CASE WHEN toks <= 64 THEN 64
+                          WHEN toks <= 128 THEN 128
+                          WHEN toks <= 256 THEN 256
+                          ELSE 512 END AS bucket
+              FROM t)
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(toks) AS BIGINT) AS real_tokens,
+                   CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+                   CAST(COUNT(*) * bucket - SUM(toks) AS DOUBLE)
+                     / CAST(COUNT(*) * bucket AS DOUBLE) AS waste_frac
+            FROM b GROUP BY bucket ORDER BY bucket""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
