@@ -2110,6 +2110,23 @@ def _q113_padding_waste(spark, sf):
             .orderBy("bucket"))
 
 
+def _q114_source_overlap_matrix(spark, sf):
+    # Pairwise source-overlap matrix (operators/sketches.py::
+    # kmv_overlap_matrix): one bottom-k sketch per source over word
+    # 3-gram shingles, all pair estimates from the G*k-row sketch frame
+    # — the "which sources duplicate each other" curation table.  Top
+    # 15 most-overlapping pairs; the oracle replays every sketch and
+    # pair bit-exactly.
+    from knowledgebase_processor_spark.functions.text import shingles
+    from knowledgebase_processor_spark.operators.sketches import (
+        kmv_overlap_matrix)
+    d = _t(spark, sf, "documents", spread=True)
+    sh = d.select("source", F.explode(shingles(F.col("text"))).alias("sh"))
+    return (kmv_overlap_matrix(sh, "source", "sh", k=64)
+            .orderBy(F.desc("n_shared"), "group_a", "group_b")
+            .limit(15))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2225,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_random_walks": _q111_random_walks,
         "q112_quality_ensemble": _q112_quality_ensemble,
         "q113_padding_waste": _q113_padding_waste,
+        "q114_source_overlap_matrix": _q114_source_overlap_matrix,
     }
 
 
@@ -4860,6 +4878,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) * bucket - SUM(toks) AS DOUBLE)
                      / CAST(COUNT(*) * bucket AS DOUBLE) AS waste_frac
             FROM b GROUP BY bucket ORDER BY bucket""",
+        "q114_source_overlap_matrix": r"""
+            WITH words AS (
+              SELECT source,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            shing AS (
+              SELECT source, UNNEST(CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END) AS sh
+              FROM words),
+            hashes AS (
+              SELECT DISTINCT source AS g,
+                     ('0x' || substr(md5('kmv|' || sh), 1, 15))::BIGINT
+                       AS hv
+              FROM shing),
+            sk AS (
+              SELECT g, hv FROM hashes
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv)
+                      <= 64),
+            pairs AS (
+              SELECT a.g AS g1, b.g AS g2
+              FROM (SELECT DISTINCT g FROM sk) a
+              JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+            mrows AS (
+              SELECT p.g1, p.g2, s.hv
+              FROM pairs p JOIN sk s ON s.g = p.g1
+              UNION ALL
+              SELECT p.g1, p.g2, s.hv
+              FROM pairs p JOIN sk s ON s.g = p.g2),
+            merged AS (
+              SELECT g1, g2, hv, CAST(COUNT(*) AS BIGINT) AS sides
+              FROM mrows GROUP BY g1, g2, hv),
+            agg2 AS (
+              SELECT g1, g2,
+                     MAX(CASE WHEN rn = 64 THEN hv END) AS union_kth,
+                     CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+                     CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shared
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g1, g2
+                                                 ORDER BY hv) AS rn
+                    FROM merged
+                    QUALIFY rn <= 64)
+              GROUP BY g1, g2)
+            SELECT g1 AS group_a, g2 AS group_b,
+                   COALESCE(union_kth, -1) AS union_kth,
+                   n_union_kept, n_shared,
+                   round(n_shared::DOUBLE
+                         / LEAST(n_union_kept, 64)::DOUBLE, 6)
+                     AS jaccard_est,
+                   round(CASE WHEN union_kth IS NOT NULL
+                         THEN 63.0::DOUBLE
+                              * CAST('1152921504606846976' AS DOUBLE)
+                              / union_kth::DOUBLE
+                         ELSE n_union_kept::DOUBLE END, 4) AS union_est,
+                   round((n_shared::DOUBLE
+                          / LEAST(n_union_kept, 64)::DOUBLE)
+                         * (CASE WHEN union_kth IS NOT NULL
+                            THEN 63.0::DOUBLE
+                                 * CAST('1152921504606846976' AS DOUBLE)
+                                 / union_kth::DOUBLE
+                            ELSE n_union_kept::DOUBLE END), 4)
+                     AS intersection_est
+            FROM agg2
+            ORDER BY n_shared DESC, group_a, group_b LIMIT 15""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -218,3 +218,69 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     return agg.select(*group_cols,
                       F.coalesce(F.col("kth"), F.lit(-1)).alias("kmv_kth"),
                       F.round(est, 4).alias("kmv_estimate"))
+
+
+def kmv_overlap_matrix(df: DataFrame, group_col: str, value_col: str,
+                       k: int = 128, salt: str = "kmv") -> DataFrame:
+    """Pairwise corpus-overlap matrix over a grouping tag (source,
+    snapshot, shard): every group reduces to ONE bottom-k sketch in a
+    single pass, then all G·(G-1)/2 pair estimates run on the G·k-row
+    sketch frame — the corpora are never joined, whatever their size.
+    The curation question this answers: "which sources duplicate each
+    other" before mixing them (q109) or deduping across them.
+
+    Estimators per pair follow ``kmv_overlap`` exactly (union kth
+    minimum, shared fraction of the union bottom-k, intersection =
+    product) — integers until the two final float expressions, so the
+    q114 oracle replays every pair bit-exactly.
+
+    Scale shape: the per-group bottom-k is a rank-filter window on
+    (group) — WindowGroupLimit pushes the k-limit into per-partition
+    per-group heaps — and everything after runs on G·k rows.
+    """
+    from pyspark.sql import Window
+
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "|"),
+                       F.col(value_col).cast("string"))),
+        1, HEX_DIGITS), 16, 10).cast("bigint")
+    hashes = df.select(F.col(group_col).alias("g"), hv.alias("hv")) \
+               .distinct()
+    wg = Window.partitionBy("g").orderBy("hv")
+    sk = (hashes.withColumn("rn", F.row_number().over(wg))
+          .filter(F.col("rn") <= k).select("g", "hv")
+          .localCheckpoint())
+
+    groups = sk.select("g").distinct()
+    pairs = (groups.select(F.col("g").alias("g1"))
+             .crossJoin(groups.select(F.col("g").alias("g2")))
+             .filter(F.col("g1") < F.col("g2")))
+    rows_a = pairs.join(sk.withColumnRenamed("g", "g1"), "g1") \
+                  .select("g1", "g2", "hv")
+    rows_b = pairs.join(sk.withColumnRenamed("g", "g2"), "g2") \
+                  .select("g1", "g2", "hv")
+    merged = (rows_a.unionByName(rows_b)
+              .groupBy("g1", "g2", "hv")
+              .agg(F.count(F.lit(1)).alias("sides")))
+    wp = Window.partitionBy("g1", "g2").orderBy("hv")
+    ranked = merged.withColumn("rn", F.row_number().over(wp)) \
+                   .filter(F.col("rn") <= k)
+    agg = ranked.groupBy("g1", "g2").agg(
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("union_kth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union_kept"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+         .cast("bigint").alias("n_shared"))
+    union_est = F.when(
+        F.col("union_kth").isNotNull(),
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("union_kth").cast("double")) \
+        .otherwise(F.col("n_union_kept").cast("double"))
+    jac = F.col("n_shared").cast("double") / \
+        F.least(F.col("n_union_kept"), F.lit(k)).cast("double")
+    return agg.select(
+        F.col("g1").alias("group_a"), F.col("g2").alias("group_b"),
+        F.coalesce(F.col("union_kth"), F.lit(-1)).alias("union_kth"),
+        "n_union_kept", "n_shared",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"))

@@ -584,3 +584,32 @@ def test_quality_ensemble_is_integer_exact_and_complete(spark):
     # descending, deterministic tie-break
     scores = [(r.rrf_micro, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ----------------------------------------------- KMV overlap matrix ----
+
+def test_kmv_overlap_matrix_matches_pairwise_operator(spark):
+    # the grouped matrix must equal kmv_overlap run on each pair
+    from knowledgebase_processor_spark.operators.sketches import (
+        kmv_overlap, kmv_overlap_matrix)
+    rnd = random.Random(19)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for g, (lo, hi) in (("a", (0, 150)), ("b", (100, 250)),
+                        ("c", (200, 300))):
+        for _ in range(400):
+            rows.append((g, vocab[rnd.randrange(lo, hi)]))
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {(r.group_a, r.group_b): r
+           for r in kmv_overlap_matrix(df, "g", "v", k=32).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ga, gb), r in got.items():
+        solo = kmv_overlap(df.filter(F.col("g") == ga),
+                           df.filter(F.col("g") == gb),
+                           "v", k=32).collect()[0]
+        assert (r.union_kth, r.n_union_kept, r.n_shared) == \
+            (solo.union_kth, solo.n_union_kept, solo.n_shared), (ga, gb)
+    # overlap structure is sane: a-b and b-c overlap, a-c do not
+    assert got[("a", "b")].n_shared > 0
+    assert got[("b", "c")].n_shared > 0
+    assert got[("a", "c")].n_shared == 0
