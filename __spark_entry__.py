@@ -23,7 +23,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
 from knowledgebase_processor_spark.operators.pagerank import (  # noqa: E402
-    pagerank_oracle_sql as _pagerank_oracle_sql)
+    pagerank_oracle_sql as _pagerank_oracle_sql,
+    ppr_oracle_sql as _ppr_oracle_sql)
+from knowledgebase_processor_spark.operators.hits import (  # noqa: E402
+    hits_oracle_sql as _hits_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -39,6 +42,10 @@ from knowledgebase_processor_spark.operators.split import (  # noqa: E402
 
 _split_case_sql = _split_thresholds_sql(
     {"train": 0.8, "val": 0.1, "test": 0.1})
+# q115: same thresholds, keyed on the near-dup CLUSTER id, salt "css"
+_css_case_sql = _split_thresholds_sql(
+    {"train": 0.8, "val": 0.1, "test": 0.1}, salt="css",
+    key_sql="CAST(cluster AS VARCHAR)")
 
 from knowledgebase_processor_spark.operators.sketches import (  # noqa: E402
     hll_rho_sql as _hll_rho_sql, _hll_alpha)
@@ -2127,6 +2134,84 @@ def _q114_source_overlap_matrix(spark, sf):
             .limit(15))
 
 
+def _q115_leakage_safe_split(spark, sf):
+    # Leakage-free train/val/test split (operators/split.py::
+    # cluster_safe_split): near-dup clusters from the PORTABLE LSH pair
+    # graph (q34's mechanism) via connected components, then the salted
+    # md5 split keyed on the CLUSTER id — near-duplicates can never
+    # straddle a train/test boundary.  The trailing cross_split_pairs
+    # audit column (candidate pairs whose ends landed in different
+    # splits) proving exactly that is part of the oracle-checked output.
+    from knowledgebase_processor_spark.operators.dedup import (
+        minhash_lsh_pairs_portable)
+    from knowledgebase_processor_spark.operators.split import (
+        cluster_safe_split)
+    d = _t(spark, sf, "documents", spread=True)
+    pairs = minhash_lsh_pairs_portable(d).localCheckpoint()
+    assigned = cluster_safe_split(
+        d.select("doc_id", "n_chars"), pairs).localCheckpoint()
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    sp = assigned.select("doc_id", "split")
+    leak = (pairs
+            .join(sp.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("split", "split_a"), "doc_a")
+            .join(sp.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("split", "split_b"), "doc_b")
+            .agg(F.coalesce(
+                F.sum(F.when(F.col("split_a") != F.col("split_b"), 1)
+                      .otherwise(0)), F.lit(0))
+                .cast("bigint").alias("cross_split_pairs")))
+    return per_split.crossJoin(leak).orderBy("split")
+
+
+def _q116_hits(spark, sf):
+    # HITS hubs/authorities (operators/hits.py): two partial-agg
+    # join+groupBy passes per round, BIGINT micro-unit scores normalized
+    # by max via integer division — bit-exact in any engine and any
+    # aggregation order, so DuckDB replays all 4 rounds identically.
+    # Edge set: the /2 and /3 parent chains (in-degree <= 5).
+    from knowledgebase_processor_spark.operators.hits import hits
+    d = _t(spark, sf, "documents")
+    par = [d.filter(F.col("doc_id") >= 1)
+           .select(F.col("doc_id").alias("src"),
+                   F.floor(F.col("doc_id") / div).cast("long").alias("dst"))
+           for div in (2, 3)]
+    return hits(par[0].union(par[1]), iterations=4).orderBy("node")
+
+
+def _q117_personalized_pagerank(spark, sf):
+    # Personalized PageRank (operators/pagerank.py): teleport restricted
+    # to a seed set — entity salience relative to seeds, seed-guided
+    # crawl frontiers.  In-degree <= 2 parent-chain graph keeps every
+    # per-node sum a fold of <= 2 IEEE doubles, so the chained-CTE
+    # DuckDB oracle is bit-identical (the q49 exactness argument).
+    from knowledgebase_processor_spark.operators.pagerank import (
+        personalized_pagerank)
+    d = _t(spark, sf, "documents")
+    edges = (d.filter(F.col("doc_id") >= 1)
+             .select(F.col("doc_id").alias("src"),
+                     F.floor(F.col("doc_id") / 2).cast("long").alias("dst")))
+    seeds = (d.filter(F.col("doc_id") % 29 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return (personalized_pagerank(edges, seeds, iterations=5)
+            .orderBy("node"))
+
+
+def _q118_kmv_rollup(spark, sf):
+    # Hierarchical distinct-document synopsis (operators/sketches.py::
+    # kmv_rollup): per-(source, lang) KMV sketches MERGED upward to
+    # per-source and global — never re-scanning the corpus.  The oracle
+    # recomputes every level directly from the data; agreement IS the
+    # KMV exact-merge theorem, value-checked.
+    from knowledgebase_processor_spark.operators.sketches import kmv_rollup
+    d = _t(spark, sf, "documents", spread=True)
+    return (kmv_rollup(d, ["source", "lang"], "text", k=64)
+            .orderBy("level", "source", "lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2243,6 +2328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_quality_ensemble": _q112_quality_ensemble,
         "q113_padding_waste": _q113_padding_waste,
         "q114_source_overlap_matrix": _q114_source_overlap_matrix,
+        "q115_leakage_safe_split": _q115_leakage_safe_split,
+        "q116_hits": _q116_hits,
+        "q117_personalized_pagerank": _q117_personalized_pagerank,
+        "q118_kmv_rollup": _q118_kmv_rollup,
     }
 
 
@@ -4945,6 +5034,133 @@ def oracle_sql() -> dict[str, str]:
                      AS intersection_est
             FROM agg2
             ORDER BY n_shared DESC, group_a, group_b LIMIT 15""",
+        # Near-dup clusters = min-reachable-label over the q34 portable
+        # LSH pair graph (recursive CTE); split keyed on the cluster.
+        "q115_leakage_safe_split": fr"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id, CASE WHEN len(ws) >= 3
+                THEN list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                ELSE [array_to_string(ws, ' ')] END AS shingles
+              FROM words),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(1, 9), s ->
+                       list_min(list_transform(shingles, g ->
+                         ('0x' || substr(md5(s::VARCHAR || '|' || g), 1, 15))::BIGINT
+                       ))) AS sg
+              FROM sh),
+            banded0 AS (
+              SELECT doc_id, band,
+                     sg[2*band+1]::VARCHAR || ',' || sg[2*band+2]::VARCHAR AS bucket
+              FROM sig, unnest([0, 1, 2, 3]) AS t(band)),
+            banded AS (
+              SELECT doc_id, band, bucket FROM banded0
+              QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, lbl) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node),
+            labels AS (SELECT node, MIN(lbl) AS component
+                       FROM reach GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id, d.n_chars,
+                     COALESCE(l.component, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+            withsplit AS (
+              SELECT doc_id, n_chars, cluster,
+                     {_css_case_sql} AS split
+              FROM assigned),
+            per_split AS (
+              SELECT split, COUNT(*)::BIGINT AS n_docs,
+                     COUNT(DISTINCT cluster)::BIGINT AS n_clusters,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM withsplit GROUP BY split),
+            leak AS (
+              SELECT COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                                       THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS cross_split_pairs
+              FROM pairs p
+              JOIN withsplit sa ON p.doc_a = sa.doc_id
+              JOIN withsplit sb ON p.doc_b = sb.doc_id)
+            SELECT split, n_docs, n_clusters, sum_chars, cross_split_pairs
+            FROM per_split CROSS JOIN leak ORDER BY split""",
+        "q116_hits": _hits_oracle_sql(
+            "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
+            "FROM documents WHERE doc_id >= 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT) "
+            "FROM documents WHERE doc_id >= 1",
+            iterations=4) + " ORDER BY node",
+        "q117_personalized_pagerank": _ppr_oracle_sql(
+            "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
+            "FROM documents WHERE doc_id >= 1",
+            "SELECT doc_id AS node FROM documents WHERE doc_id % 29 = 0",
+            iterations=5) + " ORDER BY node",
+        # Every level recomputed directly from the data: agreement with
+        # Spark's sketch-MERGE path is the KMV mergeability theorem.
+        "q118_kmv_rollup": r"""
+            WITH hv0 AS (
+              SELECT DISTINCT source, lang,
+                     ('0x' || substr(md5('kmv|' || text), 1, 15))::BIGINT
+                       AS hv
+              FROM documents),
+            r2 AS (SELECT source, lang, hv,
+                          row_number() OVER (PARTITION BY source, lang
+                                             ORDER BY hv) AS rn
+                   FROM hv0),
+            l2 AS (SELECT 'source|lang' AS level,
+                          source::VARCHAR AS source, lang::VARCHAR AS lang,
+                          COALESCE(MAX(CASE WHEN rn = 64 THEN hv END), -1)
+                            AS kmv_kth,
+                          round(CASE WHEN MAX(CASE WHEN rn = 64 THEN hv END)
+                                     IS NOT NULL
+                                THEN 63.0 * 1152921504606846976.0
+                                     / MAX(CASE WHEN rn = 64 THEN hv END)::DOUBLE
+                                ELSE COUNT(*)::DOUBLE END, 4) AS kmv_estimate
+                   FROM r2 WHERE rn <= 64 GROUP BY source, lang),
+            hv1 AS (SELECT DISTINCT source, hv FROM hv0),
+            r1 AS (SELECT source, hv,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY hv) AS rn
+                   FROM hv1),
+            l1 AS (SELECT 'source' AS level, source::VARCHAR AS source,
+                          '*' AS lang,
+                          COALESCE(MAX(CASE WHEN rn = 64 THEN hv END), -1)
+                            AS kmv_kth,
+                          round(CASE WHEN MAX(CASE WHEN rn = 64 THEN hv END)
+                                     IS NOT NULL
+                                THEN 63.0 * 1152921504606846976.0
+                                     / MAX(CASE WHEN rn = 64 THEN hv END)::DOUBLE
+                                ELSE COUNT(*)::DOUBLE END, 4) AS kmv_estimate
+                   FROM r1 WHERE rn <= 64 GROUP BY source),
+            hv2 AS (SELECT DISTINCT hv FROM hv0),
+            r0 AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+                   FROM hv2),
+            l0 AS (SELECT 'total' AS level, '*' AS source, '*' AS lang,
+                          COALESCE(MAX(CASE WHEN rn = 64 THEN hv END), -1)
+                            AS kmv_kth,
+                          round(CASE WHEN MAX(CASE WHEN rn = 64 THEN hv END)
+                                     IS NOT NULL
+                                THEN 63.0 * 1152921504606846976.0
+                                     / MAX(CASE WHEN rn = 64 THEN hv END)::DOUBLE
+                                ELSE COUNT(*)::DOUBLE END, 4) AS kmv_estimate
+                   FROM r0 WHERE rn <= 64)
+            SELECT * FROM l2 UNION ALL SELECT * FROM l1
+            UNION ALL SELECT * FROM l0
+            ORDER BY level, source, lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

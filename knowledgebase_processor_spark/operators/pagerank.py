@@ -120,3 +120,108 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
         ]
     body = "\n".join(sql).rstrip(",")
     return body + f"\nSELECT node, rank FROM r{iterations}"
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iterations: int = 5, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          seed_col: str = "node") -> DataFrame:
+    """Personalized PageRank: teleport lands ONLY on ``seeds`` (uniform
+    over them), so ranks measure proximity to the seed set — entity
+    salience relative to a query entity, seed-guided crawl frontiers,
+    topic-conditioned document sampling.  Same power-iteration shape as
+    :func:`pagerank` (one join + one partial-aggregatable groupBy per
+    round, static contribution base checkpointed once); dangling mass
+    also returns to the seeds, keeping total rank mass at exactly 1.
+
+    Cross-engine exactness contract (q117 oracle): on graphs with
+    in-degree <= 2 every per-node sum folds at most two IEEE doubles,
+    so DuckDB's chained-CTE replay is bit-identical (same argument as
+    q49; see module docstring).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    seed_nodes = (seeds.select(F.col(seed_col).alias("node")).distinct()
+                  .join(nodes, "node").localCheckpoint())
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    contrib_base = (e.join(out_deg, "src")
+                    .select("src", "dst",
+                            (F.lit(1.0) / F.col("out_deg")).alias("w"))
+                    .repartition("src").localCheckpoint())
+    dangling_nodes = (nodes.join(out_deg.withColumnRenamed("src", "node"),
+                                 "node", "left_anti").localCheckpoint())
+
+    # teleport vector: 1/|S| on seeds, 0 elsewhere — also the start state
+    tele = (nodes.join(seed_nodes.withColumn("is_seed", F.lit(True)),
+                       "node", "left")
+            .select("node",
+                    F.when(F.col("is_seed"),
+                           F.lit(1.0) / F.lit(float(n_seeds)))
+                    .otherwise(F.lit(0.0)).alias("t"))
+            .localCheckpoint())
+    ranks = tele.withColumnRenamed("t", "rank")
+    for _ in range(iterations):
+        row = (dangling_nodes.join(ranks, "node")
+               .agg(F.sum("rank").alias("m")).collect()[0])
+        dangling_share = damping * float(row["m"] or 0.0)
+        summed = (contrib_base
+                  .join(ranks.withColumnRenamed("node", "src"), "src")
+                  .groupBy("dst")
+                  .agg(F.sum(F.col("w") * F.col("rank")).alias("s")))
+        ranks = (tele.join(summed.withColumnRenamed("dst", "node"),
+                           "node", "left")
+                 .select("node",
+                         ((F.lit(1.0 - damping)
+                           + F.lit(dangling_share)) * F.col("t")
+                          + F.lit(damping)
+                          * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+def ppr_oracle_sql(edges_sql: str, seeds_sql: str, iterations: int = 5,
+                   damping: float = 0.85) -> str:
+    """EXACT ANSI-SQL replay of :func:`personalized_pagerank` as chained
+    CTEs for DuckDB.  ``edges_sql`` selects ``src, dst``; ``seeds_sql``
+    selects a single ``node`` column."""
+    d = repr(damping)
+    sql = [f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})",
+           "             WHERE src IS NOT NULL AND dst IS NOT NULL),",
+           "  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+           f"  seeds AS (SELECT DISTINCT node FROM ({seeds_sql})",
+           "             WHERE node IN (SELECT node FROM nodes)),",
+           "  ns AS (SELECT COUNT(*)::DOUBLE AS n FROM seeds),",
+           "  od AS (SELECT src, COUNT(*)::DOUBLE AS out_deg FROM e GROUP BY src),",
+           "  cb AS (SELECT e.src, e.dst, 1.0::DOUBLE / od.out_deg AS w",
+           "         FROM e JOIN od ON e.src = od.src),",
+           "  tele AS (SELECT nodes.node,",
+           "             CASE WHEN seeds.node IS NOT NULL THEN 1.0::DOUBLE / ns.n",
+           "                  ELSE 0.0::DOUBLE END AS t",
+           "           FROM nodes CROSS JOIN ns",
+           "           LEFT JOIN seeds ON nodes.node = seeds.node),",
+           "  r0 AS (SELECT node, t AS rank FROM tele),"]
+    for i in range(iterations):
+        p, c = f"r{i}", f"r{i + 1}"
+        sql += [
+            f"  dang{i} AS (SELECT COALESCE(SUM(r.rank), 0.0::DOUBLE) AS m",
+            f"              FROM {p} r LEFT JOIN od ON r.node = od.src",
+            "               WHERE od.src IS NULL),",
+            f"  s{i} AS (SELECT cb.dst, SUM(cb.w * r.rank) AS s",
+            f"           FROM cb JOIN {p} r ON cb.src = r.node GROUP BY cb.dst),",
+            f"  {c} AS (SELECT tele.node,",
+            f"            ((1.0::DOUBLE - {d}::DOUBLE)",
+            f"             + {d}::DOUBLE * dang{i}.m) * tele.t",
+            f"            + {d}::DOUBLE * COALESCE(s{i}.s, 0.0::DOUBLE) AS rank",
+            f"          FROM tele CROSS JOIN dang{i}",
+            f"          LEFT JOIN s{i} ON tele.node = s{i}.dst),",
+        ]
+    body = "\n".join(sql).rstrip(",")
+    return body + f"\nSELECT node, rank FROM r{iterations}"

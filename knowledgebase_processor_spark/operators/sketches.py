@@ -284,3 +284,76 @@ def kmv_overlap_matrix(df: DataFrame, group_col: str, value_col: str,
         F.round(jac, 6).alias("jaccard_est"),
         F.round(union_est, 4).alias("union_est"),
         F.round(jac * union_est, 4).alias("intersection_est"))
+
+
+def kmv_rollup(df: DataFrame, group_cols: list[str], value_col: str,
+               k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Hierarchical distinct-count rollup by MERGING KMV sketches, never
+    re-scanning: the leaf level computes one bottom-k sketch per full
+    group key, and every coarser level re-bottom-k's the UNION OF THE
+    CHILD SKETCH ROWS (G·k rows, tiny) — the property that makes KMV
+    the right sketch for a 100 TB hypertable: day sketches merge into
+    month/source/global synopses without touching the data again, and
+    the merge is EXACT (bottom-k of a union of per-child bottom-ks over
+    distinct hash sets equals bottom-k of the union, since any hash in
+    the union's bottom-k is within its own child's bottom-k).
+
+    That exact-merge property is also the oracle contract (q118):
+    DuckDB recomputes each level directly from the raw data and must
+    agree bit-for-bit with Spark's sketch-merge path — the equality IS
+    the theorem being value-checked.
+
+    Returns one row per group per level: rolled-up columns are
+    ``'*'``, plus (kmv_kth, kmv_estimate) — estimate formula and
+    portable salted-md5 hash identical to :func:`kmv_distinct`.
+
+    Scale shape: the leaf bottom-k is a WindowGroupLimit rank filter
+    (per-partition per-group heaps forward <= k rows each); every merge
+    level runs on at most (#child groups)·k rows.
+    """
+    from pyspark.sql import Window
+
+    hv = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                           F.col(value_col).cast("string"))),
+                            1, HEX_DIGITS), 16, 10).cast("bigint")
+
+    def bottom_k(rows: DataFrame, cols: list[str]) -> DataFrame:
+        w = (Window.partitionBy(*cols) if cols else
+             Window.partitionBy(F.lit(1))).orderBy("hv")
+        return (rows.distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k))
+
+    def estimate(ranked: DataFrame, cols: list[str],
+                 level: str) -> DataFrame:
+        agg = ranked.groupBy(*cols).agg(
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+            F.count(F.lit(1)).alias("n_kept")) if cols else ranked.agg(
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+            F.count(F.lit(1)).alias("n_kept"))
+        est = F.when(F.col("kth").isNotNull(),
+                     F.lit(float(k - 1)) * F.lit(float(1 << 60))
+                     / F.col("kth").cast("double")) \
+               .otherwise(F.col("n_kept").cast("double"))
+        sel = [F.lit(level).alias("level")]
+        for g in group_cols:
+            sel.append((F.col(g) if g in cols else F.lit("*"))
+                       .cast("string").alias(g))
+        return agg.select(*sel,
+                          F.coalesce(F.col("kth"), F.lit(-1)).alias("kmv_kth"),
+                          F.round(est, 4).alias("kmv_estimate"))
+
+    leaf_rows = df.select(*group_cols, hv.alias("hv"))
+    ranked = bottom_k(leaf_rows, group_cols)
+    frames = [estimate(ranked, group_cols, "|".join(group_cols))]
+    cols = list(group_cols)
+    while cols:
+        cols = cols[:-1]
+        # merge: child sketch rows only — never back to the data
+        ranked = bottom_k(ranked.select(*cols, "hv"), cols)
+        frames.append(estimate(ranked, cols,
+                               "|".join(cols) if cols else "total"))
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

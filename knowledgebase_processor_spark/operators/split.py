@@ -66,3 +66,40 @@ def split_thresholds_sql(weights: dict[str, float],
         acc += weights[name] / total
         parts.append(f"WHEN {bucket} < {int(acc * _SPACE)} THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       weights: dict[str, float] | None = None,
+                       salt: str = "css") -> DataFrame:
+    """Leakage-free train/val/test assignment: split on the NEAR-DUP
+    CLUSTER, not the document, so two near-duplicate documents can never
+    land on opposite sides of a train/test boundary (the classic
+    train-test contamination bug that inflates eval numbers).
+
+    ``pairs`` is a near-dup candidate edge list ``(doc_a, doc_b)`` —
+    e.g. ``dedup.minhash_lsh_pairs_portable`` output.  Clusters are the
+    connected components of that graph (components.connected_components:
+    O(log diameter) label propagation + pointer jumping); singleton
+    documents are their own cluster.  The split is then the same
+    salted-md5 integer-threshold bucket as :func:`hash_split`, keyed on
+    the cluster id — a pure function of the edge set, so reruns and
+    incremental batches agree, and any ANSI engine can audit membership.
+
+    Scale shape: CC runs only over documents that HAVE a near-dup edge
+    (a small fraction of a deduplicated web corpus); everything else is
+    one left join + one codegen expression.  Returns ``docs`` plus
+    ``cluster`` and ``split`` columns.
+    """
+    from .components import connected_components
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = (connected_components(pairs, src="doc_a", dst="doc_b")
+              .withColumnRenamed("node", id_col))
+    out = (docs.join(labels, id_col, "left")
+           .withColumn("cluster",
+                       F.coalesce(F.col("component"), F.col(id_col)))
+           .drop("component"))
+    return out.withColumn(
+        "split", split_column(F.col("cluster").cast("string"),
+                              weights, salt))
