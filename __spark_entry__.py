@@ -27,6 +27,12 @@ from knowledgebase_processor_spark.operators.pagerank import (  # noqa: E402
     ppr_oracle_sql as _ppr_oracle_sql)
 from knowledgebase_processor_spark.operators.hits import (  # noqa: E402
     hits_oracle_sql as _hits_oracle_sql)
+from knowledgebase_processor_spark.operators.drift import (  # noqa: E402
+    psi_oracle_sql as _psi_oracle_sql)
+from knowledgebase_processor_spark.operators.hyperanf import (  # noqa: E402
+    anf_oracle_sql as _anf_oracle_sql)
+from knowledgebase_processor_spark.operators.gnnprop import (  # noqa: E402
+    gnnprop_oracle_sql as _gnnprop_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -2212,6 +2218,59 @@ def _q118_kmv_rollup(spark, sf):
             .orderBy("level", "source", "lang"))
 
 
+def _q119_psi_drift(spark, sf):
+    # Corpus drift release gate (operators/drift.py): PSI between two
+    # snapshots (parity-split here — deterministic stand-ins for
+    # yesterday's and today's crawl) over lang / source / length-band
+    # features.  One unioned scan + one tiny groupBy; per-bin micro-nat
+    # terms are the only float step, per-feature totals are exact
+    # BIGINT sums of them.
+    from knowledgebase_processor_spark.operators.drift import psi_report
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return psi_report(old, new).orderBy("feature", "bin")
+
+
+def _q120_hyperanf(spark, sf):
+    # HyperANF reachable-set estimates (operators/hyperanf.py): HLL
+    # sketch per node, 3 max-merge rounds over the /2-/3 parent-chain
+    # link graph — the "how deep does this page's influence go" crawl
+    # statistic, O(rounds) joins instead of per-node BFS.  Oracle
+    # replays every register, round, fixed-point harmonic sum and the
+    # corrected estimate.
+    from knowledgebase_processor_spark.operators.hyperanf import (
+        neighborhood_function)
+    d = _t(spark, sf, "documents")
+    par = [d.filter(F.col("doc_id") >= 1)
+           .select(F.col("doc_id").alias("src"),
+                   F.floor(F.col("doc_id") / div).cast("long").alias("dst"))
+           for div in (2, 3)]
+    return (neighborhood_function(par[0].union(par[1]), rounds=3)
+            .filter(F.col("node") % 13 == 0).orderBy("node"))
+
+
+def _q121_gnn_feature_prop(spark, sf):
+    # SGC mean-pooling feature diffusion (operators/gnnprop.py): two
+    # rounds of self+in-neighbor averaging over the vec_id parent
+    # chain, BIGINT micro-units with floor-mean — bit-reproducible in
+    # any engine/aggregation order.  Output: 4 leading dims + exact L1
+    # norm per sampled node.
+    from knowledgebase_processor_spark.operators.gnnprop import (
+        propagate_features)
+    emb = _t(spark, sf, "embeddings")
+    edges = (emb.filter(F.col("vec_id") >= 1)
+             .select(F.col("vec_id").alias("src"),
+                     F.floor(F.col("vec_id") / 2).cast("long").alias("dst")))
+    state = propagate_features(emb, edges, rounds=2)
+    dims = [F.sum(F.when(F.col("dim") == i, F.col("val")))
+             .cast("long").alias(f"f{i}") for i in (1, 2, 3, 4)]
+    return (state.groupBy("node")
+            .agg(*dims, F.sum(F.abs(F.col("val"))).cast("long")
+                 .alias("l1_micro"))
+            .filter(F.col("node") % 7 == 0).orderBy("node"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2332,6 +2391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_hits": _q116_hits,
         "q117_personalized_pagerank": _q117_personalized_pagerank,
         "q118_kmv_rollup": _q118_kmv_rollup,
+        "q119_psi_drift": _q119_psi_drift,
+        "q120_hyperanf": _q120_hyperanf,
+        "q121_gnn_feature_prop": _q121_gnn_feature_prop,
     }
 
 
@@ -5161,6 +5223,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM l2 UNION ALL SELECT * FROM l1
             UNION ALL SELECT * FROM l0
             ORDER BY level, source, lang""",
+        "q119_psi_drift": _psi_oracle_sql(
+            "SELECT lang, source, n_chars FROM documents "
+            "WHERE doc_id % 2 = 0",
+            "SELECT lang, source, n_chars FROM documents "
+            "WHERE doc_id % 2 = 1") + " ORDER BY feature, bin",
+        "q120_hyperanf": (
+            "WITH base AS (" + _anf_oracle_sql(
+                "SELECT doc_id AS src, "
+                "CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
+                "FROM documents WHERE doc_id >= 1 "
+                "UNION ALL "
+                "SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT) "
+                "FROM documents WHERE doc_id >= 1",
+                rounds=3)
+            + ") SELECT * FROM base WHERE node % 13 = 0 ORDER BY node"),
+        "q121_gnn_feature_prop": (
+            "WITH base AS (" + _gnnprop_oracle_sql(
+                "SELECT vec_id AS node, "
+                "list_transform(embedding, x -> x::DOUBLE) AS e "
+                "FROM embeddings",
+                "SELECT vec_id AS src, "
+                "CAST(FLOOR(vec_id / 2) AS BIGINT) AS dst "
+                "FROM embeddings WHERE vec_id >= 1",
+                rounds=2) + """)
+            SELECT node,
+                   SUM(CASE WHEN dim = 1 THEN val END)::BIGINT AS f1,
+                   SUM(CASE WHEN dim = 2 THEN val END)::BIGINT AS f2,
+                   SUM(CASE WHEN dim = 3 THEN val END)::BIGINT AS f3,
+                   SUM(CASE WHEN dim = 4 THEN val END)::BIGINT AS f4,
+                   SUM(abs(val))::BIGINT AS l1_micro
+            FROM base WHERE node % 7 = 0 GROUP BY node ORDER BY node"""),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
