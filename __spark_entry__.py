@@ -33,6 +33,10 @@ from knowledgebase_processor_spark.operators.hyperanf import (  # noqa: E402
     anf_oracle_sql as _anf_oracle_sql)
 from knowledgebase_processor_spark.operators.gnnprop import (  # noqa: E402
     gnnprop_oracle_sql as _gnnprop_oracle_sql)
+from knowledgebase_processor_spark.operators.tailindex import (  # noqa: E402
+    hill_oracle_sql as _hill_oracle_sql)
+from knowledgebase_processor_spark.operators.compaction import (  # noqa: E402
+    compaction_oracle_sql as _compaction_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -2271,6 +2275,61 @@ def _q121_gnn_feature_prop(spark, sf):
             .filter(F.col("node") % 7 == 0).orderBy("node"))
 
 
+def _q122_regional_revenue(spark, sf):
+    # TPC-H-Q5-shaped 6-table star join (J-family, SURVEY §2.3): local
+    # supplier revenue per nation within one region and a date year.
+    # The three dimensions are broadcast (region/nation tiny, supplier
+    # small); customer-orders-lineitem shuffle on their join keys; the
+    # per-row revenue is floored to exact BIGINT cents so the sum is
+    # aggregation-order independent (the IEEE product is deterministic,
+    # the floor and the integer fold exact in any engine).
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf, "lineitem")
+    s, n, r = (_t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+               _t(spark, sf, "region"))
+    rev = F.expr("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) "
+                 "AS BIGINT)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), (n.n_regionkey == r.r_regionkey)
+                  & (r.r_name == "ASIA"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("long").alias("revenue_cents"),
+                 F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+            .orderBy(F.desc("revenue_cents"), F.asc("n_name")))
+
+
+def _q123_hill_tail_index(spark, sf):
+    # Hill tail-index over document lengths (operators/tailindex.py):
+    # how power-law is the length distribution — the diagnostic behind
+    # truncation / domain-cap curation policies.  Full-data work is one
+    # TakeOrdered top-51; everything after runs on <= 51 rows.
+    from knowledgebase_processor_spark.operators.tailindex import (
+        hill_tail_index)
+    d = _t(spark, sf, "documents")
+    return (hill_tail_index(d, "n_chars", "doc_id", ks=[10, 25, 50])
+            .orderBy("k"))
+
+
+def _q124_compaction_plan(spark, sf):
+    # Small-file compaction planner (operators/compaction.py): documents
+    # stand in for the file inventory (doc_id = commit order, n_chars =
+    # file bytes); next-fit bins over a DISTRIBUTED running total (no
+    # single-partition window), integer arithmetic end-to-end.
+    from knowledgebase_processor_spark.operators.compaction import (
+        compaction_summary)
+    d = _t(spark, sf, "documents")
+    files = d.select(F.col("doc_id").alias("file_id"),
+                     F.col("n_chars").alias("bytes"))
+    return compaction_summary(files, target_bytes=50_000).orderBy("bin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2394,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_psi_drift": _q119_psi_drift,
         "q120_hyperanf": _q120_hyperanf,
         "q121_gnn_feature_prop": _q121_gnn_feature_prop,
+        "q122_regional_revenue": _q122_regional_revenue,
+        "q123_hill_tail_index": _q123_hill_tail_index,
+        "q124_compaction_plan": _q124_compaction_plan,
     }
 
 
@@ -5254,6 +5316,30 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN dim = 4 THEN val END)::BIGINT AS f4,
                    SUM(abs(val))::BIGINT AS l1_micro
             FROM base WHERE node % 7 = 0 GROUP BY node ORDER BY node"""),
+        "q122_regional_revenue": """
+            SELECT n_name,
+                   SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                  * 100) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   COUNT(*)::BIGINT AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name ASC""",
+        "q123_hill_tail_index": _hill_oracle_sql(
+            "SELECT doc_id AS rid, n_chars::DOUBLE AS x FROM documents",
+            ks=[10, 25, 50]) + " ORDER BY k",
+        "q124_compaction_plan": _compaction_oracle_sql(
+            "SELECT doc_id AS file_id, n_chars AS bytes FROM documents",
+            target_bytes=50_000) + " ORDER BY bin",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
