@@ -37,6 +37,12 @@ from knowledgebase_processor_spark.operators.tailindex import (  # noqa: E402
     hill_oracle_sql as _hill_oracle_sql)
 from knowledgebase_processor_spark.operators.compaction import (  # noqa: E402
     compaction_oracle_sql as _compaction_oracle_sql)
+from knowledgebase_processor_spark.operators.postings import (  # noqa: E402
+    postings_oracle_sql as _postings_oracle_sql)
+from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
+    novelty_oracle_sql as _novelty_oracle_sql)
+from knowledgebase_processor_spark.operators.drift import (  # noqa: E402
+    entropy_oracle_sql as _entropy_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -2330,6 +2336,41 @@ def _q124_compaction_plan(spark, sf):
     return compaction_summary(files, target_bytes=50_000).orderBy("bin")
 
 
+def _q125_posting_sizes(spark, sf):
+    # Inverted-index storage planning (operators/postings.py): exact
+    # gap+LEB128-varint byte cost per term, no index build — the number
+    # that sets stopword thresholds before materializing a web index.
+    # Top-15 by df for a stable report shape.
+    from knowledgebase_processor_spark.operators.postings import (
+        posting_sizes)
+    d = _t(spark, sf, "documents", spread=True)
+    return (posting_sizes(d, min_df=5)
+            .orderBy(F.desc("df"), F.asc("term")).limit(15))
+
+
+def _q126_novelty_rate(spark, sf):
+    # Crawl-saturation dashboard (operators/novelty.py): per-source
+    # share of 3-gram shingles first seen in that source's docs — the
+    # "is this feed still contributing new text?" number.  One shingle
+    # explode (shared portable formula), two combiner-friendly
+    # shuffles, exact ppm.
+    from knowledgebase_processor_spark.operators.novelty import (
+        novelty_by_group)
+    d = _t(spark, sf, "documents", spread=True)
+    return novelty_by_group(d).orderBy("source")
+
+
+def _q127_source_entropy(spark, sf):
+    # Corpus balance diagnostics (operators/drift.py::entropy_report):
+    # language entropy per source in micro-nats, normalized balance in
+    # [0,1].  Micro-nat per-bin terms, exact BIGINT per-group sums —
+    # same exactness contract as the q119 PSI gate.
+    from knowledgebase_processor_spark.operators.drift import (
+        entropy_report)
+    d = _t(spark, sf, "documents")
+    return entropy_report(d, "source", "lang").orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2456,6 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_regional_revenue": _q122_regional_revenue,
         "q123_hill_tail_index": _q123_hill_tail_index,
         "q124_compaction_plan": _q124_compaction_plan,
+        "q125_posting_sizes": _q125_posting_sizes,
+        "q126_novelty_rate": _q126_novelty_rate,
+        "q127_source_entropy": _q127_source_entropy,
     }
 
 
@@ -5340,6 +5384,17 @@ def oracle_sql() -> dict[str, str]:
         "q124_compaction_plan": _compaction_oracle_sql(
             "SELECT doc_id AS file_id, n_chars AS bytes FROM documents",
             target_bytes=50_000) + " ORDER BY bin",
+        "q125_posting_sizes": (
+            "WITH base AS (" + _postings_oracle_sql(
+                "SELECT doc_id, text FROM documents", min_df=5)
+            + ") SELECT * FROM base ORDER BY df DESC, term ASC LIMIT 15"),
+        "q126_novelty_rate": (
+            "WITH base AS (" + _novelty_oracle_sql(
+                "SELECT doc_id, source, text FROM documents")
+            + ") SELECT * FROM base ORDER BY source"),
+        "q127_source_entropy": _entropy_oracle_sql(
+            "SELECT source, lang FROM documents", "source", "lang")
+            + " ORDER BY source",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -106,6 +106,69 @@ def psi_report(old: DataFrame, new: DataFrame,
     return per_bin.unionByName(summary)
 
 
+def entropy_report(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Shannon entropy of the ``value_col`` distribution within each
+    group — the balance diagnostic behind corpus-mix dashboards ("how
+    language-diverse is each source?").  Same exactness contract as
+    :func:`psi_report`: one ln per observed (group, value) bin
+    quantized to micro-nats, then EXACT BIGINT sums per group.
+
+    Returns (group, n, n_bins, entropy_micro, balance): ``balance`` is
+    the normalized entropy H / ln(n_bins) in [0, 1] (NULL for a single
+    bin), the scale-free number to alert on.
+    """
+    counts = (df.select(F.col(group_col).alias("grp"),
+                        F.coalesce(F.col(value_col).cast("string"),
+                                   F.lit("<null>")).alias("bin"))
+              .groupBy("grp", "bin")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    totals = counts.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"))
+    term = (f"CAST(round({SCALE} * (c / CAST(n AS DOUBLE)) "
+            "* ln(CAST(n AS DOUBLE) / c)) AS BIGINT)")
+    return (counts.join(F.broadcast(totals), "grp")
+            .selectExpr("grp", "n", "n_bins", f"{term} AS t")
+            .groupBy("grp", "n", "n_bins")
+            .agg(F.sum("t").cast("long").alias("entropy_micro"))
+            .withColumn(
+                "balance",
+                F.when(F.col("n_bins") > 1,
+                       F.round(F.col("entropy_micro")
+                               / (F.lit(float(SCALE))
+                                  * F.log(F.col("n_bins")
+                                          .cast("double"))), 6)))
+            .select(F.col("grp").alias(group_col), "n", "n_bins",
+                    "entropy_micro", "balance"))
+
+
+def entropy_oracle_sql(rows_sql: str, group_col: str,
+                       value_col: str) -> str:
+    """EXACT ANSI replay of :func:`entropy_report` for DuckDB."""
+    term = (f"CAST(round({SCALE} * (c / CAST(n AS DOUBLE)) "
+            "* ln(CAST(n AS DOUBLE) / c)) AS BIGINT)")
+    return f"""
+        WITH rows_ AS ({rows_sql}),
+        counts AS (
+          SELECT {group_col} AS grp,
+                 COALESCE(CAST({value_col} AS VARCHAR), '<null>') AS bin,
+                 COUNT(*)::BIGINT AS c
+          FROM rows_ GROUP BY 1, 2),
+        totals AS (
+          SELECT grp, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_bins
+          FROM counts GROUP BY grp),
+        terms AS (
+          SELECT grp, n, n_bins, {term} AS t
+          FROM counts JOIN totals USING (grp))
+        SELECT grp AS {group_col}, n, n_bins,
+               SUM(t)::BIGINT AS entropy_micro,
+               CASE WHEN n_bins > 1 THEN
+                 round(SUM(t) / ({float(SCALE)!r} * ln(n_bins::DOUBLE)), 6)
+               END AS balance
+        FROM terms GROUP BY grp, n, n_bins"""
+
+
 def psi_oracle_sql(old_sql: str, new_sql: str,
                    features: list[tuple[str, str]] | None = None) -> str:
     """EXACT ANSI replay of :func:`psi_report` for DuckDB value-checking.
