@@ -43,6 +43,11 @@ from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
 from knowledgebase_processor_spark.operators.drift import (  # noqa: E402
     entropy_oracle_sql as _entropy_oracle_sql)
+from knowledgebase_processor_spark.operators.shards import (  # noqa: E402
+    shard_oracle_sql as _shard_oracle_sql)
+from knowledgebase_processor_spark.operators.agreement import (  # noqa: E402
+    kappa_oracle_sql as _kappa_oracle_sql,
+    calibration_oracle_sql as _calibration_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -2371,6 +2376,47 @@ def _q127_source_entropy(spark, sf):
     return entropy_report(d, "source", "lang").orderBy("source")
 
 
+def _q128_shard_layout(spark, sf):
+    # Training-shard export planning (operators/shards.py): salted-md5
+    # global shuffle + round-robin shard/position assignment (the
+    # distributed global_rank, no single-partition window); per-shard
+    # manifest with the position-0 head doc pinning the permutation.
+    from knowledgebase_processor_spark.operators.shards import (
+        shard_summary)
+    d = _t(spark, sf, "documents")
+    return shard_summary(d, n_shards=8).orderBy("shard")
+
+
+def _q129_rater_agreement(spark, sf):
+    # Label-audit metric (operators/agreement.py::cohen_kappa): do the
+    # "high-value event" rule and the "conversion event-type" rule
+    # agree beyond chance?  Exact-integer 2x2 counts, po/kappa as
+    # BIGINT rationals (kappa_num/kappa_den) + truncated milli-kappa —
+    # no float anywhere in the row.
+    from knowledgebase_processor_spark.operators.agreement import (
+        cohen_kappa)
+    e = _t(spark, sf, "events")
+    raters = e.select(
+        (F.col("value") > 50.0).alias("high_value"),
+        F.col("event_type").isin("purchase", "signup").alias("conversion"))
+    return cohen_kappa(raters, "high_value", "conversion")
+
+
+def _q130_calibration(spark, sf):
+    # Reliability diagram + ECE (operators/agreement.py::
+    # calibration_report): rank-transformed length score vs the
+    # "is English" label, 10 bins + a bin=-1 ECE summary row — every
+    # number an exact BIGINT (gap identity: (n_b/n)|avg_p - rate| ==
+    # |sum_p - n_pos*1e6|/n).
+    from knowledgebase_processor_spark.operators.agreement import (
+        calibration_report)
+    d = _t(spark, sf, "documents")
+    labeled = d.select("doc_id", "n_chars",
+                       (F.col("lang") == "en").alias("is_en"))
+    return (calibration_report(labeled, "n_chars", "is_en", "doc_id")
+            .orderBy("bin"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2500,6 +2546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_posting_sizes": _q125_posting_sizes,
         "q126_novelty_rate": _q126_novelty_rate,
         "q127_source_entropy": _q127_source_entropy,
+        "q128_shard_layout": _q128_shard_layout,
+        "q129_rater_agreement": _q129_rater_agreement,
+        "q130_calibration": _q130_calibration,
     }
 
 
@@ -5395,6 +5444,18 @@ def oracle_sql() -> dict[str, str]:
         "q127_source_entropy": _entropy_oracle_sql(
             "SELECT source, lang FROM documents", "source", "lang")
             + " ORDER BY source",
+        "q128_shard_layout": _shard_oracle_sql(
+            "SELECT doc_id, n_chars FROM documents", n_shards=8)
+            + " ORDER BY shard",
+        "q129_rater_agreement": _kappa_oracle_sql(
+            "SELECT value, event_type FROM events",
+            "value > 50.0",
+            "event_type IN ('purchase', 'signup')"),
+        "q130_calibration": (
+            "WITH base AS (" + _calibration_oracle_sql(
+                "SELECT doc_id AS rid, n_chars AS s, "
+                "(lang = 'en') AS y FROM documents")
+            + ") SELECT * FROM base ORDER BY bin"),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,157 @@
+"""Inter-rater agreement (Cohen's kappa) and calibration (reliability
+bins / ECE) for label-quality audits (beyond-reference; SURVEY.md §2
+round-2 surface — the evaluation-metrics family closing the loop on
+operators/classifier.py and the q112 quality ensemble).
+
+Curation pipelines label at scale with cheap rules/models and audit
+them against each other or against a gold slice:
+
+* ``cohen_kappa`` — chance-corrected agreement of two binary raters
+  (Cohen 1960, public).  Everything is EXACT INTEGER arithmetic on the
+  2x2 contingency counts: with n = total, a1/b1 the raters' positive
+  marginals, kappa = (n*(n11+n00) - (a1*b1 + a0*b0))
+  / (n^2 - (a1*b1 + a0*b0)) — numerator and denominator are emitted as
+  BIGINTs (the value-checked payload) and only the final display ratio
+  is a float.  One partial-agg pass; no shuffle wider than 4 counts.
+
+* ``calibration_report`` — reliability diagram + expected calibration
+  error.  Scores become probabilities by exact rank transform
+  (rank.py::global_rank — distributed, no single-partition window):
+  p_ppm = (rank-1) * 1e6 DIV (n-1).  Per decile bin the report carries
+  (n, sum_p_ppm, n_pos, gap_abs = |sum_p_ppm - n_pos*1e6|) — all exact
+  BIGINTs — and ECE_ppm = sum(gap_abs) DIV n, because
+  (n_b/n)*|avg_p - pos_rate| = |sum_p - n_pos*1e6| / n.  The usual
+  float-ECE pitfall (order-dependent double sums) never appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .rank import global_rank
+
+SCALE = 1_000_000
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Two boolean columns -> one row: (n11, n10, n01, n00, po_ppm,
+    kappa_num, kappa_den, kappa)."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cnt = df.agg(
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"))
+    num = ("(n11 + n10 + n01 + n00) * (n11 + n00)"
+           " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))")
+    den = ("(n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)"
+           " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))")
+    return cnt.selectExpr(
+        "n11", "n10", "n01", "n00",
+        f"(n11 + n00) * {SCALE} DIV (n11 + n10 + n01 + n00) AS po_ppm",
+        f"{num} AS kappa_num",
+        f"{den} AS kappa_den",
+        # exact integer milli-kappa (truncating DIV, identical in any
+        # ANSI engine) — no float rounding anywhere in the row
+        f"CAST(({num}) * 1000 DIV ({den}) AS BIGINT) AS kappa_milli")
+
+
+def kappa_oracle_sql(rows_sql: str, a_sql: str, b_sql: str) -> str:
+    """EXACT ANSI replay of :func:`cohen_kappa` for DuckDB;
+    ``a_sql``/``b_sql`` are boolean expressions over ``rows_sql``."""
+    return f"""
+        WITH r AS (SELECT ({a_sql}) AS a, ({b_sql}) AS b
+                   FROM ({rows_sql})),
+        c AS (
+          SELECT SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+                 SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                   AS n10,
+                 SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+                   AS n01,
+                 SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                   AS n00
+          FROM r)
+        SELECT n11, n10, n01, n00,
+               (n11 + n00) * {SCALE} // (n11 + n10 + n01 + n00) AS po_ppm,
+               (n11 + n10 + n01 + n00) * (n11 + n00)
+                 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 AS kappa_num,
+               (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 AS kappa_den,
+               (((n11 + n10 + n01 + n00) * (n11 + n00)
+                 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                * 1000
+                // ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                )::BIGINT AS kappa_milli
+        FROM c"""
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       id_col: str, n_bins: int = 10) -> DataFrame:
+    """Reliability bins over the rank-transformed score, plus a
+    ``bin = -1`` summary row carrying ECE_ppm in ``gap_abs``.
+    Columns: (bin, n, sum_p_ppm, n_pos, gap_abs)."""
+    ranked = global_rank(
+        df.select(F.col(id_col).alias("rid"),
+                  F.col(score_col).alias("s"),
+                  F.col(label_col).cast("boolean").alias("y")),
+        ["s", "rid"], rank_col="__r")
+    total = ranked.count()
+    denom = max(total - 1, 1)
+    p = F.expr(f"(__r - 1) * {SCALE} DIV {denom}")
+    binned = ranked.withColumn("p_ppm", p.cast("long")).withColumn(
+        "bin", F.least(F.expr(f"p_ppm * {n_bins} DIV {SCALE}"),
+                       F.lit(n_bins - 1)).cast("long"))
+    per_bin = (binned.groupBy("bin")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("p_ppm").cast("long").alias("sum_p_ppm"),
+                    F.sum(F.when(F.col("y"), 1).otherwise(0))
+                    .cast("long").alias("n_pos"))
+               .withColumn("gap_abs",
+                           F.abs(F.col("sum_p_ppm")
+                                 - F.col("n_pos") * SCALE).cast("long")))
+    ece = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_p_ppm").cast("long").alias("sum_p_ppm"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.expr(f"CAST(SUM(gap_abs) DIV {total} AS BIGINT)")
+        .alias("gap_abs"))
+    return per_bin.unionByName(ece)
+
+
+def calibration_oracle_sql(rows_sql: str, n_bins: int = 10) -> str:
+    """EXACT ANSI replay of :func:`calibration_report` for DuckDB.
+    ``rows_sql`` must select (rid, s, y:boolean)."""
+    return f"""
+        WITH r AS (
+          SELECT rid, y,
+                 row_number() OVER (ORDER BY s, rid) AS rk,
+                 COUNT(*) OVER () AS n_total
+          FROM ({rows_sql})),
+        b AS (
+          SELECT rid, y, n_total,
+                 (rk - 1) * {SCALE}
+                   // GREATEST(n_total - 1, 1) AS p_ppm
+          FROM r),
+        binned AS (
+          SELECT *, LEAST(p_ppm * {n_bins} // {SCALE},
+                          {n_bins - 1})::BIGINT AS bin
+          FROM b),
+        per_bin AS (
+          SELECT bin, COUNT(*)::BIGINT AS n,
+                 SUM(p_ppm)::BIGINT AS sum_p_ppm,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                 abs(SUM(p_ppm) - SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                     * {SCALE})::BIGINT AS gap_abs,
+                 MAX(n_total) AS n_total
+          FROM binned GROUP BY bin)
+        SELECT bin, n, sum_p_ppm, n_pos, gap_abs FROM per_bin
+        UNION ALL
+        SELECT -1::BIGINT, SUM(n)::BIGINT, SUM(sum_p_ppm)::BIGINT,
+               SUM(n_pos)::BIGINT,
+               (SUM(gap_abs) // MAX(n_total))::BIGINT
+        FROM per_bin"""
