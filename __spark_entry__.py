@@ -48,6 +48,23 @@ from knowledgebase_processor_spark.operators.shards import (  # noqa: E402
 from knowledgebase_processor_spark.operators.agreement import (  # noqa: E402
     kappa_oracle_sql as _kappa_oracle_sql,
     calibration_oracle_sql as _calibration_oracle_sql)
+from knowledgebase_processor_spark.operators.graphmetrics import (  # noqa: E402
+    modularity_oracle_sql as _modularity_oracle_sql,
+    assortativity_oracle_sql as _assortativity_oracle_sql)
+from knowledgebase_processor_spark.operators.audit import (  # noqa: E402
+    fd_oracle_sql as _fd_oracle_sql)
+from knowledgebase_processor_spark.operators.quota import (  # noqa: E402
+    quota_oracle_sql as _quota_oracle_sql)
+from knowledgebase_processor_spark.operators.vocab import (  # noqa: E402
+    oov_oracle_sql as _oov_oracle_sql)
+from knowledgebase_processor_spark.operators.triangles import (  # noqa: E402
+    clustering_oracle_sql as _clustering_oracle_sql)
+from knowledgebase_processor_spark.operators.agreement import (  # noqa: E402
+    classification_oracle_sql as _classification_oracle_sql)
+from knowledgebase_processor_spark.operators.arrival import (  # noqa: E402
+    interarrival_oracle_sql as _interarrival_oracle_sql)
+from knowledgebase_processor_spark.operators.kanon import (  # noqa: E402
+    kanon_oracle_sql as _kanon_oracle_sql)
 from knowledgebase_processor_spark.operators.communities import (  # noqa: E402
     label_propagation_oracle_sql as _lpa_oracle_sql)
 from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
@@ -2417,6 +2434,142 @@ def _q130_calibration(spark, sf):
             .orderBy("bin"))
 
 
+_PARENT_EDGES_SQL = (
+    "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst "
+    "FROM documents WHERE doc_id >= 1 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT) "
+    "FROM documents WHERE doc_id >= 1")
+
+
+def _parent_edges(spark, sf):
+    d = _t(spark, sf, "documents")
+    par = [d.filter(F.col("doc_id") >= 1)
+           .select(F.col("doc_id").alias("src"),
+                   F.floor(F.col("doc_id") / div).cast("long").alias("dst"))
+           for div in (2, 3)]
+    return par[0].union(par[1])
+
+
+def _q131_modularity(spark, sf):
+    # Community-quality metric (operators/graphmetrics.py::modularity):
+    # Newman Q of the label-propagation partition on the /2+/3 parent
+    # graph.  Per-community BIGINT (intra edges, degree sum, q_num) over
+    # the common |E|^2 denominator — the oracle nests the full 2-round
+    # LPA replay and recomputes every community row exactly.
+    from knowledgebase_processor_spark.operators.communities import (
+        label_propagation)
+    from knowledgebase_processor_spark.operators.graphmetrics import (
+        modularity)
+    edges = _parent_edges(spark, sf)
+    labels = label_propagation(edges, iterations=2)
+    return modularity(edges, labels)
+
+
+def _q132_assortativity(spark, sf):
+    # Degree assortativity (operators/graphmetrics.py): are high-degree
+    # hubs wired to other hubs?  Three exact BIGINT moments over the
+    # symmetric edge set determine Pearson's r; the only float is ONE
+    # double division of two exact integers.
+    from knowledgebase_processor_spark.operators.graphmetrics import (
+        assortativity)
+    return assortativity(_parent_edges(spark, sf))
+
+
+def _q133_fd_audit(spark, sf):
+    # Data-quality rules audit (operators/audit.py::fd_violations): does
+    # source determine lang (and vice versa) in the crawl?  Per-FD exact
+    # counts: violating groups, minimal repair rows, ppm rate.
+    from knowledgebase_processor_spark.operators.audit import fd_violations
+    d = _t(spark, sf, "documents")
+    return (fd_violations(d, [("source", "lang"), ("lang", "source")])
+            .orderBy("fd"))
+
+
+def _q134_source_quota(spark, sf):
+    # Hamilton largest-remainder apportionment (operators/quota.py):
+    # split a 137-doc sampling budget across sources exactly
+    # proportionally with an exact-sum guarantee — the planning step in
+    # front of the q109 token-budget mix.
+    from knowledgebase_processor_spark.operators.quota import (
+        largest_remainder_quota)
+    d = _t(spark, sf, "documents")
+    return largest_remainder_quota(d, "source", budget=137).orderBy("group")
+
+
+def _q135_oov_coverage(spark, sf):
+    # Tokenizer-vocabulary coverage (operators/vocab.py): fix the top-500
+    # corpus vocabulary (TakeOrdered, no global sort), then per-source
+    # OOV word rate — which slices fragment into unknowns.  Exact BIGINT
+    # counts on the single-sourced portable tokenizer.
+    from knowledgebase_processor_spark.operators.vocab import (
+        build_vocab, oov_by_source)
+    d = _t(spark, sf, "documents")
+    vocab = build_vocab(d, k=500)
+    return oov_by_source(d, vocab).orderBy("source")
+
+
+def _q136_node_clustering(spark, sf):
+    # Per-node local clustering coefficient + global transitivity
+    # (operators/triangles.py::node_clustering): degree-oriented
+    # triangle counting (hub fan-out bounded O(sqrt m)) joined to the
+    # degree table; summary node=-1 carries 3·T/wedges.  Same
+    # triangle-rich {(i,i/2),(i,i/3),(i/2,i/3)} graph as q58; the
+    # oracle recounts with the naive u<v<w join.
+    from knowledgebase_processor_spark.operators.triangles import (
+        node_clustering)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    h2 = F.floor(F.col("doc_id") / 2).cast("long")
+    h3 = F.floor(F.col("doc_id") / 3).cast("long")
+    edges = (d.select(F.col("doc_id").alias("src"), h2.alias("dst"))
+             .union(d.select(F.col("doc_id").alias("src"), h3.alias("dst")))
+             .union(d.select(h2.alias("src"), h3.alias("dst"))))
+    return node_clustering(edges).orderBy("node")
+
+
+def _q137_label_rule_f1(spark, sf):
+    # Multi-class classification report (operators/agreement.py::
+    # classification_report): score a naive source->lang rule (the
+    # majority guess 'en' except sources whose name hints otherwise —
+    # deterministic from the row itself) against the true lang column.
+    # Per-class exact-integer tp/fp/fn + ppm P/R/F1 (harmonic mean
+    # collapsed to ONE integer division), micro row.
+    from knowledgebase_processor_spark.operators.agreement import (
+        classification_report)
+    d = _t(spark, sf, "documents")
+    pred = F.when(F.col("source").contains("blog"), F.lit("de")) \
+        .otherwise(F.lit("en"))
+    labeled = d.select(F.col("lang").alias("truth"), pred.alias("pred"))
+    return (classification_report(labeled, "truth", "pred")
+            .orderBy("class"))
+
+
+def _q138_interarrival(spark, sf):
+    # Per-user inter-arrival burstiness (operators/arrival.py): whole-
+    # second gaps from ONE user-partitioned window, exact BIGINT moments,
+    # Goh-Barabasi B = (sqrt(b_num)-sum)/(sqrt(b_num)+sum) — the sqrt
+    # form keeps even the float bit-identical across engines.
+    from knowledgebase_processor_spark.operators.arrival import (
+        interarrival_stats)
+    e = _t(spark, sf, "events")
+    return (interarrival_stats(e, "user_id", "ts", "event_id")
+            .orderBy("key"))
+
+
+def _q139_k_anonymity(spark, sf):
+    # Privacy release gate (operators/kanon.py): k-anonymity of the
+    # (lang, source, n_chars DIV 1000) quasi-identifier at k=2/5/20 —
+    # equivalence classes below k and the rows exposed in them.  Exact
+    # counts; one groupBy over QI, report aggs over the class frame.
+    from knowledgebase_processor_spark.operators.kanon import (
+        k_anonymity_report)
+    d = _t(spark, sf, "documents").select(
+        "lang", "source",
+        F.expr("n_chars DIV 1000").cast("long").alias("len_kb"))
+    return (k_anonymity_report(d, ["lang", "source", "len_kb"],
+                               ks=[2, 5, 20]).orderBy("k"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2549,6 +2702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_shard_layout": _q128_shard_layout,
         "q129_rater_agreement": _q129_rater_agreement,
         "q130_calibration": _q130_calibration,
+        "q131_modularity": _q131_modularity,
+        "q132_assortativity": _q132_assortativity,
+        "q133_fd_audit": _q133_fd_audit,
+        "q134_source_quota": _q134_source_quota,
+        "q135_oov_coverage": _q135_oov_coverage,
+        "q136_node_clustering": _q136_node_clustering,
+        "q137_label_rule_f1": _q137_label_rule_f1,
+        "q138_interarrival": _q138_interarrival,
+        "q139_k_anonymity": _q139_k_anonymity,
     }
 
 
@@ -5456,6 +5618,40 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id AS rid, n_chars AS s, "
                 "(lang = 'en') AS y FROM documents")
             + ") SELECT * FROM base ORDER BY bin"),
+        "q131_modularity": _modularity_oracle_sql(
+            _PARENT_EDGES_SQL,
+            _lpa_oracle_sql(_PARENT_EDGES_SQL, iterations=2))
+            + " ORDER BY label",
+        "q132_assortativity": _assortativity_oracle_sql(_PARENT_EDGES_SQL),
+        "q133_fd_audit": "SELECT * FROM (" + _fd_oracle_sql(
+            "SELECT source, lang FROM documents",
+            [("source", "lang"), ("lang", "source")]) + ") ORDER BY fd",
+        "q134_source_quota": _quota_oracle_sql(
+            "SELECT source FROM documents", "source", budget=137)
+            + ' ORDER BY "group"',
+        "q135_oov_coverage": _oov_oracle_sql(
+            "SELECT source, text FROM documents", k=500)
+            + " ORDER BY source",
+        "q136_node_clustering": _clustering_oracle_sql(
+            "SELECT doc_id AS src, CAST(FLOOR(doc_id / 2) AS BIGINT) AS dst"
+            " FROM documents WHERE doc_id >= 2"
+            " UNION ALL SELECT doc_id, CAST(FLOOR(doc_id / 3) AS BIGINT)"
+            " FROM documents WHERE doc_id >= 2"
+            " UNION ALL SELECT CAST(FLOOR(doc_id / 2) AS BIGINT),"
+            " CAST(FLOOR(doc_id / 3) AS BIGINT)"
+            " FROM documents WHERE doc_id >= 2") + " ORDER BY node",
+        "q137_label_rule_f1": _classification_oracle_sql(
+            "SELECT lang AS t, CASE WHEN source LIKE '%blog%'"
+            " THEN 'de' ELSE 'en' END AS p FROM documents")
+            + " ORDER BY class",
+        "q138_interarrival": _interarrival_oracle_sql(
+            "SELECT user_id AS key, ts, event_id AS id FROM events")
+            + " ORDER BY key",
+        "q139_k_anonymity": "SELECT * FROM (" + _kanon_oracle_sql(
+            "SELECT lang, source, n_chars // 1000 AS len_kb"
+            " FROM documents",
+            ["lang", "source", "len_kb"], ks=[2, 5, 20])
+            + ") ORDER BY k",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

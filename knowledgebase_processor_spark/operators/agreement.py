@@ -89,6 +89,91 @@ def kappa_oracle_sql(rows_sql: str, a_sql: str, b_sql: str) -> str:
         FROM c"""
 
 
+def classification_report(df: DataFrame, truth_col: str,
+                          pred_col: str) -> DataFrame:
+    """Multi-class confusion summary: one row per class
+    (class, tp, fp, fn, support, prec_ppm, rec_ppm, f1_ppm) + a
+    ``class = '<micro>'`` row with the micro-averaged totals.
+
+    Everything is exact BIGINT: prec = tp·1e6 DIV (tp+fp),
+    rec = tp·1e6 DIV (tp+fn), f1 = 2·tp·1e6 DIV (2·tp+fp+fn) — the
+    harmonic mean collapses to one integer division, so there is no
+    float anywhere (the usual 2·p·r/(p+r) double-rounding never
+    appears).  Scale shape: ONE partial-agg groupBy over (truth, pred)
+    cells, then two tiny groupBys over the C^2-at-most cell frame."""
+    cells = (df.groupBy(F.col(truth_col).alias("t"),
+                        F.col(pred_col).alias("p"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tp = (cells.filter(F.col("t") == F.col("p"))
+          .select(F.col("t").alias("cls"), F.col("c").alias("tp")))
+    support = cells.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("c").cast("long").alias("support"))
+    predicted = cells.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").cast("long").alias("predicted"))
+    per = (support.join(predicted, "cls", "full")
+           .join(tp, "cls", "left")
+           .na.fill({"tp": 0, "support": 0, "predicted": 0})
+           .select(F.col("cls").cast("string").alias("class"),
+                   F.col("tp").cast("long").alias("tp"),
+                   (F.col("predicted") - F.col("tp")).cast("long")
+                   .alias("fp"),
+                   (F.col("support") - F.col("tp")).cast("long")
+                   .alias("fn"),
+                   F.col("support").cast("long").alias("support")))
+    micro = per.agg(F.lit("<micro>").alias("class"),
+                    F.sum("tp").cast("long").alias("tp"),
+                    F.sum("fp").cast("long").alias("fp"),
+                    F.sum("fn").cast("long").alias("fn"),
+                    F.sum("support").cast("long").alias("support"))
+    return per.unionByName(micro).selectExpr(
+        "class", "tp", "fp", "fn", "support",
+        f"CASE WHEN tp + fp > 0 THEN tp * {SCALE} DIV (tp + fp) END"
+        " AS prec_ppm",
+        f"CASE WHEN tp + fn > 0 THEN tp * {SCALE} DIV (tp + fn) END"
+        " AS rec_ppm",
+        f"CASE WHEN 2 * tp + fp + fn > 0"
+        f" THEN 2 * tp * {SCALE} DIV (2 * tp + fp + fn) END AS f1_ppm")
+
+
+def classification_oracle_sql(rows_sql: str) -> str:
+    """EXACT ANSI replay of :func:`classification_report` for DuckDB;
+    ``rows_sql`` must select (t, p)."""
+    return f"""
+        WITH cells AS (
+          SELECT t, p, COUNT(*)::BIGINT AS c
+          FROM ({rows_sql}) GROUP BY t, p),
+        sup AS (SELECT t AS cls, SUM(c)::BIGINT AS support
+                FROM cells GROUP BY t),
+        prd AS (SELECT p AS cls, SUM(c)::BIGINT AS predicted
+                FROM cells GROUP BY p),
+        tpc AS (SELECT t AS cls, c AS tp FROM cells WHERE t = p),
+        per AS (
+          SELECT COALESCE(s.cls, pr.cls)::VARCHAR AS class,
+                 COALESCE(tp, 0)::BIGINT AS tp,
+                 (COALESCE(predicted, 0) - COALESCE(tp, 0))::BIGINT AS fp,
+                 (COALESCE(support, 0) - COALESCE(tp, 0))::BIGINT AS fn,
+                 COALESCE(support, 0)::BIGINT AS support
+          FROM sup s
+          FULL JOIN prd pr ON s.cls = pr.cls
+          LEFT JOIN tpc ON COALESCE(s.cls, pr.cls) = tpc.cls),
+        allrows AS (
+          SELECT * FROM per
+          UNION ALL
+          SELECT '<micro>', SUM(tp)::BIGINT, SUM(fp)::BIGINT,
+                 SUM(fn)::BIGINT, SUM(support)::BIGINT FROM per)
+        SELECT class, tp, fp, fn, support,
+               CASE WHEN tp + fp > 0
+                    THEN (tp * {SCALE} // (tp + fp))::BIGINT END
+                 AS prec_ppm,
+               CASE WHEN tp + fn > 0
+                    THEN (tp * {SCALE} // (tp + fn))::BIGINT END
+                 AS rec_ppm,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN (2 * tp * {SCALE} // (2 * tp + fp + fn))::BIGINT
+                 END AS f1_ppm
+        FROM allrows"""
+
+
 def calibration_report(df: DataFrame, score_col: str, label_col: str,
                        id_col: str, n_bins: int = 10) -> DataFrame:
     """Reliability bins over the rank-transformed score, plus a
