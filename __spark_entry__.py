@@ -2570,6 +2570,101 @@ def _q139_k_anonymity(spark, sf):
                                ks=[2, 5, 20]).orderBy("k"))
 
 
+def _q140_rdfs_closure(spark, sf):
+    # RDFS entailment materialization (operators/rdfs.py): schema closed
+    # by doubling joins on the tiny side, instance typed/lifted by ONE
+    # broadcast pass.  Deterministic ontology: 16-class / 8-property
+    # binary-tree hierarchies + domain/range assignments; instance
+    # triples and rdf:type assertions derive from doc_id.  Per-predicate
+    # profile with an md5 content digest value-checks the whole closure.
+    from knowledgebase_processor_spark.operators.neighbors import _h60
+    from knowledgebase_processor_spark.operators.rdfs import (
+        RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+        rdfs_closure)
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    c16 = spark.range(1, 16)
+    sc = c16.select(_name("C", F.col("id")).alias("subj"),
+                    F.lit(RDFS_SUBCLASS).alias("pred"),
+                    _name("C", F.expr("id DIV 2")).alias("obj"))
+    p8 = spark.range(1, 8)
+    sp = p8.select(_name("p", F.col("id")).alias("subj"),
+                   F.lit(RDFS_SUBPROP).alias("pred"),
+                   _name("p", F.expr("id DIV 2")).alias("obj"))
+    p0 = spark.range(0, 8)
+    dom = p0.select(_name("p", F.col("id")).alias("subj"),
+                    F.lit(RDFS_DOMAIN).alias("pred"),
+                    _name("C", F.col("id")).alias("obj"))
+    rng = p0.select(_name("p", F.col("id")).alias("subj"),
+                    F.lit(RDFS_RANGE).alias("pred"),
+                    _name("C", (F.col("id") + 5) % 16).alias("obj"))
+
+    d = _t(spark, sf, "documents")
+    props = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     _name("p", F.col("doc_id") % 8).alias("pred"),
+                     _name("e", F.expr("doc_id DIV 3")).alias("obj"))
+    types = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _name("C", F.col("doc_id") % 16).alias("obj"))
+    triples = sc.unionByName(sp).unionByName(dom).unionByName(rng) \
+        .unionByName(props).unionByName(types)
+
+    clo = rdfs_closure(triples)
+    digest = F.sum(_h60(F.concat_ws("|", F.col("subj"), F.col("obj")))
+                   % 1000003).cast("long")
+    return (clo.groupBy("pred")
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct("subj").alias("n_subj"),
+                 F.countDistinct("obj").alias("n_obj"),
+                 digest.alias("digest"))
+            .orderBy("pred"))
+
+
+def _q141_sameas_canonical(spark, sf):
+    # owl:sameAs canonicalization (operators/sameas.py): identity chains
+    # of five (e_d sameAs e_{d-1} unless d%5==0) clustered by CC, then
+    # the instance triple set rewritten through the min-member map and
+    # set-deduplicated — the north rule's "canonicalization through
+    # connected-components before materializing deduplicated tables" as
+    # a standalone triple-level operator.  DuckDB replays the clustering
+    # with a recursive reachability CTE and the rewrite with two joins.
+    from knowledgebase_processor_spark.operators.sameas import (
+        canonicalize_triples)
+
+    def _e(col):
+        return F.concat(F.lit("e"), col.cast("long").cast("string"))
+
+    d = _t(spark, sf, "documents")
+    edges = (d.filter(F.col("doc_id") % 5 != 0)
+             .select(_e(F.col("doc_id")).alias("src"),
+                     _e(F.col("doc_id") - 1).alias("dst")))
+    triples = d.select(_e(F.col("doc_id")).alias("subj"),
+                       F.lit("rel").alias("pred"),
+                       _e(F.expr("doc_id DIV 7")).alias("obj"))
+    return (canonicalize_triples(triples, edges)
+            .orderBy("subj", "obj"))
+
+
+def _q142_neighbor_sample(spark, sf):
+    # GraphSAGE-style bounded-fan-out neighbor sampling
+    # (operators/neighbors.py): hash-rank deterministic picks, fanout
+    # (3,2) over the q111 parent graph (doc -> doc/2, doc/3); every rank
+    # and pick is replayed by the DuckDB window oracle.
+    from knowledgebase_processor_spark.operators.neighbors import (
+        sample_neighbors)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") >= 2)
+    edges = (d.select(F.expr("doc_id DIV 2").alias("src"),
+                      F.col("doc_id").alias("dst"))
+             .unionByName(d.select(F.expr("doc_id DIV 3").alias("src"),
+                                   F.col("doc_id").alias("dst"))))
+    seeds = _t(spark, sf, "documents") \
+        .filter(F.col("doc_id").between(1, 40)).select("doc_id")
+    return (sample_neighbors(edges, seeds, fanout=(3, 2))
+            .orderBy("seed", "hop", "src", "dst"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2711,6 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_label_rule_f1": _q137_label_rule_f1,
         "q138_interarrival": _q138_interarrival,
         "q139_k_anonymity": _q139_k_anonymity,
+        "q140_rdfs_closure": _q140_rdfs_closure,
+        "q141_sameas_canonical": _q141_sameas_canonical,
+        "q142_neighbor_sample": _q142_neighbor_sample,
     }
 
 
@@ -5652,6 +5750,122 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents",
             ["lang", "source", "len_kb"], ks=[2, 5, 20])
             + ") ORDER BY k",
+        "q140_rdfs_closure": r"""
+            WITH RECURSIVE
+            sc0 AS (SELECT 'C' || i AS src, 'C' || (i // 2) AS dst
+                    FROM range(1, 16) t(i)),
+            sc(src, dst) AS (
+              SELECT src, dst FROM sc0
+              UNION
+              SELECT s.src, e.dst FROM sc s JOIN sc0 e ON s.dst = e.src),
+            sp0 AS (SELECT 'p' || i AS src, 'p' || (i // 2) AS dst
+                    FROM range(1, 8) t(i)),
+            sp(src, dst) AS (
+              SELECT src, dst FROM sp0
+              UNION
+              SELECT s.src, e.dst FROM sp s JOIN sp0 e ON s.dst = e.src),
+            dom AS (SELECT 'p' || i AS p, 'C' || i AS c FROM range(0, 8) t(i)),
+            rng AS (SELECT 'p' || i AS p, 'C' || ((i + 5) % 16) AS c
+                    FROM range(0, 8) t(i)),
+            dom_eff AS (SELECT p, c FROM dom
+                        UNION
+                        SELECT s.src, d2.c FROM sp s JOIN dom d2 ON s.dst = d2.p),
+            rng_eff AS (SELECT p, c FROM rng
+                        UNION
+                        SELECT s.src, d2.c FROM sp s JOIN rng d2 ON s.dst = d2.p),
+            props AS (SELECT 'e' || doc_id AS subj, 'p' || (doc_id % 8) AS pred,
+                             'e' || (doc_id // 3) AS obj
+                      FROM documents),
+            allprops AS (
+              SELECT DISTINCT subj, pred, obj FROM (
+                SELECT subj, pred, obj FROM props
+                UNION ALL
+                SELECT p2.subj, s.dst, p2.obj
+                FROM props p2 JOIN sp s ON p2.pred = s.src)),
+            types0 AS (
+              SELECT DISTINCT subj, cls FROM (
+                SELECT 'e' || doc_id AS subj, 'C' || (doc_id % 16) AS cls
+                FROM documents
+                UNION ALL
+                SELECT p2.subj, de.c FROM props p2 JOIN dom_eff de
+                  ON p2.pred = de.p
+                UNION ALL
+                SELECT p2.obj, re.c FROM props p2 JOIN rng_eff re
+                  ON p2.pred = re.p)),
+            types_full AS (
+              SELECT DISTINCT subj, cls FROM (
+                SELECT subj, cls FROM types0
+                UNION ALL
+                SELECT t0.subj, s.dst FROM types0 t0 JOIN sc s
+                  ON t0.cls = s.src)),
+            closure AS (
+              SELECT subj, pred, obj FROM allprops
+              UNION
+              SELECT subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     cls FROM types_full
+              UNION
+              SELECT src, 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                     dst FROM sc
+              UNION
+              SELECT src, 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                     dst FROM sp
+              UNION
+              SELECT p, 'http://www.w3.org/2000/01/rdf-schema#domain', c
+              FROM dom
+              UNION
+              SELECT p, 'http://www.w3.org/2000/01/rdf-schema#range', c
+              FROM rng)
+            SELECT pred, COUNT(*) AS n_triples,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj,
+                   CAST(SUM(('0x' || substr(md5(subj || '|' || obj), 1, 15))
+                            ::BIGINT % 1000003) AS BIGINT) AS digest
+            FROM closure GROUP BY pred ORDER BY pred""",
+        "q141_sameas_canonical": r"""
+            WITH RECURSIVE
+            e0 AS (SELECT 'e' || doc_id AS a, 'e' || (doc_id - 1) AS b
+                   FROM documents WHERE doc_id % 5 <> 0),
+            sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS canonical
+                    FROM reach GROUP BY a),
+            t AS (SELECT 'e' || doc_id AS subj, 'rel' AS pred,
+                         'e' || (doc_id // 7) AS obj
+                  FROM documents)
+            SELECT DISTINCT COALESCE(ls.canonical, t.subj) AS subj, pred,
+                            COALESCE(lo.canonical, t.obj) AS obj
+            FROM t LEFT JOIN lab ls ON t.subj = ls.node
+                   LEFT JOIN lab lo ON t.obj = lo.node
+            ORDER BY subj, obj""",
+        "q142_neighbor_sample": r"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id >= 2),
+            adj AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id // 2 AS src, doc_id AS dst FROM d
+                UNION ALL
+                SELECT doc_id // 3 AS src, doc_id AS dst FROM d)),
+            ranked AS (
+              SELECT src, dst,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY src
+                       ORDER BY ('0x' || substr(md5(src || '|' || dst),
+                                                1, 15))::BIGINT, dst) AS rk
+              FROM adj),
+            seeds AS (SELECT doc_id AS seed FROM documents
+                      WHERE doc_id BETWEEN 1 AND 40),
+            hop1 AS (SELECT s.seed, r.src, r.dst FROM seeds s
+                     JOIN ranked r ON r.src = s.seed AND r.rk <= 3),
+            frontier AS (SELECT DISTINCT seed, dst AS node FROM hop1),
+            hop2 AS (SELECT f.seed, r.src, r.dst FROM frontier f
+                     JOIN ranked r ON r.src = f.node AND r.rk <= 2)
+            SELECT seed, CAST(1 AS INT) AS hop, src, dst FROM hop1
+            UNION ALL
+            SELECT seed, CAST(2 AS INT) AS hop, src, dst FROM hop2
+            ORDER BY seed, hop, src, dst""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
