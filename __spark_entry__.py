@@ -2665,6 +2665,67 @@ def _q142_neighbor_sample(spark, sf):
             .orderBy("seed", "hop", "src", "dst"))
 
 
+def _q143_transe_negatives(spark, sf):
+    # TransE filtered negative sampling (operators/kgtrain.py):
+    # hash-deterministic corrupt picks over the dense doc-id entity
+    # vocabulary, degenerate picks dropped, true-triple corruptions
+    # anti-joined out.  DuckDB replays every pick and both filters.
+    from knowledgebase_processor_spark.operators.kgtrain import (
+        transe_negatives)
+    d = _t(spark, sf, "documents")
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    triples = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                       _name("p", F.col("doc_id") % 4).alias("pred"),
+                       _name("e", F.expr("doc_id DIV 2")).alias("obj"))
+    ents = d.select(F.col("doc_id").alias("ent_idx"),
+                    _name("e", F.col("doc_id")).alias("ent_id"))
+    return (transe_negatives(triples, ents, k=2)
+            .orderBy("subj", "pred", "obj", "sample"))
+
+
+def _q144_predicate_profile(spark, sf):
+    # KG predicate profile (operators/stats.py::predicate_profile):
+    # functionality / inverse functionality / literal share in exact
+    # integer ppm, worst per-subject fan-out, modal object datatype —
+    # the schema-discovery report ER and entity linking block on.
+    from knowledgebase_processor_spark.operators.stats import (
+        predicate_profile)
+    d = _t(spark, sf, "documents")
+    lit_row = F.col("doc_id") % 3 == 0
+    t = d.select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 6).cast("string")).alias("pred"),
+        F.when(lit_row, F.concat(F.lit("v"), (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.concat(F.lit("e"), F.expr("doc_id DIV 2").cast("string")))
+        .alias("obj"),
+        (~lit_row).alias("obj_is_uri"),
+        F.when(lit_row, F.when(F.col("doc_id") % 6 == 0, "xsd:string")
+               .otherwise("xsd:integer")).alias("obj_datatype"))
+    return predicate_profile(t).orderBy("pred")
+
+
+def _q145_kg_snapshot(spark, sf):
+    # Latest-assertion-wins KG snapshot merge
+    # (operators/delta.py::latest_assertions): one partial-agg
+    # max(struct) shuffle collapses the assertion log, tombstones drop
+    # their key — the Iceberg MERGE INTO twin.  Every winner is replayed
+    # by the DuckDB window oracle.
+    from knowledgebase_processor_spark.operators.delta import (
+        latest_assertions)
+    e = _t(spark, sf, "events")
+    a = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("obj"),
+        "ts",
+        F.when(F.col("event_id") % 10 == 0, "delete").otherwise("upsert")
+        .alias("op"))
+    return latest_assertions(a).orderBy("subj", "pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2809,6 +2870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_rdfs_closure": _q140_rdfs_closure,
         "q141_sameas_canonical": _q141_sameas_canonical,
         "q142_neighbor_sample": _q142_neighbor_sample,
+        "q143_transe_negatives": _q143_transe_negatives,
+        "q144_predicate_profile": _q144_predicate_profile,
+        "q145_kg_snapshot": _q145_kg_snapshot,
     }
 
 
@@ -5866,6 +5930,86 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT seed, CAST(2 AS INT) AS hop, src, dst FROM hop2
             ORDER BY seed, hop, src, dst""",
+        "q143_transe_negatives": r"""
+            WITH t AS (SELECT 'e' || doc_id AS subj,
+                              'p' || (doc_id % 4) AS pred,
+                              'e' || (doc_id // 2) AS obj
+                       FROM documents),
+            s AS (SELECT t.*, j.sample FROM t
+                  CROSS JOIN (SELECT UNNEST([0, 1]) AS sample) j),
+            p AS (SELECT subj, pred, obj, sample,
+                         CASE WHEN sample % 2 = 0 THEN 's' ELSE 'o' END
+                           AS side,
+                         ('0x' || substr(md5(subj || '|' || pred || '|' ||
+                                             obj || '|' || sample), 1, 15))
+                           ::BIGINT % (SELECT COUNT(*) FROM documents)
+                           AS idx
+                  FROM s),
+            c AS (SELECT subj, pred, obj, sample, side,
+                         CASE WHEN side = 's' THEN 'e' || idx
+                              ELSE subj END AS neg_subj,
+                         CASE WHEN side = 'o' THEN 'e' || idx
+                              ELSE obj END AS neg_obj
+                  FROM p),
+            f AS (SELECT * FROM c
+                  WHERE NOT (neg_subj = subj AND neg_obj = obj))
+            SELECT subj, pred, obj, CAST(sample AS INT) AS sample, side,
+                   neg_subj, neg_obj
+            FROM f
+            WHERE NOT EXISTS (SELECT 1 FROM t
+                              WHERE t.subj = f.neg_subj
+                                AND t.pred = f.pred
+                                AND t.obj = f.neg_obj)
+            ORDER BY subj, pred, obj, sample""",
+        "q144_predicate_profile": r"""
+            WITH t AS (
+              SELECT 'e' || doc_id AS subj, 'p' || (doc_id % 6) AS pred,
+                     CASE WHEN doc_id % 3 = 0 THEN 'v' || (doc_id % 7)
+                          ELSE 'e' || (doc_id // 2) END AS obj,
+                     doc_id % 3 <> 0 AS uri,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       CASE WHEN doc_id % 6 = 0 THEN 'xsd:string'
+                            ELSE 'xsd:integer' END END AS dt
+              FROM documents),
+            fan AS (SELECT pred, MAX(n) AS max_fanout FROM
+                      (SELECT pred, subj, COUNT(*) AS n FROM t
+                       GROUP BY pred, subj) GROUP BY pred),
+            base AS (SELECT pred, COUNT(*) AS n_triples,
+                            CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                            CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj,
+                            SUM(CASE WHEN NOT uri THEN 1 ELSE 0 END) AS lit
+                     FROM t GROUP BY pred),
+            md AS (SELECT pred, dt,
+                          ROW_NUMBER() OVER (PARTITION BY pred
+                                             ORDER BY COUNT(*) DESC, dt DESC)
+                            AS rk
+                   FROM t WHERE dt IS NOT NULL GROUP BY pred, dt)
+            SELECT b.pred, b.n_triples, b.n_subj, b.n_obj,
+                   CAST(b.n_subj * 1000000 // b.n_triples AS BIGINT)
+                     AS functionality_ppm,
+                   CAST(b.n_obj * 1000000 // b.n_triples AS BIGINT)
+                     AS inv_functionality_ppm,
+                   CAST(b.lit * 1000000 // b.n_triples AS BIGINT)
+                     AS literal_ppm,
+                   f.max_fanout, m.dt AS top_datatype
+            FROM base b JOIN fan f ON b.pred = f.pred
+            LEFT JOIN (SELECT pred, dt FROM md WHERE rk = 1) m
+              ON b.pred = m.pred
+            ORDER BY b.pred""",
+        "q145_kg_snapshot": r"""
+            WITH a AS (
+              SELECT 'u' || user_id AS subj, event_type AS pred,
+                     'v' || event_id AS obj, ts,
+                     CASE WHEN event_id % 10 = 0 THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM events),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY subj, pred
+                    ORDER BY ts DESC, op DESC, obj DESC) AS rn
+                  FROM a)
+            SELECT subj, pred, obj, ts FROM r
+            WHERE rn = 1 AND op <> 'delete'
+            ORDER BY subj, pred""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

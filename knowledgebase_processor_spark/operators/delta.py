@@ -35,3 +35,26 @@ def snapshot_delta(old: DataFrame, new: DataFrame,
          .when(F.col("new_fp").isNull(), "removed")
          .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
          .otherwise("changed").alias("status"))
+
+
+def latest_assertions(assertions: DataFrame) -> DataFrame:
+    """Re-crawl KG merge: collapse a (subj, pred, obj, ts, op) assertion
+    log to the live single-valued-predicate snapshot — the DataFrame twin
+    of Iceberg ``MERGE INTO`` with latest-writer-wins semantics.
+
+    Per (subj, pred) key the row with the greatest (ts, op, obj) wins
+    (the op/obj legs make ties deterministic and engine-identical);
+    a winning ``op='delete'`` tombstone removes the key from the
+    snapshot entirely.
+
+    Scale shape: ONE groupBy with a ``max(struct(...))`` aggregate —
+    partial-agg combinable (each map task pre-reduces its partition, so
+    a hot subject never ships more than one row per task), no window
+    over the log, no join.  An hourly 100 TB assertion log collapses in
+    a single shuffle on (subj, pred).
+    """
+    win = F.max(F.struct(F.col("ts"), F.col("op"), F.col("obj"))).alias("w")
+    return (assertions.groupBy("subj", "pred").agg(win)
+            .filter(F.col("w.op") != "delete")
+            .select("subj", "pred", F.col("w.obj").alias("obj"),
+                    F.col("w.ts").alias("ts")))

@@ -103,3 +103,57 @@ def related_documents(doc_tags: DataFrame) -> DataFrame:
                     F.lit("shared_tag").alias("relation"),
                     F.col("a.tag").alias("tag"))
             .distinct())
+
+
+def predicate_profile(triples: DataFrame, ppm: int = 1_000_000) -> DataFrame:
+    """Per-predicate KG profile (beyond-reference; the schema-discovery
+    report entity linking and ER read before choosing blocking keys):
+
+    * ``functionality_ppm``     = |distinct subj| / |triples| — a
+      functional predicate (≈1.0) is a strong merge key (PARIS, VLDB'12
+      uses exactly this signal);
+    * ``inv_functionality_ppm`` = |distinct obj| / |triples|;
+    * ``literal_ppm``           — share of literal objects (needs an
+      ``obj_is_uri`` column; all-URI assumed otherwise);
+    * ``max_fanout``            — worst per-subject multiplicity (the
+      skew bound a join planner wants);
+    * ``top_datatype``          — modal object datatype, count-then-name
+      tie-break (deterministic across engines).
+
+    Two partial-agg groupBys ((pred, subj) then pred) plus one tiny
+    (pred, datatype) mode frame — no window over the full triple set,
+    integer ppm so the report is aggregation-order exact.
+    """
+    has_uri = "obj_is_uri" in triples.columns
+    has_dt = "obj_datatype" in triples.columns
+    t = triples.select(
+        "subj", "pred", "obj",
+        (F.col("obj_is_uri") if has_uri else F.lit(True)).alias("__uri"),
+        (F.col("obj_datatype") if has_dt else F.lit(None).cast("string"))
+        .alias("__dt"))
+
+    per_subj = t.groupBy("pred", "subj").agg(F.count("*").alias("n"))
+    fanout = per_subj.groupBy("pred").agg(F.max("n").alias("max_fanout"))
+
+    base = t.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.sum(F.when(~F.col("__uri"), 1).otherwise(0)).alias("__lit"))
+
+    dt_mode = (t.filter(F.col("__dt").isNotNull())
+               .groupBy("pred", "__dt").agg(F.count("*").alias("c"))
+               .groupBy("pred")
+               .agg(F.max(F.struct(F.col("c"), F.col("__dt"))).alias("m"))
+               .select("pred", F.col("m.__dt").alias("top_datatype")))
+
+    # integer DIV, not float division + cast: exact and engine-identical.
+    return (base.join(fanout, "pred").join(dt_mode, "pred", "left")
+            .select(
+                "pred", "n_triples", "n_subj", "n_obj",
+                F.expr(f"n_subj * {ppm} DIV n_triples")
+                .alias("functionality_ppm"),
+                F.expr(f"n_obj * {ppm} DIV n_triples")
+                .alias("inv_functionality_ppm"),
+                F.expr(f"__lit * {ppm} DIV n_triples").alias("literal_ppm"),
+                "max_fanout", "top_datatype"))
