@@ -41,6 +41,8 @@ from knowledgebase_processor_spark.operators.postings import (  # noqa: E402
     postings_oracle_sql as _postings_oracle_sql)
 from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
+from knowledgebase_processor_spark.operators.select import (  # noqa: E402
+    greedy_coverage_oracle_sql as _greedy_oracle_sql)
 from knowledgebase_processor_spark.operators.drift import (  # noqa: E402
     entropy_oracle_sql as _entropy_oracle_sql)
 from knowledgebase_processor_spark.operators.shards import (  # noqa: E402
@@ -2726,6 +2728,59 @@ def _q145_kg_snapshot(spark, sf):
     return latest_assertions(a).orderBy("subj", "pred")
 
 
+def _q146_coverage_select(spark, sf):
+    # Greedy coverage-based corpus selection (operators/select.py):
+    # submodular facility-location greedy over 3-gram shingles, one
+    # anti-join + partial-agg + TakeOrdered(1) per round; DuckDB replays
+    # every pick with the unrolled-round oracle on the shared shingler.
+    from knowledgebase_processor_spark.operators.select import (
+        greedy_coverage_select)
+    d = _t(spark, sf, "documents", spread=True).select("doc_id", "text")
+    return greedy_coverage_select(d, k=6).orderBy("round")
+
+
+def _q147_entity_disambiguation(spark, sf):
+    # Entity disambiguation: Milne-Witten commonness prior + context
+    # Jaccard in exact integer ppm (operators/linking.py), broadcast
+    # candidate dictionary, top-1 per mention by partial-agg max(struct).
+    # Candidate contexts use namespaced slot tokens so the oracle can
+    # compute the intersection with two CASE matches instead of list ops.
+    from knowledgebase_processor_spark.operators.linking import disambiguate
+    d = _t(spark, sf, "documents")
+    m = d.select(
+        F.col("doc_id").alias("mention_id"),
+        F.concat(F.lit("a"), (F.col("doc_id") % 20).cast("string"))
+        .alias("alias"),
+        F.array(F.concat(F.lit("x"), (F.col("doc_id") % 5).cast("string")),
+                F.concat(F.lit("y"), (F.col("doc_id") % 7).cast("string")),
+                F.concat(F.lit("z"), (F.col("doc_id") % 11).cast("string")))
+        .alias("ctx"))
+    c = spark.range(0, 60).select(
+        F.concat(F.lit("a"), (F.col("id") % 20).cast("string")).alias("alias"),
+        F.concat(F.lit("E"), F.col("id").cast("string")).alias("entity"),
+        F.array(F.concat(F.lit("x"), (F.col("id") % 5).cast("string")),
+                F.concat(F.lit("y"), (F.col("id") % 7).cast("string")))
+        .alias("ctx"),
+        ((F.col("id") * 37 % 100) * 10000).cast("long").alias("prior_ppm"))
+    return disambiguate(m, c).orderBy("mention_id")
+
+
+def _q148_anchor_profile(spark, sf):
+    # Anchor-text aggregation per link target (operators/anchors.py):
+    # two partial-agg groupBys + struct-max modal anchor — the web-IR
+    # commonness statistics feeding the q147 prior.
+    from knowledgebase_processor_spark.operators.anchors import (
+        anchor_profile)
+    d = _t(spark, sf, "documents")
+    links = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src_doc"),
+        F.concat(F.lit("d"), F.expr("doc_id DIV 3").cast("string"))
+        .alias("target"),
+        F.concat(F.lit("anchor-"), (F.col("doc_id") % 4).cast("string"))
+        .alias("anchor"))
+    return anchor_profile(links).orderBy("target")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2873,6 +2928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_transe_negatives": _q143_transe_negatives,
         "q144_predicate_profile": _q144_predicate_profile,
         "q145_kg_snapshot": _q145_kg_snapshot,
+        "q146_coverage_select": _q146_coverage_select,
+        "q147_entity_disambiguation": _q147_entity_disambiguation,
+        "q148_anchor_profile": _q148_anchor_profile,
     }
 
 
@@ -6010,6 +6068,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, ts FROM r
             WHERE rn = 1 AND op <> 'delete'
             ORDER BY subj, pred""",
+        "q146_coverage_select": _greedy_oracle_sql(
+            "SELECT doc_id, text FROM documents", k=6),
+        "q147_entity_disambiguation": r"""
+            WITH m AS (SELECT doc_id AS mention_id,
+                              'a' || (doc_id % 20) AS alias,
+                              doc_id % 5 AS mx, doc_id % 7 AS my
+                       FROM documents),
+            c AS (SELECT 'a' || (i % 20) AS alias, 'E' || i AS entity,
+                         i % 5 AS cx, i % 7 AS cy,
+                         CAST((i * 37 % 100) * 10000 AS BIGINT) AS prior_ppm
+                  FROM range(0, 60) t(i)),
+            j AS (SELECT m.mention_id, m.alias, c.entity, c.prior_ppm,
+                         (CASE WHEN m.mx = c.cx THEN 1 ELSE 0 END +
+                          CASE WHEN m.my = c.cy THEN 1 ELSE 0 END) AS inter
+                  FROM m JOIN c ON m.alias = c.alias),
+            s AS (SELECT mention_id, alias, entity, prior_ppm,
+                         CAST(inter * 1000000 // (5 - inter) AS BIGINT)
+                           AS jaccard_ppm
+                  FROM j),
+            r AS (SELECT *,
+                         CAST(prior_ppm + 2 * jaccard_ppm AS BIGINT)
+                           AS score,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY mention_id
+                           ORDER BY prior_ppm + 2 * jaccard_ppm DESC,
+                                    entity DESC) AS rk
+                  FROM s)
+            SELECT mention_id, alias, entity, prior_ppm, jaccard_ppm, score
+            FROM r WHERE rk = 1 ORDER BY mention_id""",
+        "q148_anchor_profile": r"""
+            WITH l AS (SELECT 'd' || doc_id AS src,
+                              'd' || (doc_id // 3) AS target,
+                              'anchor-' || (doc_id % 4) AS anchor
+                       FROM documents),
+            pa AS (SELECT target, anchor, COUNT(*) AS n
+                   FROM l GROUP BY target, anchor),
+            r AS (SELECT target, anchor, n,
+                         ROW_NUMBER() OVER (PARTITION BY target
+                                            ORDER BY n DESC, anchor DESC)
+                           AS rk
+                  FROM pa),
+            agg AS (SELECT target, CAST(SUM(n) AS BIGINT) AS n_links,
+                           CAST(COUNT(*) AS BIGINT) AS n_anchors
+                    FROM pa GROUP BY target),
+            srcs AS (SELECT target,
+                            CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+                     FROM l GROUP BY target)
+            SELECT a.target, a.n_links, s.n_sources, a.n_anchors,
+                   r.anchor AS top_anchor, CAST(r.n AS BIGINT)
+                     AS top_anchor_n
+            FROM agg a JOIN srcs s ON a.target = s.target
+            JOIN r ON r.target = a.target AND r.rk = 1
+            ORDER BY a.target""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
