@@ -37,7 +37,8 @@ from .sources.web_pages import pages_to_documents
 def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         alias_dict: dict | None = None, force: bool = False,
         openie: bool = False, coref_salt: int | None = 16,
-        dedup: bool = False) -> dict:
+        dedup: bool = False, rewrite_canonical: bool = False,
+        entailment: bool = False) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -176,6 +177,36 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
     if not sinks.merge_upsert_iceberg(spark, flat, "kg.kg_triples",
                                       key="source_doc"):
         sinks.merge_upsert(spark, flat, final_path, key="source_doc")
+
+    # 6b: canonical-id triple table — the stage-5 coreference labels
+    # rewrite subjects/URI objects to their cluster representatives and
+    # the duplicate assertions distinct aliases carried coalesce away
+    # (operators/sameas.rewrite_with_labels; the north rule's
+    # "deduplicated entity/relation tables").
+    if rewrite_canonical:
+        from .operators.sameas import rewrite_with_labels
+        rpath = stage("kg_triples_canonical")
+        if force or not os.path.exists(os.path.join(rpath, "_SUCCESS")):
+            label_map = canonical.select(
+                F.col("kb_id").alias("node"),
+                F.col("canonical_id").alias("canonical"))
+            rewrite_with_labels(flat, label_map) \
+                .write.mode("overwrite").parquet(rpath)
+        metrics["n_canonical_triples"] = spark.read.parquet(rpath).count()
+
+    # 6c: RDFS entailment materialization (operators/rdfs.rdfs_closure):
+    # schema triples close on the tiny side, instance triples get one
+    # broadcast pass — consumers query inherited types without per-query
+    # reasoning.  Derived triples have no single source document, so the
+    # entailed table is (subj, pred, obj) only, beside the doc-scoped one.
+    if entailment:
+        from .operators.rdfs import rdfs_closure
+        epath = stage("kg_triples_entailed")
+        if force or not os.path.exists(os.path.join(epath, "_SUCCESS")):
+            rdfs_closure(flat.select("subj", "pred", "obj", "obj_is_uri")) \
+                .write.mode("overwrite").parquet(epath)
+        metrics["n_entailed"] = spark.read.parquet(epath).count()
+
     metrics["wall_s"] = round(time.time() - t_start, 3)
     sinks.write_metrics(spark, stage("metrics"), "kg_job",
                         {k: float(v) for k, v in metrics.items()})

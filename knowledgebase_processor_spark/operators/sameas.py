@@ -47,7 +47,15 @@ def canonicalize_triples(triples: DataFrame, sameas_edges: DataFrame,
     rewrite coalesced).  Nodes outside any cluster keep their own id."""
     labels = sameas_labels(sameas_edges, max_iterations=max_iterations) \
         .localCheckpoint()
+    return rewrite_with_labels(triples, labels)
+
+
+def rewrite_with_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """The rewrite half: (node, canonical) labels from ANY clustering
+    (sameAs CC here; kg_job feeds its coreference-CC entity table) map
+    subjects and URI objects to their canonical ids, then set-dedup."""
     has_uri_flag = "obj_is_uri" in triples.columns
+    labels = labels.select("node", "canonical").distinct()
 
     s_map = labels.select(F.col("node").alias("subj"),
                           F.col("canonical").alias("__s_can"))

@@ -326,3 +326,36 @@ def test_kg_job_dedup_stage(spark, tmp_path):
     # resume: keep-list checkpoint short-circuits stage 0
     m2 = kg_job.run(spark, pages, work, dedup=True)
     assert m2["n_pages_kept"] == 6 and m2["n_triples"] == m["n_triples"]
+
+
+def test_kg_job_canonical_rewrite_and_entailment_stages(spark, tmp_path):
+    pages = fixture_pages(spark).limit(12)
+    work = str(tmp_path / "run_canon")
+    alias = {"Test Document": ("organization", ["document"])}
+    m = kg_job.run(spark, pages, work, alias_dict=alias,
+                   rewrite_canonical=True, entailment=True)
+
+    # canonical rewrite: dedup can only shrink, rewritten subjects are a
+    # subset of {original subjects} ∪ {canonical ids}
+    assert 0 < m["n_canonical_triples"] <= m["n_triples"]
+    canon_t = spark.read.parquet(
+        os.path.join(work, "kg_triples_canonical"))
+    canonical = spark.read.parquet(os.path.join(work, "canonical"))
+    allowed = {r[0] for r in spark.read.parquet(
+        os.path.join(work, "kg_triples")).select("subj").distinct().collect()}
+    allowed |= {r[0] for r in
+                canonical.select("canonical_id").distinct().collect()}
+    got_subj = {r[0] for r in canon_t.select("subj").distinct().collect()}
+    assert got_subj <= allowed
+
+    # entailment over a vocabulary with no rdfs schema triples is the
+    # identity closure: same distinct triple set size
+    flat = spark.read.parquet(os.path.join(work, "kg_triples"))
+    n_distinct = flat.select("subj", "pred", "obj").distinct().count()
+    assert m["n_entailed"] == n_distinct
+
+    # resume reuses both new checkpoints
+    m2 = kg_job.run(spark, pages, work, alias_dict=alias,
+                    rewrite_canonical=True, entailment=True)
+    assert m2["n_canonical_triples"] == m["n_canonical_triples"]
+    assert m2["n_entailed"] == m["n_entailed"]
