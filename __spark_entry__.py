@@ -2781,6 +2781,32 @@ def _q148_anchor_profile(spark, sf):
     return anchor_profile(links).orderBy("target")
 
 
+def _q149_url_prefix_rollup(spark, sf):
+    # Crawl-inventory rollup over the URL path hierarchy
+    # (operators/urlrules.py::url_prefix_rollup): bounded posexplode of
+    # <= max_depth prefixes per page + ONE partial-agg groupBy; the
+    # every-page-hits-depth-1 skew is absorbed by map-side combine.
+    from knowledgebase_processor_spark.operators.urlrules import (
+        url_prefix_rollup)
+    d = _t(spark, sf, "documents")
+    paths = d.select(F.concat(
+        F.lit("/s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("/t"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("/p"), F.col("doc_id").cast("string")).alias("path"))
+    return url_prefix_rollup(paths, "path", max_depth=3) \
+        .orderBy("depth", "prefix")
+
+
+def _q150_skew_report(spark, sf):
+    # Key-distribution skew advisor (operators/skew.py::skew_report):
+    # hot keys, table shares, and the salt factor replicated_join wants
+    # — one partial-agg groupBy + TakeOrdered, no window/global sort.
+    from knowledgebase_processor_spark.operators.skew import skew_report
+    d = _t(spark, sf, "documents")
+    return skew_report(d, "source", top_k=3,
+                       target_rows_per_task=100).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2931,6 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_coverage_select": _q146_coverage_select,
         "q147_entity_disambiguation": _q147_entity_disambiguation,
         "q148_anchor_profile": _q148_anchor_profile,
+        "q149_url_prefix_rollup": _q149_url_prefix_rollup,
+        "q150_skew_report": _q150_skew_report,
     }
 
 
@@ -6121,6 +6149,38 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN srcs s ON a.target = s.target
             JOIN r ON r.target = a.target AND r.rk = 1
             ORDER BY a.target""",
+        "q149_url_prefix_rollup": r"""
+            WITH pre AS (
+              SELECT 1 AS depth, '/s' || (doc_id % 4) AS prefix
+              FROM documents
+              UNION ALL
+              SELECT 2, '/s' || (doc_id % 4) || '/t' || (doc_id % 10)
+              FROM documents
+              UNION ALL
+              SELECT 3, '/s' || (doc_id % 4) || '/t' || (doc_id % 10)
+                        || '/p' || doc_id
+              FROM documents)
+            SELECT CAST(depth AS INT) AS depth, prefix,
+                   COUNT(*) AS n_pages
+            FROM pre GROUP BY depth, prefix ORDER BY depth, prefix""",
+        "q150_skew_report": r"""
+            WITH c AS (SELECT CAST(source AS VARCHAR) AS key,
+                              COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM c),
+            head AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 3)
+            SELECT key, CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000 // (SELECT t FROM tot) AS BIGINT)
+                     AS share_ppm,
+                   CAST((n + 99) // 100 AS BIGINT) AS suggested_salt,
+                   CAST(n * 1000000 // GREATEST(
+                     (SELECT t FROM tot) // (SELECT k FROM tot), 1)
+                     AS BIGINT) AS skew_ratio_ppm
+            FROM head
+            UNION ALL
+            SELECT '<TOTAL>', CAST((SELECT t FROM tot) AS BIGINT),
+                   1000000, 0, NULL
+            ORDER BY key""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -65,3 +65,39 @@ def replicated_join(fact: DataFrame, dim: DataFrame, key: str | list[str],
         F.broadcast(fact.sparkSession.range(salt)
                     .select(F.col("id").cast("long").alias("_salt"))))
     return fact_s.join(dim_r, on=keys + ["_salt"], how=how).drop("_salt")
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 5,
+                target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Key-distribution skew advisor (beyond-reference planning surface):
+    per hot key, its row count, share of the table in ppm, and the salt
+    factor that would spread it to ~``target_rows_per_task`` rows per
+    reducer — the number `with_salt`/`replicated_join` wants.
+
+    Plan shape: ONE partial-agg groupBy(key) (map-side combine absorbs
+    the very skew being measured), a TakeOrdered(top_k) for the head
+    keys, and a scalar total via one more partial agg — no window, no
+    global sort.  A summary row (key='<TOTAL>') carries the table count
+    and the skew ratio max_key/avg_key in ppm, so one frame answers
+    "is this join safe, and if not what salt".
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")) \
+               .agg(F.count(F.lit(1)).alias("n"))
+    total, n_keys = counts.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    head = (counts.orderBy(F.col("n").desc(), F.col("key"))
+            .limit(top_k)
+            .select("key", "n",
+                    F.expr(f"n * 1000000 DIV {total}").alias("share_ppm"),
+                    # integer ceil-div, no float round-trip
+                    F.expr(f"(n + {target_rows_per_task} - 1) "
+                           f"DIV {target_rows_per_task}")
+                    .alias("suggested_salt")))
+    spark = df.sparkSession
+    avg = max(total // max(n_keys, 1), 1)
+    summary = spark.createDataFrame(
+        [("<TOTAL>", int(total), 1_000_000, 0)],
+        "key string, n long, share_ppm long, suggested_salt long") \
+        .withColumn("skew_ratio_ppm", F.lit(None).cast("long"))
+    head = head.withColumn(
+        "skew_ratio_ppm", F.expr(f"n * 1000000 DIV {avg}").cast("long"))
+    return head.unionByName(summary.select(*head.columns))

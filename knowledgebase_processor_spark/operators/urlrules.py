@@ -77,3 +77,31 @@ def url_rules_oracle_sql(paths_sql: str, rules: list[tuple[str, bool]]) -> str:
                  AS allowed
         FROM paths p LEFT JOIN m ON p.path = m.path AND m.rn = 1
         GROUP BY p.path"""
+
+
+def url_prefix_rollup(df: DataFrame, path_col: str,
+                      max_depth: int = 3) -> DataFrame:
+    """Crawl-inventory rollup over the URL path hierarchy: one row per
+    (depth, path-prefix) with page counts — the "which sections of the
+    site are we crawling" dashboard (beyond-reference web surface).
+
+    ``/a/b/c`` contributes prefixes ``/a`` (depth 1), ``/a/b`` (2),
+    ``/a/b/c`` (3, capped at ``max_depth``).  Pure codegen: one bounded
+    posexplode of the prefix array (≤ max_depth rows per page — NOT the
+    per-segment quadratic explode) and one partial-agg groupBy; the
+    root-heavy key skew (every page hits depth 1) is absorbed by
+    map-side combine.  Returns (depth, prefix, n_pages), exact counts.
+    """
+    # materialize the segment array as a COLUMN first: a lambda that
+    # captures an expression tree re-evaluates it per element (the
+    # shingles O(n^2) trap); capturing a bound column attribute doesn't.
+    with_segs = df.select(F.slice(
+        F.filter(F.split(F.col(path_col), "/"), lambda s: s != ""),
+        1, max_depth).alias("__segs"))
+    prefixes = F.transform(
+        F.col("__segs"),
+        lambda _, i: F.concat(F.lit("/"), F.array_join(
+            F.slice(F.col("__segs"), 1, i + 1), "/")))
+    ex = with_segs.select(F.posexplode(prefixes).alias("d", "prefix"))
+    return (ex.groupBy((F.col("d") + 1).cast("int").alias("depth"), "prefix")
+            .agg(F.count(F.lit(1)).alias("n_pages")))

@@ -219,3 +219,36 @@ def correlate_event_streams(left: DataFrame, right: DataFrame,
             & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
     return l.join(r, cond).select("key", "l_event", "l_ts",
                                   "r_event", "r_ts")
+
+
+def correlate_event_streams_outer(left: DataFrame, right: DataFrame,
+                                  key: str = "user_id", ts: str = "ts",
+                                  id_col: str = "event_id",
+                                  within: str = "5 minutes",
+                                  watermark: str = "10 minutes") -> DataFrame:
+    """LEFT OUTER twin of :func:`correlate_event_streams`: left events
+    with no right match within the window still emit (null right side) —
+    the "click with NO follow-up error" anti-pattern detector.
+
+    Outer semantics change the state story: an unmatched left row can
+    only be declared unmatched once the right watermark has passed
+    ``l_ts + within``, so null-padded rows emit with watermark latency
+    (inner matches still emit immediately).  Spark requires the
+    time-interval condition + both watermarks for exactly this reason —
+    without them the unmatched set is unknowable and the query is
+    rejected.  Identical call works on batch frames (plain left join).
+
+    Returns (key, l_event, l_ts, r_event, r_ts) with null r_* for
+    unmatched lefts.
+    """
+    l = left.select(F.col(key).alias("key"),
+                    F.col(id_col).alias("l_event"),
+                    F.col(ts).alias("l_ts")).withWatermark("l_ts", watermark)
+    r = right.select(F.col(key).alias("r_key"),
+                     F.col(id_col).alias("r_event"),
+                     F.col(ts).alias("r_ts")).withWatermark("r_ts", watermark)
+    cond = ((F.col("key") == F.col("r_key"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond, "left_outer").select("key", "l_event", "l_ts",
+                                                "r_event", "r_ts")
