@@ -2807,6 +2807,30 @@ def _q150_skew_report(spark, sf):
                        target_rows_per_task=100).orderBy("key")
 
 
+def _q151_margin_mine(spark, sf):
+    # Margin-based bitext mining (operators/bitext.py, Artetxe-Schwenk):
+    # micro-unit cosines (q17 float-reconciliation convention), exact
+    # BIGINT neighborhood sums and margin ratio, best target per source
+    # above margin>1.  Src/tgt = even/odd embedding ids.
+    from knowledgebase_processor_spark.operators.bitext import margin_mine
+    e = _t(spark, sf, "embeddings")
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    return margin_mine(src, tgt, k=4,
+                       min_margin_ppm=1_000_000).orderBy("src_id")
+
+
+def _q152_hubness(spark, sf):
+    # k-occurrence hubness diagnostic (operators/bitext.py): per target,
+    # how many sources rank it top-4 — anti-hubs kept at n_k = 0.
+    from knowledgebase_processor_spark.operators.bitext import (
+        hubness_report)
+    e = _t(spark, sf, "embeddings")
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    return hubness_report(src, tgt, k=4).orderBy("tgt_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2959,6 +2983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_anchor_profile": _q148_anchor_profile,
         "q149_url_prefix_rollup": _q149_url_prefix_rollup,
         "q150_skew_report": _q150_skew_report,
+        "q151_margin_mine": _q151_margin_mine,
+        "q152_hubness": _q152_hubness,
     }
 
 
@@ -6181,6 +6207,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<TOTAL>', CAST((SELECT t FROM tot) AS BIGINT),
                    1000000, 0, NULL
             ORDER BY key""",
+        "q151_margin_mine": r"""
+            WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            p AS (SELECT src_id, tgt_id,
+                         CAST(ROUND(ROUND(list_cosine_similarity(s.v, t.v),
+                                          6) * 1000000, 0) AS BIGINT) AS c
+                  FROM s CROSS JOIN t),
+            rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                     ORDER BY c DESC, tgt_id) AS r FROM p),
+            ks AS (SELECT src_id, SUM(c) AS ks FROM rs
+                   WHERE r <= 4 GROUP BY src_id),
+            rt AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                     ORDER BY c DESC, src_id) AS r FROM p),
+            kt AS (SELECT tgt_id, SUM(c) AS kt FROM rt
+                   WHERE r <= 4 GROUP BY tgt_id),
+            sc AS (SELECT p.src_id, p.tgt_id, p.c,
+                          CASE WHEN ks.ks + kt.kt > 0 THEN
+                            CAST(p.c * 8 * 1000000 // (ks.ks + kt.kt)
+                                 AS BIGINT) END AS margin_ppm
+                   FROM p JOIN ks USING (src_id) JOIN kt USING (tgt_id)),
+            b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                    ORDER BY margin_ppm DESC NULLS LAST, c DESC, tgt_id)
+                    AS rb
+                  FROM sc)
+            SELECT src_id, tgt_id, c AS c_micro, margin_ppm
+            FROM b WHERE rb = 1 AND margin_ppm >= 1000000
+            ORDER BY src_id""",
+        "q152_hubness": r"""
+            WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            p AS (SELECT src_id, tgt_id,
+                         CAST(ROUND(ROUND(list_cosine_similarity(s.v, t.v),
+                                          6) * 1000000, 0) AS BIGINT) AS c
+                  FROM s CROSS JOIN t),
+            rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                     ORDER BY c DESC, tgt_id) AS r FROM p),
+            occ AS (SELECT tgt_id, COUNT(*) AS n_k FROM rs
+                    WHERE r <= 4 GROUP BY tgt_id)
+            SELECT t.tgt_id, CAST(COALESCE(occ.n_k, 0) AS BIGINT) AS n_k
+            FROM t LEFT JOIN occ ON t.tgt_id = occ.tgt_id
+            ORDER BY t.tgt_id""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
