@@ -2831,6 +2831,72 @@ def _q152_hubness(spark, sf):
     return hubness_report(src, tgt, k=4).orderBy("tgt_id")
 
 
+def _q153_mojibake(spark, sf):
+    # Encoding-damage gate (operators/webclean.py::mojibake_report):
+    # U+FFFD / latin-mojibake-bigram / C1-control counts + integer-ppm
+    # keep flag, one projection.  Deterministic damage is appended to
+    # the corpus text so every artifact class fires; DuckDB replays the
+    # damage formula and the exact RE2-safe patterns.
+    from knowledgebase_processor_spark.operators.webclean import (
+        mojibake_report)
+    d = _t(spark, sf, "documents")
+    dmg = F.concat(
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" "),
+                        F.repeat(F.lit("�"),
+                                 (F.col("doc_id") % 4).cast("int"))))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.repeat(F.lit("Ã©"), 2)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\u0085"))
+        .otherwise(F.lit("")))
+    damaged = d.select("doc_id",
+                       F.concat(F.col("text"), dmg).alias("text"))
+    return mojibake_report(damaged).orderBy("doc_id")
+
+
+def _q154_url_align(spark, sf):
+    # URL-structure bitext alignment (operators/webclean.py::
+    # url_align_pairs, the WMT document-alignment baseline): strip the
+    # /lang/ segment, one equi-join of the language sides on the
+    # neutral key.
+    from knowledgebase_processor_spark.operators.webclean import (
+        url_align_pairs)
+    d = _t(spark, sf, "documents")
+    lang = F.when(F.col("doc_id") % 3 == 0, "en") \
+        .when(F.col("doc_id") % 3 == 1, "fr").otherwise("de")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("http://h"),
+                 (F.expr("doc_id DIV 3") % 5).cast("string"),
+                 F.lit("/"), lang, F.lit("/p"),
+                 F.expr("doc_id DIV 3").cast("string")).alias("url"))
+    return url_align_pairs(pages).orderBy("en_id")
+
+
+def _q155_robots_parse(spark, sf):
+    # Distributed robots.txt parse (operators/webclean.py::parse_robots):
+    # stateful group semantics as a window running count, rules frame
+    # ready for urlrules.apply_url_rules.  One synthetic robots body per
+    # host; the oracle replays the expected rule rows from the same
+    # formulas (parse mechanics are unit-tested incl. stacked agents).
+    from knowledgebase_processor_spark.operators.webclean import (
+        parse_robots)
+    d = _t(spark, sf, "documents")
+    body = F.concat(
+        F.lit("# generated\nUser-agent: *\nDisallow: /p"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("/\nAllow: /p"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("/ok\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nUser-agent: bot\nCrawl-delay: 2\nDisallow: /x/\n"))
+        .otherwise(F.lit("")))
+    robots = d.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        body.alias("robots_txt"))
+    return parse_robots(robots).orderBy("host", "agent", "rule_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2985,6 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_skew_report": _q150_skew_report,
         "q151_margin_mine": _q151_margin_mine,
         "q152_hubness": _q152_hubness,
+        "q153_mojibake": _q153_mojibake,
+        "q154_url_align": _q154_url_align,
+        "q155_robots_parse": _q155_robots_parse,
     }
 
 
@@ -6252,6 +6321,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tgt_id, CAST(COALESCE(occ.n_k, 0) AS BIGINT) AS n_k
             FROM t LEFT JOIN occ ON t.tgt_id = occ.tgt_id
             ORDER BY t.tgt_id""",
+        "q153_mojibake": r"""
+            WITH dam AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' ' || repeat(chr(65533), doc_id % 4)
+                     ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN repeat(chr(195) || chr(169), 2) ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN chr(133) ELSE '' END
+                AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     GREATEST(length(text), 1) AS n,
+                     CAST(len(regexp_extract_all(text,
+                       '\x{FFFD}')) AS BIGINT) AS n_fffd,
+                     CAST(len(regexp_extract_all(text,
+                       '[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}]'))
+                       AS BIGINT) AS n_latin_artifacts,
+                     CAST(len(regexp_extract_all(text,
+                       '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1_controls
+              FROM dam)
+            SELECT doc_id, n_fffd, n_latin_artifacts, n_c1_controls,
+                   CAST(n_fffd + n_latin_artifacts + n_c1_controls
+                        AS BIGINT) AS n_damaged,
+                   CAST((n_fffd + n_latin_artifacts + n_c1_controls)
+                        * 1000000 // n AS BIGINT) AS damaged_ppm,
+                   ((n_fffd + n_latin_artifacts + n_c1_controls)
+                    * 1000000 // n) <= 1000 AS keep
+            FROM c ORDER BY doc_id""",
+        "q154_url_align": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     'http://h' || ((doc_id // 3) % 5) || '/' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                          ELSE 'de' END || '/p' || (doc_id // 3) AS url
+              FROM documents),
+            en AS (SELECT DISTINCT doc_id AS en_id,
+                          replace(url, '/en/', '/') AS key
+                   FROM p WHERE url LIKE '%/en/%'),
+            fr AS (SELECT DISTINCT doc_id AS fr_id,
+                          replace(url, '/fr/', '/') AS key
+                   FROM p WHERE url LIKE '%/fr/%')
+            SELECT en.key, en_id, fr_id
+            FROM en JOIN fr ON en.key = fr.key
+            ORDER BY en_id""",
+        "q155_robots_parse": r"""
+            WITH star AS (
+              SELECT 'h' || doc_id AS host, '*' AS agent,
+                     CAST(1 AS INT) AS rule_idx, FALSE AS allow,
+                     '/p' || (doc_id % 4) || '/' AS path
+              FROM documents
+              UNION ALL
+              SELECT 'h' || doc_id, '*', CAST(2 AS INT), TRUE,
+                     '/p' || (doc_id % 4) || '/ok'
+              FROM documents),
+            bot AS (
+              SELECT 'h' || doc_id AS host, 'bot' AS agent,
+                     CAST(1 AS INT) AS rule_idx, FALSE AS allow,
+                     '/x/' AS path
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT host, agent, rule_idx, allow, path FROM star
+            UNION ALL
+            SELECT host, agent, rule_idx, allow, path FROM bot
+            ORDER BY host, agent, rule_idx""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -1,0 +1,129 @@
+"""Web-text encoding hygiene + URL-structure bitext alignment + robots
+parsing (beyond-reference webtext surface; companions to urlrules.py /
+functions.text quality signals).
+
+All three are pure-codegen column programs (regex counts, key joins,
+one window) with exact integer outputs — no Python row path, and every
+formula is replayed verbatim by the driver oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Encoding-damage signals, each RE2-safe (no lookaround) so the exact
+# pattern strings run in the DuckDB oracle:
+#  * U+FFFD replacement chars — decode failures;
+#  * UTF-8-read-as-Latin-1 artifacts: 'Ã'/'Â' followed by another
+#    non-ASCII (the classic mojibake bigrams a£, Ã©, â€™ ...);
+#  * C1 control block U+0080-U+009F — CP1252 bytes mis-mapped.
+# Escaped code points (\\x{..} parses identically in Java regex and
+# RE2/DuckDB) rather than raw bytes in the pattern literals.
+_FFFD = "\\x{FFFD}"
+_LATIN_ARTIFACT = "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}]"
+_C1 = "[\\x{0080}-\\x{009F}]"
+
+MOJIBAKE_BAD_PPM = 1_000   # >0.1% damaged chars -> reject
+
+
+def mojibake_report(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-doc encoding-damage report: counts of each artifact class,
+    damaged chars per million (integer DIV — exact), and the keep flag.
+    One projection over the corpus — the cheapest cleaning gate."""
+    t = F.col(text_col)
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(t), F.lit(1)).cast("long").alias("__n"),
+        F.size(F.regexp_extract_all(t, F.lit(_FFFD), F.lit(0)))
+        .cast("long").alias("n_fffd"),
+        F.size(F.regexp_extract_all(t, F.lit(_LATIN_ARTIFACT), F.lit(0)))
+        .cast("long").alias("n_latin_artifacts"),
+        F.size(F.regexp_extract_all(t, F.lit(_C1), F.lit(0)))
+        .cast("long").alias("n_c1_controls"))
+    return (counted
+            .withColumn("n_damaged",
+                        F.expr("n_fffd + n_latin_artifacts + n_c1_controls"))
+            .withColumn("damaged_ppm", F.expr("n_damaged * 1000000 DIV __n"))
+            .withColumn("keep",
+                        F.expr(f"damaged_ppm <= {MOJIBAKE_BAD_PPM}"))
+            .drop("__n"))
+
+
+def url_align_pairs(pages: DataFrame, langs: tuple[str, str] = ("en", "fr"),
+                    url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """URL-structure bitext alignment (the WMT16 document-alignment
+    baseline, Buck & Koehn): pages whose URLs differ ONLY in a
+    language path segment (``/en/`` vs ``/fr/``) pair up.
+
+    Strip the segment to a language-neutral key, then one equi-join of
+    the two language sides on the key — at crawl scale both sides
+    shuffle-partition on the key; a host serving millions of pages per
+    key is a data bug the ``distinct`` guards.  Complements
+    `bitext.margin_mine` (structure-based recall, embedding-based
+    precision).  Returns (key, <lang-a>_id, <lang-b>_id)."""
+    a, b = langs
+
+    def side(lang, out):
+        marker = f"/{lang}/"
+        return (pages.select(F.col(id_col).alias(out), F.col(url_col))
+                .filter(F.col(url_col).contains(marker))
+                .select(out, F.replace(F.col(url_col), F.lit(marker),
+                                       F.lit("/")).alias("key"))
+                .distinct())
+
+    return (side(a, f"{a}_id").join(side(b, f"{b}_id"), "key")
+            .select("key", f"{a}_id", f"{b}_id"))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Distributed robots.txt parse: one (host, robots body) row in,
+    one (host, agent, rule_idx, allow, path) row per rule out — the
+    rules frame `urlrules.apply_url_rules` consumes.
+
+    Stateful line semantics ("rules attach to the most recent
+    User-agent group") become a window running-count: explode lines
+    with position, group id = count of User-agent lines seen so far in
+    (host, line-order) — one spillable window per host, no Python.
+    Comment (#...) and blank lines drop; unknown directives drop;
+    multiple User-agent lines stacked on one group are normalized to
+    one agent per rule row (the cross join inside the group).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    lines = lines.select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line")) \
+        .filter(F.col("line") != "")
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+        .alias("directive"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("value"))
+    # group boundary = a User-agent line NOT preceded by another
+    # User-agent line ("User-agent: a\nUser-agent: b\nDisallow: /x"
+    # is ONE group; both agents receive the rule via the group join).
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn("__prev", F.lag("directive").over(w)) \
+        .withColumn(
+            "grp", F.sum(F.when((F.col("directive") == "user-agent")
+                                & (F.coalesce(F.col("__prev"), F.lit(""))
+                                   != "user-agent"), 1)
+                         .otherwise(0)).over(w))
+
+    agents = (grouped.filter(F.col("directive") == "user-agent")
+              .select("host", "grp", F.col("value").alias("agent")))
+    rules = (grouped.filter(F.col("directive").isin("allow", "disallow")
+                            & (F.col("value") != ""))
+             .select("host", "grp", "pos",
+                     (F.col("directive") == "allow").alias("allow"),
+                     F.col("value").alias("path")))
+    out = (agents.join(rules, ["host", "grp"])
+           .withColumn("rule_idx",
+                       F.row_number().over(
+                           Window.partitionBy("host", "agent")
+                           .orderBy("pos")).cast("int")))
+    return out.select("host", "agent", "rule_idx", "allow", "path")
