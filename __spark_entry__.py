@@ -2897,6 +2897,51 @@ def _q155_robots_parse(spark, sf):
     return parse_robots(robots).orderBy("host", "agent", "rule_idx")
 
 
+def _q156_tag_density(spark, sf):
+    # Markup-density pre-filter (operators/webclean.py::
+    # tag_density_report): tag/anchor counts + visible-text ppm, one
+    # projection with oracle-shared RE2 patterns.  Deterministic HTML
+    # wrapper around the corpus text.
+    from knowledgebase_processor_spark.operators.webclean import (
+        tag_density_report)
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>T"), F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.repeat(F.lit("<a href=/l>link</a>"),
+                 (F.col("doc_id") % 5).cast("int")),
+        F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"))
+    return tag_density_report(
+        d.select("doc_id", html.alias("html"))).orderBy("doc_id")
+
+
+def _q157_predicate_fill(spark, sf):
+    # KG schema-completeness report (operators/kgquality.py::
+    # predicate_fill_rate, ReCoIn-style): per (class, predicate), share
+    # of instances asserting it — one membership⋈presence join + one
+    # partial-agg groupBy, exact integer ppm.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        predicate_fill_rate)
+    from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+    d = _t(spark, sf, "documents")
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    types = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _name("C", F.col("doc_id") % 6).alias("obj"))
+    p1 = (d.filter(F.col("doc_id") % 3 != 0)
+          .select(_name("e", F.col("doc_id")).alias("subj"),
+                  _name("p", F.col("doc_id") % 4).alias("pred"),
+                  F.lit("v").alias("obj")))
+    p2 = (d.filter(F.col("doc_id") % 5 == 0)
+          .select(_name("e", F.col("doc_id")).alias("subj"),
+                  F.lit("q").alias("pred"), F.lit("v").alias("obj")))
+    return (predicate_fill_rate(types.unionByName(p1).unionByName(p2))
+            .orderBy("cls", "pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3054,6 +3099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_mojibake": _q153_mojibake,
         "q154_url_align": _q154_url_align,
         "q155_robots_parse": _q155_robots_parse,
+        "q156_tag_density": _q156_tag_density,
+        "q157_predicate_fill": _q157_predicate_fill,
     }
 
 
@@ -6386,6 +6433,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT host, agent, rule_idx, allow, path FROM bot
             ORDER BY host, agent, rule_idx""",
+        "q156_tag_density": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body><h1>T' || doc_id || '</h1>' ||
+                     repeat('<a href=/l>link</a>', doc_id % 5) ||
+                     '<p>' || text || '</p></body></html>' AS html
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     GREATEST(length(html), 1) AS n,
+                     CAST(len(regexp_extract_all(html, '<[^>]*>'))
+                          AS BIGINT) AS n_tags,
+                     CAST(len(regexp_extract_all(html, '<[aA][ >/]'))
+                          AS BIGINT) AS n_anchor_tags,
+                     CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                          AS BIGINT) AS text_chars
+              FROM h)
+            SELECT doc_id, n_tags, n_anchor_tags, text_chars,
+                   CAST(text_chars * 1000000 // n AS BIGINT) AS text_ppm
+            FROM c ORDER BY doc_id""",
+        "q157_predicate_fill": r"""
+            WITH members AS (
+              SELECT DISTINCT 'e' || doc_id AS subj,
+                              'C' || (doc_id % 6) AS cls
+              FROM documents),
+            sizes AS (SELECT cls, COUNT(*) AS n_instances
+                      FROM members GROUP BY cls),
+            presence AS (
+              SELECT DISTINCT subj, pred FROM (
+                SELECT 'e' || doc_id AS subj, 'p' || (doc_id % 4) AS pred
+                FROM documents WHERE doc_id % 3 <> 0
+                UNION ALL
+                SELECT 'e' || doc_id, 'q' FROM documents
+                WHERE doc_id % 5 = 0)),
+            filled AS (
+              SELECT m.cls, p.pred, COUNT(*) AS n_with_pred
+              FROM members m JOIN presence p ON m.subj = p.subj
+              GROUP BY m.cls, p.pred)
+            SELECT f.cls, f.pred,
+                   CAST(s.n_instances AS BIGINT) AS n_instances,
+                   CAST(f.n_with_pred AS BIGINT) AS n_with_pred,
+                   CAST(f.n_with_pred * 1000000 // s.n_instances AS BIGINT)
+                     AS fill_ppm
+            FROM filled f JOIN sizes s ON f.cls = s.cls
+            ORDER BY f.cls, f.pred""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -127,3 +127,28 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
                            Window.partitionBy("host", "agent")
                            .orderBy("pos")).cast("int")))
     return out.select("host", "agent", "rule_idx", "allow", "path")
+
+
+def tag_density_report(pages: DataFrame, id_col: str = "doc_id",
+                       html_col: str = "html") -> DataFrame:
+    """Markup-density profile per page (boilerplate signal: jusText /
+    Readability both gate on text-to-tag ratio before anything else):
+    tag count, anchor-tag count, visible-text length after tag strip,
+    and text share in integer ppm.  One projection, RE2-safe patterns
+    shared verbatim with the oracle.  `sources/html_extract` does the
+    real boilerplate strip; this is the cheap pre-filter that decides
+    whether a page is worth running it on."""
+    t = F.col(html_col)
+    n_tags = F.size(F.regexp_extract_all(t, F.lit("<[^>]*>"), F.lit(0)))
+    n_anchor = F.size(F.regexp_extract_all(
+        t, F.lit("<[aA][ >/]"), F.lit(0)))
+    text_len = F.length(F.regexp_replace(t, "<[^>]*>", ""))
+    counted = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(t), F.lit(1)).cast("long").alias("__n"),
+        n_tags.cast("long").alias("n_tags"),
+        n_anchor.cast("long").alias("n_anchor_tags"),
+        text_len.cast("long").alias("text_chars"))
+    return (counted
+            .withColumn("text_ppm", F.expr("text_chars * 1000000 DIV __n"))
+            .drop("__n"))

@@ -1,0 +1,76 @@
+"""Batch-21 round-2 operators: HTML tag-density profile
+(operators/webclean.py::tag_density_report), KG predicate fill-rate
+(operators/kgquality.py)."""
+
+from knowledgebase_processor_spark.operators.kgquality import (
+    predicate_fill_rate)
+from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+from knowledgebase_processor_spark.operators.webclean import (
+    tag_density_report)
+
+
+# -------------------------------------------------------- tag density ----
+
+def test_tag_density_counts(spark):
+    html = "<html><body><p>Hello</p><a href=x>link</a><A>two</A></body>"
+    pages = spark.createDataFrame([(1, html), (2, "plain text only")],
+                                  "doc_id long, html string")
+    out = {r.doc_id: r for r in tag_density_report(pages).collect()}
+    h = out[1]
+    # <html> <body> <p> </p> <a href=x> </a> <A> </A> </body> = 9
+    assert h.n_tags == 9
+    assert h.n_anchor_tags == 2       # <a href> and <A>
+    assert h.text_chars == len("Hellolinktwo")
+    p = out[2]
+    assert (p.n_tags, p.n_anchor_tags) == (0, 0)
+    assert p.text_ppm == 1_000_000
+
+
+def test_tag_density_empty_and_unclosed(spark):
+    pages = spark.createDataFrame(
+        [(1, ""), (2, "<div unclosed forever")],
+        "doc_id long, html string")
+    out = {r.doc_id: r for r in tag_density_report(pages).collect()}
+    assert out[1].text_ppm == 0       # empty html, guard denominator
+    # unclosed tag never matches <[^>]*> -> counts as text
+    assert out[2].n_tags == 0 and out[2].text_ppm == 1_000_000
+
+
+# ---------------------------------------------------- predicate fill ----
+
+def _t3(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_predicate_fill_rate_basic(spark):
+    rows = [
+        ("a", RDF_TYPE, "Person"), ("b", RDF_TYPE, "Person"),
+        ("c", RDF_TYPE, "Person"), ("x", RDF_TYPE, "Org"),
+        ("a", "born", "1990"), ("b", "born", "1991"),
+        ("a", "name", "A"), ("x", "name", "X"),
+        ("a", "born", "1990-dup"),      # second assertion: still 1 instance
+    ]
+    out = {(r.cls, r.pred): r for r in
+           predicate_fill_rate(_t3(spark, rows)).collect()}
+    born = out[("Person", "born")]
+    assert (born.n_instances, born.n_with_pred) == (3, 2)
+    assert born.fill_ppm == 666_666
+    assert out[("Person", "name")].n_with_pred == 1
+    assert out[("Org", "name")].fill_ppm == 1_000_000
+    # predicates never asserted by a class's instances produce no row
+    assert ("Org", "born") not in out
+
+
+def test_predicate_fill_rate_multi_typed_instance(spark):
+    rows = [("a", RDF_TYPE, "Person"), ("a", RDF_TYPE, "Author"),
+            ("a", "wrote", "Book")]
+    out = {(r.cls, r.pred): r.fill_ppm for r in
+           predicate_fill_rate(_t3(spark, rows)).collect()}
+    # membership is per class: the instance fills both classes
+    assert out == {("Person", "wrote"): 1_000_000,
+                   ("Author", "wrote"): 1_000_000}
+
+
+def test_predicate_fill_rate_untyped_subjects_ignored(spark):
+    rows = [("a", "p", "x")]
+    assert predicate_fill_rate(_t3(spark, rows)).count() == 0
