@@ -2942,6 +2942,60 @@ def _q157_predicate_fill(spark, sf):
             .orderBy("cls", "pred"))
 
 
+def _q158_dangling_refs(spark, sf):
+    # KG referential-integrity audit (operators/kgquality.py::
+    # dangling_objects): per predicate, URI objects referenced but never
+    # described — distinct projection + anti-join + partial-agg rollup.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        dangling_objects)
+    from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+    d = _t(spark, sf, "documents")
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    types = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _name("C", F.col("doc_id") % 6).alias("obj"),
+                     F.lit(True).alias("obj_is_uri"))
+    lit_row = F.col("doc_id") % 7 == 0
+    dang_row = F.col("doc_id") % 2 == 1
+    props = d.select(
+        _name("e", F.col("doc_id")).alias("subj"),
+        _name("p", F.col("doc_id") % 4).alias("pred"),
+        F.when(lit_row, F.lit("lit"))
+        .when(dang_row, _name("x", F.col("doc_id")))
+        .otherwise(_name("e", F.expr("doc_id DIV 2"))).alias("obj"),
+        (~lit_row).alias("obj_is_uri"))
+    return dangling_objects(types.unionByName(props)).orderBy("pred")
+
+
+def _q159_domain_violations(spark, sf):
+    # Domain-conformance audit (operators/kgquality.py::
+    # domain_violations) — the validation twin of the q140 entailment:
+    # per (pred, required domain class), asserting subjects missing the
+    # type.  Broadcast schema, two distinct projections, one anti-join.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        domain_violations)
+    from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+    d = _t(spark, sf, "documents")
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    types = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _name("C", F.col("doc_id") % 6).alias("obj"))
+    props = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     _name("p", F.col("doc_id") % 4).alias("pred"),
+                     F.lit("v").alias("obj"))
+    schema = spark.range(0, 4).select(
+        _name("p", F.col("id")).alias("pred"),
+        _name("C", F.col("id")).alias("domain_cls"))
+    return (domain_violations(types.unionByName(props), schema)
+            .orderBy("pred", "domain_cls"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3101,6 +3155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_robots_parse": _q155_robots_parse,
         "q156_tag_density": _q156_tag_density,
         "q157_predicate_fill": _q157_predicate_fill,
+        "q158_dangling_refs": _q158_dangling_refs,
+        "q159_domain_violations": _q159_domain_violations,
     }
 
 
@@ -6478,6 +6534,64 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ppm
             FROM filled f JOIN sizes s ON f.cls = s.cls
             ORDER BY f.cls, f.pred""",
+        "q158_dangling_refs": r"""
+            WITH t AS (
+              SELECT 'e' || doc_id AS subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS pred,
+                     'C' || (doc_id % 6) AS obj, TRUE AS uri
+              FROM documents
+              UNION ALL
+              SELECT 'e' || doc_id, 'p' || (doc_id % 4),
+                     CASE WHEN doc_id % 7 = 0 THEN 'lit'
+                          WHEN doc_id % 2 = 1 THEN 'x' || doc_id
+                          ELSE 'e' || (doc_id // 2) END,
+                     doc_id % 7 <> 0
+              FROM documents),
+            objs AS (SELECT DISTINCT pred, obj FROM t WHERE uri),
+            described AS (SELECT DISTINCT subj AS obj FROM t),
+            dang AS (
+              SELECT pred, COUNT(*) AS n_dangling FROM objs o
+              WHERE NOT EXISTS (SELECT 1 FROM described d
+                                WHERE d.obj = o.obj)
+              GROUP BY pred),
+            tot AS (SELECT pred, COUNT(*) AS n_objects
+                    FROM objs GROUP BY pred)
+            SELECT tot.pred, CAST(tot.n_objects AS BIGINT) AS n_objects,
+                   CAST(COALESCE(dang.n_dangling, 0) AS BIGINT)
+                     AS n_dangling,
+                   CAST(COALESCE(dang.n_dangling, 0) * 1000000
+                        // tot.n_objects AS BIGINT) AS dangling_ppm
+            FROM tot LEFT JOIN dang ON tot.pred = dang.pred
+            ORDER BY tot.pred""",
+        "q159_domain_violations": r"""
+            WITH asserting AS (
+              SELECT DISTINCT 'e' || doc_id AS subj,
+                              'p' || (doc_id % 4) AS pred,
+                              'C' || (doc_id % 4) AS domain_cls
+              FROM documents),
+            typed AS (
+              SELECT DISTINCT 'e' || doc_id AS subj,
+                              'C' || (doc_id % 6) AS domain_cls
+              FROM documents),
+            viol AS (
+              SELECT pred, domain_cls, COUNT(*) AS n_violating
+              FROM asserting a
+              WHERE NOT EXISTS (SELECT 1 FROM typed t
+                                WHERE t.subj = a.subj
+                                  AND t.domain_cls = a.domain_cls)
+              GROUP BY pred, domain_cls),
+            tot AS (SELECT pred, domain_cls, COUNT(*) AS n_subjects
+                    FROM asserting GROUP BY pred, domain_cls)
+            SELECT tot.pred, tot.domain_cls,
+                   CAST(tot.n_subjects AS BIGINT) AS n_subjects,
+                   CAST(COALESCE(v.n_violating, 0) AS BIGINT)
+                     AS n_violating,
+                   CAST(COALESCE(v.n_violating, 0) * 1000000
+                        // tot.n_subjects AS BIGINT) AS violation_ppm
+            FROM tot LEFT JOIN viol v
+              ON tot.pred = v.pred AND tot.domain_cls = v.domain_cls
+            ORDER BY tot.pred, tot.domain_cls""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -41,3 +41,63 @@ def predicate_fill_rate(triples: DataFrame,
                     F.col("n_with_pred").cast("long").alias("n_with_pred"),
                     F.expr("n_with_pred * 1000000 DIV n_instances")
                     .alias("fill_ppm")))
+
+
+def dangling_objects(triples: DataFrame,
+                     type_pred: str = RDF_TYPE) -> DataFrame:
+    """Referential-integrity audit: per predicate, how many of its URI
+    objects are DANGLING — referenced but never described (no type, no
+    outgoing assertion).  The post-ingest signal that entity resolution
+    missed targets or the crawl frontier hasn't reached them.
+
+    One distinct (pred, obj) projection left-anti-joined against the
+    described-subject set, then a partial-agg rollup against per-pred
+    object totals.  Needs `obj_is_uri` when literals are present
+    (literals are never dangling).
+    """
+    has_uri = "obj_is_uri" in triples.columns
+    objs = (triples.filter(F.col("obj_is_uri") if has_uri else F.lit(True))
+            .select("pred", "obj").distinct())
+    described = triples.select(F.col("subj").alias("obj")).distinct()
+    dangling = (objs.join(described, "obj", "left_anti")
+                .groupBy("pred").agg(F.count(F.lit(1)).alias("n_dangling")))
+    totals = objs.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_objects"))
+    return (totals.join(dangling, "pred", "left")
+            .select("pred", F.col("n_objects").cast("long").alias("n_objects"),
+                    F.coalesce("n_dangling", F.lit(0)).cast("long")
+                    .alias("n_dangling"))
+            .withColumn("dangling_ppm",
+                        F.expr("n_dangling * 1000000 DIV n_objects")))
+
+
+def domain_violations(triples: DataFrame, schema: DataFrame,
+                      type_pred: str = RDF_TYPE) -> DataFrame:
+    """Validation twin of `rdfs.rdfs_closure`: where the closure ADDS
+    the domain type, this REPORTS assertions whose subject does not
+    already carry it — per (pred, domain class): asserting subjects vs
+    subjects missing the type.  Curators run the audit BEFORE deciding
+    whether to materialize the entailment or fix the data (a high
+    violation rate usually means a mis-modeled predicate, not 10^9
+    missing type rows).
+
+    ``schema``: (pred, domain_cls) rows — broadcast.  Two distinct
+    projections + one anti-join against the type table; exact ppm.
+    """
+    dom = F.broadcast(schema.select("pred", "domain_cls").distinct())
+    asserting = (triples.filter(F.col("pred") != type_pred)
+                 .select("subj", "pred").distinct().join(dom, "pred"))
+    typed = (triples.filter(F.col("pred") == type_pred)
+             .select("subj", F.col("obj").alias("domain_cls")).distinct())
+    viol = (asserting.join(typed, ["subj", "domain_cls"], "left_anti")
+            .groupBy("pred", "domain_cls")
+            .agg(F.count(F.lit(1)).alias("n_violating")))
+    totals = asserting.groupBy("pred", "domain_cls").agg(
+        F.count(F.lit(1)).alias("n_subjects"))
+    return (totals.join(viol, ["pred", "domain_cls"], "left")
+            .select("pred", "domain_cls",
+                    F.col("n_subjects").cast("long").alias("n_subjects"),
+                    F.coalesce("n_violating", F.lit(0)).cast("long")
+                    .alias("n_violating"))
+            .withColumn("violation_ppm",
+                        F.expr("n_violating * 1000000 DIV n_subjects")))

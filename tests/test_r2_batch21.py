@@ -74,3 +74,56 @@ def test_predicate_fill_rate_multi_typed_instance(spark):
 def test_predicate_fill_rate_untyped_subjects_ignored(spark):
     rows = [("a", "p", "x")]
     assert predicate_fill_rate(_t3(spark, rows)).count() == 0
+
+
+# ------------------------------------------------------ dangling audit ----
+
+def test_dangling_objects_counts(spark):
+    from knowledgebase_processor_spark.operators.kgquality import (
+        dangling_objects)
+    rows = [
+        ("a", "knows", "b", True), ("b", RDF_TYPE, "Person", True),
+        ("a", "knows", "ghost", True),      # referenced, never described
+        ("a", "label", "lit", False),        # literal: never dangling
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean")
+    out = {r.pred: r for r in dangling_objects(t).collect()}
+    knows = out["knows"]
+    assert (knows.n_objects, knows.n_dangling) == (2, 1)
+    assert knows.dangling_ppm == 500_000
+    assert "label" not in out                 # literal-only predicate
+    assert out[RDF_TYPE].n_dangling == 1      # 'Person' itself undescribed
+
+
+def test_domain_violations_counts(spark):
+    from knowledgebase_processor_spark.operators.kgquality import (
+        domain_violations)
+    rows = [
+        ("a", RDF_TYPE, "Person"), ("a", "born", "1990"),
+        ("b", "born", "1991"),                 # b untyped -> violation
+        ("c", RDF_TYPE, "Org"), ("c", "born", "1970"),  # wrong type
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    schema = spark.createDataFrame([("born", "Person")],
+                                   "pred string, domain_cls string")
+    r = domain_violations(t, schema).collect()[0]
+    assert (r.pred, r.domain_cls) == ("born", "Person")
+    assert (r.n_subjects, r.n_violating) == (3, 2)
+    assert r.violation_ppm == 666_666
+
+
+def test_domain_violations_zero_after_closure(spark):
+    from knowledgebase_processor_spark.operators.kgquality import (
+        domain_violations)
+    from knowledgebase_processor_spark.operators.rdfs import (
+        RDFS_DOMAIN, rdfs_closure)
+    rows = [("born", RDFS_DOMAIN, "Person"),
+            ("a", "born", "1990"), ("b", "born", "1991")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    closed = rdfs_closure(t)
+    schema = spark.createDataFrame([("born", "Person")],
+                                   "pred string, domain_cls string")
+    # materializing the entailment clears every domain violation
+    assert domain_violations(closed, schema) \
+        .agg({"n_violating": "sum"}).collect()[0][0] == 0
