@@ -2996,6 +2996,30 @@ def _q159_domain_violations(spark, sf):
             .orderBy("pred", "domain_cls"))
 
 
+def _q160_class_counts(spark, sf):
+    # Faceted-browse class hierarchy counts (operators/kgquality.py::
+    # class_hierarchy_counts): direct vs subclass-inclusive instance
+    # counts; subclass closure broadcast, countDistinct lift dedups
+    # multi-typed instances.  Binary-tree 16-class ontology over doc_id.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        class_hierarchy_counts)
+    from knowledgebase_processor_spark.operators.rdfs import (
+        RDF_TYPE, RDFS_SUBCLASS)
+    d = _t(spark, sf, "documents")
+
+    def _name(prefix, col):
+        return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+    sc = spark.range(1, 16).select(
+        _name("C", F.col("id")).alias("subj"),
+        F.lit(RDFS_SUBCLASS).alias("pred"),
+        _name("C", F.expr("id DIV 2")).alias("obj"))
+    types = d.select(_name("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _name("C", F.col("doc_id") % 16).alias("obj"))
+    return class_hierarchy_counts(sc.unionByName(types)).orderBy("cls")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3157,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_predicate_fill": _q157_predicate_fill,
         "q158_dangling_refs": _q158_dangling_refs,
         "q159_domain_violations": _q159_domain_violations,
+        "q160_class_counts": _q160_class_counts,
     }
 
 
@@ -6592,6 +6617,33 @@ def oracle_sql() -> dict[str, str]:
             FROM tot LEFT JOIN viol v
               ON tot.pred = v.pred AND tot.domain_cls = v.domain_cls
             ORDER BY tot.pred, tot.domain_cls""",
+        "q160_class_counts": r"""
+            WITH RECURSIVE
+            sc0 AS (SELECT 'C' || i AS src, 'C' || (i // 2) AS dst
+                    FROM range(1, 16) t(i)),
+            sc(src, dst) AS (
+              SELECT src, dst FROM sc0
+              UNION
+              SELECT s.src, e.dst FROM sc s JOIN sc0 e ON s.dst = e.src),
+            members AS (
+              SELECT DISTINCT 'e' || doc_id AS subj,
+                              'C' || (doc_id % 16) AS cls
+              FROM documents),
+            lifted AS (
+              SELECT DISTINCT subj, cls FROM (
+                SELECT subj, cls FROM members
+                UNION ALL
+                SELECT m.subj, s.dst FROM members m JOIN sc s
+                  ON m.cls = s.src)),
+            direct AS (SELECT cls, COUNT(*) AS n_direct
+                       FROM members GROUP BY cls),
+            total AS (SELECT cls, COUNT(*) AS n_total
+                      FROM lifted GROUP BY cls)
+            SELECT t.cls, CAST(COALESCE(d.n_direct, 0) AS BIGINT)
+                     AS n_direct,
+                   CAST(t.n_total AS BIGINT) AS n_total
+            FROM total t LEFT JOIN direct d ON t.cls = d.cls
+            ORDER BY t.cls""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

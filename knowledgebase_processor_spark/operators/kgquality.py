@@ -101,3 +101,42 @@ def domain_violations(triples: DataFrame, schema: DataFrame,
                     .alias("n_violating"))
             .withColumn("violation_ppm",
                         F.expr("n_violating * 1000000 DIV n_subjects")))
+
+
+def class_hierarchy_counts(triples: DataFrame,
+                           type_pred: str = RDF_TYPE) -> DataFrame:
+    """Faceted-browse class counts: per class, DIRECT instances and
+    TOTAL instances including every subclass (the number a KG browser
+    shows next to each tree node).
+
+    The subclass closure runs on the tiny schema side
+    (`rdfs.subClassOf` rows, doubling joins) and broadcasts into one
+    join against the distinct (instance, class) membership frame;
+    totals are countDistinct over the lifted memberships — an instance
+    typed by two subclasses of C counts ONCE toward C.  Two partial-agg
+    shuffles total on the instance side.
+    """
+    from .graph_query import transitive_closure
+    from .rdfs import RDFS_SUBCLASS
+
+    members = (triples.filter(F.col("pred") == type_pred)
+               .select("subj", F.col("obj").alias("cls")).distinct())
+    sc_edges = (triples.filter(F.col("pred") == RDFS_SUBCLASS)
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+    sc_plus = transitive_closure(sc_edges)
+    # reflexive lift: every membership also counts toward the class
+    # itself, plus every ancestor from the closure.
+    lifted = members.unionByName(
+        members.join(F.broadcast(sc_plus.withColumnRenamed("src", "cls")),
+                     "cls")
+        .select("subj", F.col("dst").alias("cls"))).distinct()
+    direct = members.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_direct"))
+    total = lifted.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    return (total.join(direct, "cls", "left")
+            .select("cls",
+                    F.coalesce("n_direct", F.lit(0)).cast("long")
+                    .alias("n_direct"),
+                    F.col("n_total").cast("long").alias("n_total")))

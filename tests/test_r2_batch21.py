@@ -127,3 +127,33 @@ def test_domain_violations_zero_after_closure(spark):
     # materializing the entailment clears every domain violation
     assert domain_violations(closed, schema) \
         .agg({"n_violating": "sum"}).collect()[0][0] == 0
+
+
+def test_class_hierarchy_counts(spark):
+    from knowledgebase_processor_spark.operators.kgquality import (
+        class_hierarchy_counts)
+    from knowledgebase_processor_spark.operators.rdfs import RDFS_SUBCLASS
+    rows = [
+        ("Dog", RDFS_SUBCLASS, "Mammal"), ("Cat", RDFS_SUBCLASS, "Mammal"),
+        ("Mammal", RDFS_SUBCLASS, "Animal"),
+        ("rex", RDF_TYPE, "Dog"), ("tom", RDF_TYPE, "Cat"),
+        ("generic", RDF_TYPE, "Animal"),
+        # multi-typed: counts ONCE toward each ancestor
+        ("chimera", RDF_TYPE, "Dog"), ("chimera", RDF_TYPE, "Cat"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r.cls: (r.n_direct, r.n_total)
+           for r in class_hierarchy_counts(t).collect()}
+    assert out["Dog"] == (2, 2)
+    assert out["Cat"] == (2, 2)
+    assert out["Mammal"] == (0, 3)     # rex, tom, chimera (once)
+    assert out["Animal"] == (1, 4)     # + generic
+
+
+def test_class_hierarchy_no_schema_equals_direct(spark):
+    from knowledgebase_processor_spark.operators.kgquality import (
+        class_hierarchy_counts)
+    t = spark.createDataFrame([("a", RDF_TYPE, "C"), ("b", RDF_TYPE, "C")],
+                              "subj string, pred string, obj string")
+    out = class_hierarchy_counts(t).collect()
+    assert [(r.cls, r.n_direct, r.n_total) for r in out] == [("C", 2, 2)]
