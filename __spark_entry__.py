@@ -17,7 +17,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
@@ -3020,6 +3020,65 @@ def _q160_class_counts(spark, sf):
     return class_hierarchy_counts(sc.unionByName(types)).orderBy("cls")
 
 
+def _q161_ranking_eval(spark, sf):
+    # Filtered KG link-prediction ranking (operators/kgtrain.py::
+    # ranking_eval): OGB-style sampled candidates (hash mod 4 + the
+    # true tail), filtered-setting anti-join, partial-agg rank count.
+    # Truth graph is q143's deterministic (e_i, p_{i%4}, e_{i//2}).
+    from knowledgebase_processor_spark.operators.kgtrain import (
+        ranking_eval)
+    d = _t(spark, sf, "documents")
+    truth = d.select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 4).cast("string"))
+        .alias("pred"),
+        F.concat(F.lit("e"), F.floor(F.col("doc_id") / 2).cast("long")
+                 .cast("string")).alias("obj"))
+    # test subset selected on the numeric id so both engines agree
+    dsub = d.filter(F.col("doc_id") % 9 == 0)
+    test = dsub.select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 4).cast("string"))
+        .alias("pred"),
+        F.concat(F.lit("e"), F.floor(F.col("doc_id") / 2).cast("long")
+                 .cast("string")).alias("obj"))
+    ents = d.select(F.concat(F.lit("e"), F.col("doc_id").cast("string"))
+                    .alias("ent_id"))
+    return (ranking_eval(test, truth, ents, sample_mod=4)
+            .orderBy("subj", "pred", "obj"))
+
+
+def _q162_retrieval_metrics(spark, sf):
+    # Ranked-retrieval eval (operators/rankeval.py): deterministic run
+    # (5 synthetic queries, score = md5-hash of (query, doc), top-20 by
+    # row_number) scored against graded qrels (rel = doc_id % 4 on the
+    # doc_id % 3 == 0 stratum); P/R@k + micro-quantized nDCG@k.
+    from knowledgebase_processor_spark.operators.rankeval import (
+        retrieval_report)
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 5).cast("string"))
+        .alias("query_id"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", (F.col("doc_id") % 5).cast("string"),
+            F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("double").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    run = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 20).drop("rn"))
+    qrels = (d.filter(F.col("doc_id") % 3 == 0)
+             .select(F.concat(F.lit("q"), (F.col("doc_id") % 5)
+                              .cast("string")).alias("query_id"),
+                     F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+                     .alias("doc_id"),
+                     (F.col("doc_id") % 4).cast("int").alias("rel")))
+    return (retrieval_report(run, qrels, ks=(5, 10))
+            .orderBy("query_id", "k"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3182,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_dangling_refs": _q158_dangling_refs,
         "q159_domain_violations": _q159_domain_violations,
         "q160_class_counts": _q160_class_counts,
+        "q161_ranking_eval": _q161_ranking_eval,
+        "q162_retrieval_metrics": _q162_retrieval_metrics,
     }
 
 
@@ -6644,6 +6705,130 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_total AS BIGINT) AS n_total
             FROM total t LEFT JOIN direct d ON t.cls = d.cls
             ORDER BY t.cls""",
+        "q161_ranking_eval": r"""
+            WITH t AS (SELECT 'e' || doc_id AS subj,
+                              'p' || (doc_id % 4) AS pred,
+                              'e' || (doc_id // 2) AS obj
+                       FROM documents),
+            te AS (SELECT 'e' || doc_id AS subj,
+                          'p' || (doc_id % 4) AS pred,
+                          'e' || (doc_id // 2) AS obj
+                   FROM documents WHERE doc_id % 9 = 0),
+            e AS (SELECT 'e' || doc_id AS cand FROM documents),
+            c0 AS (SELECT te.subj, te.pred, te.obj, e.cand
+                   FROM te CROSS JOIN e
+                   WHERE ('0x' || substr(md5(te.subj || '|' || te.pred ||
+                            '|' || e.cand || '|cand'), 1, 15))::BIGINT
+                           % 4 = 0
+                      OR e.cand = te.obj),
+            filt AS (SELECT c0.* FROM c0
+                     WHERE NOT EXISTS (SELECT 1 FROM t
+                                       WHERE t.subj = c0.subj
+                                         AND t.pred = c0.pred
+                                         AND t.obj = c0.cand)
+                     UNION ALL
+                     SELECT subj, pred, obj, obj AS cand FROM te),
+            sc AS (SELECT subj, pred, obj, cand,
+                          ('0x' || substr(md5(subj || '|' || pred || '|'
+                            || cand), 1, 15))::BIGINT AS s,
+                          ('0x' || substr(md5(subj || '|' || pred || '|'
+                            || obj), 1, 15))::BIGINT AS st
+                   FROM filt),
+            r AS (SELECT subj, pred, obj,
+                         CAST(COUNT(*) AS BIGINT) AS n_cand,
+                         CAST(1 + SUM(CASE WHEN s > st OR (s = st AND
+                              cand < obj) THEN 1 ELSE 0 END) AS BIGINT)
+                           AS rank
+                  FROM sc GROUP BY subj, pred, obj)
+            SELECT subj, pred, obj, n_cand, rank,
+                   CAST(1000000 // rank AS BIGINT) AS mrr_micro
+            FROM r ORDER BY subj, pred, obj""",
+        "q162_retrieval_metrics": r"""
+            WITH scored AS (
+              SELECT 'q' || (doc_id % 5) AS query_id,
+                     'd' || doc_id AS doc_id,
+                     (('0x' || substr(md5((doc_id % 5) || '|' || doc_id),
+                       1, 15))::BIGINT)::DOUBLE AS score
+              FROM documents),
+            ranked AS (SELECT query_id, doc_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+                       FROM scored),
+            run AS (SELECT * FROM ranked WHERE rnk <= 20),
+            rel AS (SELECT 'q' || (doc_id % 5) AS query_id,
+                           'd' || doc_id AS doc_id,
+                           CAST(doc_id % 4 AS BIGINT) AS rel
+                    FROM documents
+                    WHERE doc_id % 3 = 0 AND doc_id % 4 > 0),
+            ks AS (SELECT UNNEST([5, 10]) AS k),
+            nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel
+                     GROUP BY query_id),
+            nret AS (SELECT query_id, COUNT(*) AS n_ret FROM run
+                     GROUP BY query_id),
+            hits AS (SELECT r.query_id, r.rnk, rel.rel,
+                            CAST(round(1000000 * CAST(rel.rel AS DOUBLE)
+                              / log2(r.rnk + 1)) AS BIGINT) AS dcg_t
+                     FROM run r JOIN rel ON r.query_id = rel.query_id
+                                        AND r.doc_id = rel.doc_id),
+            hitk AS (SELECT query_id, k,
+                            CAST(COUNT(*) AS BIGINT) AS hits,
+                            CAST(SUM(dcg_t) AS BIGINT) AS dcg_micro
+                     FROM hits CROSS JOIN ks WHERE rnk <= k
+                     GROUP BY query_id, k),
+            ideal AS (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, doc_id) AS irank
+                      FROM rel),
+            idealk AS (SELECT query_id, k,
+                              CAST(SUM(CAST(round(1000000 *
+                                CAST(rel AS DOUBLE) / log2(irank + 1))
+                                AS BIGINT)) AS BIGINT) AS idcg_micro
+                       FROM ideal CROSS JOIN ks WHERE irank <= k
+                       GROUP BY query_id, k),
+            base AS (SELECT n.query_id, ks.k,
+                            CAST(n.n_rel AS BIGINT) AS n_rel,
+                            CAST(COALESCE(nret.n_ret, 0) AS BIGINT)
+                              AS n_ret,
+                            COALESCE(h.hits, 0) AS hits,
+                            COALESCE(h.dcg_micro, 0) AS dcg_micro,
+                            COALESCE(i.idcg_micro, 0) AS idcg_micro
+                     FROM nrel n CROSS JOIN ks
+                     LEFT JOIN nret ON nret.query_id = n.query_id
+                     LEFT JOIN hitk h ON h.query_id = n.query_id
+                                     AND h.k = ks.k
+                     LEFT JOIN idealk i ON i.query_id = n.query_id
+                                       AND i.k = ks.k),
+            perq AS (SELECT query_id, k, n_rel, n_ret, hits,
+                            hits * 1000000 // k AS prec_ppm,
+                            hits * 1000000 // n_rel AS recall_ppm,
+                            dcg_micro, idcg_micro,
+                            CASE WHEN idcg_micro = 0 THEN 0
+                                 ELSE dcg_micro * 1000000 // idcg_micro
+                            END AS ndcg_ppm
+                     FROM base),
+            summ AS (SELECT '*' AS query_id, k,
+                            CAST(SUM(n_rel) AS BIGINT) AS n_rel,
+                            CAST(SUM(n_ret) AS BIGINT) AS n_ret,
+                            CAST(SUM(hits) AS BIGINT) AS hits,
+                            CAST(SUM(prec_ppm) // COUNT(*) AS BIGINT)
+                              AS prec_ppm,
+                            CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+                              AS recall_ppm,
+                            CAST(SUM(dcg_micro) AS BIGINT) AS dcg_micro,
+                            CAST(SUM(idcg_micro) AS BIGINT)
+                              AS idcg_micro,
+                            CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT)
+                              AS ndcg_ppm
+                     FROM perq GROUP BY k)
+            SELECT query_id, CAST(k AS INT) AS k, n_rel, n_ret,
+                   CAST(hits AS BIGINT) AS hits,
+                   CAST(prec_ppm AS BIGINT) AS prec_ppm,
+                   CAST(recall_ppm AS BIGINT) AS recall_ppm,
+                   CAST(dcg_micro AS BIGINT) AS dcg_micro,
+                   CAST(idcg_micro AS BIGINT) AS idcg_micro,
+                   CAST(ndcg_ppm AS BIGINT) AS ndcg_ppm
+            FROM (SELECT * FROM perq UNION ALL SELECT * FROM summ)
+            ORDER BY query_id, k""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

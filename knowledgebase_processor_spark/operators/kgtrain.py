@@ -65,3 +65,84 @@ def transe_negatives(triples: DataFrame, entities: DataFrame,
     return t.join(truth, ["neg_subj", "pred", "neg_obj"], "left_anti") \
             .select("subj", "pred", "obj", "sample", "side",
                     "neg_subj", "neg_obj")
+
+
+def ranking_eval(test: DataFrame, truth: DataFrame, entities: DataFrame,
+                 sample_mod: int | None = None) -> DataFrame:
+    """Filtered tail-ranking evaluation — the standard link-prediction
+    protocol (Bordes et al. 2013 "filtered setting"; OGB's sampled
+    variant): for each test triple (s, p, o), rank the true tail o
+    against candidate entities under a deterministic score, after
+    REMOVING candidates that form some *other* true triple (they are
+    correct answers, not errors).
+
+    -> (subj, pred, obj, n_cand, rank, mrr_micro) per test triple;
+    rank is 1-based, ``mrr_micro = 1000000 DIV rank`` (exact integer,
+    so downstream means are aggregation-order independent).
+
+    Scoring is the hash stand-in shared with the q161 oracle —
+    ``md5(s|p|cand)`` first 15 hex digits, higher = better, ties broken
+    by candidate id — the same determinism contract as
+    :func:`transe_negatives`; a trained model plugs in by replacing the
+    score expression, the eval harness (candidate fan-out, filtering,
+    partial-agg ranking) is the deliverable.
+
+    Scale shape:
+
+    * full protocol is |test| x |entities| — at web scale use
+      ``sample_mod=m`` for the OGB-style sampled eval: a candidate
+      survives iff ``hash(s|p|cand|'cand') % m == 0`` (expected
+      |E|/m candidates per triple, replayable by any engine); the true
+      tail is always kept so ranks stay well-defined;
+    * entities BROADCAST into a nested-loop fan-out (vocabularies are
+      millions; triples are the big side), the sampling predicate runs
+      inside the join so only surviving candidates materialize;
+    * the filtered-setting removal is ONE left-anti join on the triple
+      key; the rank is a partial-agg groupBy (count of strictly-better
+      candidates), never a window over the candidate stream.
+    """
+    t = test.select("subj", "pred", "obj")
+    ents = entities.select(F.col("ent_id").alias("cand"))
+    cand = t.crossJoin(F.broadcast(ents))
+    if sample_mod is not None:
+        keep = (_h60(F.concat_ws("|", F.col("subj"), F.col("pred"),
+                                 F.col("cand"), F.lit("cand")))
+                % F.lit(sample_mod) == 0)
+        cand = cand.filter(keep | (F.col("cand") == F.col("obj")))
+    # filtered setting: drop every candidate that is a true tail for
+    # (s, p) — including o itself — then add o back exactly once.
+    truth_k = truth.select("subj", "pred", F.col("obj").alias("cand"))
+    cand = (cand.join(truth_k, ["subj", "pred", "cand"], "left_anti")
+            .unionByName(t.withColumn("cand", F.col("obj"))))
+    sc = _h60(F.concat_ws("|", F.col("subj"), F.col("pred"),
+                          F.col("cand")))
+    true_sc = _h60(F.concat_ws("|", F.col("subj"), F.col("pred"),
+                               F.col("obj")))
+    better = (sc > true_sc) | ((sc == true_sc) &
+                               (F.col("cand") < F.col("obj")))
+    return (cand.groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cand"),
+                 (F.sum(better.cast("long")) + 1).cast("long")
+                 .alias("rank"))
+            .withColumn("mrr_micro", F.expr("1000000 DIV rank")))
+
+
+def ranking_report(ranks: DataFrame,
+                   ks: tuple[int, ...] = (1, 3, 10)) -> DataFrame:
+    """Aggregate :func:`ranking_eval` rows into the headline metrics:
+    one ``('hits', k, ppm)`` row per k plus ``('mrr', 0, micro)`` —
+    both exact integer ratios of BIGINT sums (macro over test triples),
+    so the report is bit-identical across engines and partitionings.
+    One partial-agg pass, no window."""
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("mrr_micro").alias("sum_mrr")]
+    for k in ks:
+        aggs.append(F.sum((F.col("rank") <= k).cast("long"))
+                    .alias(f"h{k}"))
+    row = ranks.agg(*aggs).filter(F.col("n") > 0)  # empty eval -> 0 rows
+    pairs = ", ".join([f"'hits', {k}, h{k} * 1000000 DIV n" for k in ks]
+                      + ["'mrr', 0, sum_mrr DIV n"])
+    return (row.selectExpr(
+        f"stack({len(ks) + 1}, {pairs}) AS (metric, k, value_micro)")
+        .select("metric", F.col("k").cast("int").alias("k"),
+                F.col("value_micro").cast("long").alias("value_micro")))
