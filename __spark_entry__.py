@@ -3079,6 +3079,104 @@ def _q162_retrieval_metrics(spark, sf):
             .orderBy("query_id", "k"))
 
 
+def _u(prefix: str, col) -> "F.Column":
+    return F.concat(F.lit(prefix), col.cast("long").cast("string"))
+
+
+def _q163_redirects(spark, sf):
+    # Redirect-chain resolution (operators/redirects.py): pointer
+    # doubling, rounds=4 (<=16-hop budget).  Synthetic map: inside each
+    # block of 10 ids, u_i -> u_{i-1}; blocks at multiples of 100 close
+    # into a 10-loop (u_100 -> u_109), so those stay unresolved.
+    from knowledgebase_processor_spark.operators.redirects import (
+        resolve_redirects)
+    d = _t(spark, sf, "documents")
+    chain = d.filter(F.col("doc_id") % 10 != 0).select(
+        _u("u", F.col("doc_id")).alias("src"),
+        _u("u", F.col("doc_id") - 1).alias("dst"))
+    loops = d.filter(F.col("doc_id") % 100 == 0).select(
+        _u("u", F.col("doc_id")).alias("src"),
+        _u("u", F.col("doc_id") + 9).alias("dst"))
+    return (resolve_redirects(chain.unionByName(loops), rounds=4)
+            .orderBy("url"))
+
+
+def _sitemap_frame(spark, sf):
+    d = _t(spark, sf, "documents")
+    block = F.concat(
+        F.lit("<url><loc>https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/p"), F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("<lastmod>2026-01-"),
+                        F.lpad(((F.col("doc_id") % 28) + 1)
+                               .cast("string"), 2, "0"),
+                        F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    return (d.groupBy((F.col("doc_id") % 7).cast("string").alias("hn"))
+            .agg(F.concat_ws("", F.sort_array(F.collect_list(block)))
+                 .alias("sitemap_xml"))
+            .select(F.concat(F.lit("h"), F.col("hn")).alias("host"),
+                    "sitemap_xml"))
+
+
+def _q164_sitemap_parse(spark, sf):
+    # Distributed sitemap.xml parse (operators/webclean.py::
+    # parse_sitemaps): </url> block split + shared RE2 loc/lastmod
+    # extraction; odd ids omit <lastmod> (NULL), formats replayed by
+    # the oracle on the identically-built xml bodies.
+    from knowledgebase_processor_spark.operators.webclean import (
+        parse_sitemaps)
+    return parse_sitemaps(_sitemap_frame(spark, sf)).orderBy("host", "loc")
+
+
+def _q165_sitemap_coverage(spark, sf):
+    # Crawl-completeness report (operators/webclean.py::
+    # sitemap_coverage): declared urls from the parsed q164 sitemaps,
+    # crawl = every third page plus undeclared /extra urls on the
+    # doc_id % 5 == 1 stratum (the orphan share).
+    from knowledgebase_processor_spark.operators.webclean import (
+        parse_sitemaps, sitemap_coverage)
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    crawled = (d.filter(F.col("doc_id") % 3 == 0)
+               .select(host.alias("host"),
+                       F.concat(F.lit("https://h"),
+                                (F.col("doc_id") % 7).cast("string"),
+                                F.lit("/p"),
+                                F.col("doc_id").cast("string"))
+                       .alias("url"))
+               .unionByName(
+                   d.filter(F.col("doc_id") % 5 == 1)
+                   .select(host.alias("host"),
+                           F.concat(F.lit("https://h"),
+                                    (F.col("doc_id") % 7).cast("string"),
+                                    F.lit("/extra"),
+                                    F.col("doc_id").cast("string"))
+                           .alias("url"))))
+    parsed = parse_sitemaps(_sitemap_frame(spark, sf))
+    return sitemap_coverage(parsed, crawled).orderBy("host")
+
+
+def _q166_politeness_schedule(spark, sf):
+    # Crawl-frontier politeness dispatch (operators/frontier.py): one
+    # row_number window per host (priority desc, url tie), per-host
+    # Crawl-delay broadcast-joined (h0-h5 from policy, rest default).
+    from knowledgebase_processor_spark.operators.frontier import (
+        politeness_schedule)
+    d = _t(spark, sf, "documents")
+    f = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+        .alias("host"),
+        _u("u", F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 17).cast("long").alias("priority"))
+    delays = spark.range(6).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.col("id") + 1) * 250).cast("long").alias("delay_ms"))
+    return (politeness_schedule(f, delays, default_delay_ms=1000)
+            .orderBy("host", "slot"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3243,6 +3341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_class_counts": _q160_class_counts,
         "q161_ranking_eval": _q161_ranking_eval,
         "q162_retrieval_metrics": _q162_retrieval_metrics,
+        "q163_redirects": _q163_redirects,
+        "q164_sitemap_parse": _q164_sitemap_parse,
+        "q165_sitemap_coverage": _q165_sitemap_coverage,
+        "q166_politeness_schedule": _q166_politeness_schedule,
     }
 
 
@@ -6829,6 +6931,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ndcg_ppm AS BIGINT) AS ndcg_ppm
             FROM (SELECT * FROM perq UNION ALL SELECT * FROM summ)
             ORDER BY query_id, k""",
+        "q163_redirects": r"""
+            WITH RECURSIVE
+            e0 AS (SELECT 'u' || doc_id AS src,
+                          'u' || (doc_id - 1) AS dst
+                   FROM documents WHERE doc_id % 10 <> 0
+                   UNION ALL
+                   SELECT 'u' || doc_id, 'u' || (doc_id + 9)
+                   FROM documents WHERE doc_id % 100 = 0),
+            em AS (SELECT src AS url, MIN(dst) AS nxt
+                   FROM e0 GROUP BY src),
+            walk(url, cur, hops) AS (
+              SELECT url, nxt, 1 FROM em
+              UNION ALL
+              SELECT w.url, em.nxt, w.hops + 1
+              FROM walk w JOIN em ON em.url = w.cur
+              WHERE w.hops < 16),
+            term AS (SELECT w.url, w.cur, w.hops
+                     FROM walk w LEFT JOIN em ON em.url = w.cur
+                     WHERE em.url IS NULL)
+            SELECT em.url, t.cur AS final_url,
+                   CAST(t.hops AS BIGINT) AS n_hops,
+                   t.url IS NOT NULL AS resolved
+            FROM em LEFT JOIN term t ON t.url = em.url
+            ORDER BY em.url""",
+        "q164_sitemap_parse": r"""
+            WITH b AS (SELECT 'h' || (doc_id % 7) AS host,
+                              '<url><loc>https://h' || (doc_id % 7) ||
+                              '/p' || doc_id || '</loc>' ||
+                              CASE WHEN doc_id % 2 = 0 THEN
+                                '<lastmod>2026-01-' ||
+                                lpad(CAST((doc_id % 28) + 1 AS VARCHAR),
+                                     2, '0') || '</lastmod>'
+                              ELSE '' END || '</url>' AS blk
+                       FROM documents),
+            sm AS (SELECT host, string_agg(blk, '' ORDER BY blk) AS xml
+                   FROM b GROUP BY host),
+            ex AS (SELECT host,
+                          UNNEST(string_split(xml, '</url>')) AS block
+                   FROM sm),
+            p AS (SELECT host,
+                         regexp_extract(block,
+                           '<loc>\s*([^<]+?)\s*</loc>', 1) AS loc,
+                         NULLIF(regexp_extract(block,
+                           '<lastmod>\s*([^<]+?)\s*</lastmod>', 1), '')
+                           AS lastmod
+                  FROM ex)
+            SELECT host, loc, lastmod FROM p WHERE loc <> ''
+            ORDER BY host, loc""",
+        "q165_sitemap_coverage": r"""
+            WITH per AS (
+              SELECT 'h' || (doc_id % 7) AS host,
+                     COUNT(*) AS n_sitemap,
+                     SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                       AS n_both,
+                     SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+                       AS n_crawled
+              FROM documents GROUP BY 1)
+            SELECT host, CAST(n_sitemap AS BIGINT) AS n_sitemap,
+                   CAST(n_crawled AS BIGINT) AS n_crawled,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   CAST(CASE WHEN n_sitemap = 0 THEN 0
+                        ELSE n_both * 1000000 // n_sitemap END AS BIGINT)
+                     AS coverage_ppm,
+                   CAST(CASE WHEN n_crawled = 0 THEN 0
+                        ELSE (n_crawled - n_both) * 1000000 // n_crawled
+                        END AS BIGINT) AS orphan_ppm
+            FROM per ORDER BY host""",
+        "q166_politeness_schedule": r"""
+            WITH f AS (SELECT 'h' || (doc_id % 11) AS host,
+                              'u' || doc_id AS url,
+                              doc_id % 17 AS pr
+                       FROM documents),
+            r AS (SELECT host, url,
+                         row_number() OVER (PARTITION BY host
+                           ORDER BY pr DESC, url) - 1 AS slot
+                  FROM f),
+            d AS (SELECT 'h' || i AS host, (i + 1) * 250 AS delay_ms
+                  FROM range(6) t(i))
+            SELECT r.host, r.url, CAST(slot AS BIGINT) AS slot,
+                   CAST(slot * COALESCE(d.delay_ms, 1000) AS BIGINT)
+                     AS fetch_at_ms
+            FROM r LEFT JOIN d ON d.host = r.host
+            ORDER BY r.host, slot""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -152,3 +152,69 @@ def tag_density_report(pages: DataFrame, id_col: str = "doc_id",
     return (counted
             .withColumn("text_ppm", F.expr("text_chars * 1000000 DIV __n"))
             .drop("__n"))
+
+
+# Shared with the q164 oracle (the url_rules/tag_density idiom): blocks
+# split on </url>, loc/lastmod pulled with the same regex text.
+SITEMAP_LOC_RE = r"<loc>\s*([^<]+?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Distributed sitemap.xml parse: one (host, xml body) row in, one
+    (host, loc, lastmod) row per ``<url>`` block out (lastmod NULL when
+    the optional tag is absent).
+
+    No XML library on the hot path (same stdlib-free stance as
+    tag_density_report): sitemaps are machine-generated and flat, so
+    splitting on ``</url>`` and extracting ``<loc>``/``<lastmod>`` with
+    anchored non-greedy regexes — RE2-safe, shared verbatim with the
+    DuckDB oracle — parses everything real generators emit; a block
+    without a ``<loc>`` drops.  One explode + one projection, no
+    shuffle, no Python.
+    """
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(xml_col), "</url>")).alias("block"))
+    return (blocks.select(
+        "host",
+        F.regexp_extract("block", SITEMAP_LOC_RE, 1).alias("loc"),
+        F.nullif(F.regexp_extract("block", SITEMAP_LASTMOD_RE, 1),
+                 F.lit("")).alias("lastmod"))
+        .filter(F.col("loc") != ""))
+
+
+def sitemap_coverage(sitemap_urls: DataFrame,
+                     crawled: DataFrame) -> DataFrame:
+    """Crawl-completeness report: per host, how much of the site's
+    declared sitemap the crawl covered and how much of the crawl the
+    sitemap never declared (discovery-only urls).
+
+    -> (host, n_sitemap, n_crawled, n_both, coverage_ppm, orphan_ppm):
+    coverage = both / sitemap, orphan = (crawled - both) / crawled,
+    both exact integer ppm.  Inputs: (host, loc) from
+    :func:`parse_sitemaps` (or any declared-url frame) and (host, url)
+    crawled pages.  One full-outer join on the distinct url sets, one
+    partial-agg groupBy host — no window, skew absorbed map-side.
+    """
+    s = sitemap_urls.select("host", F.col("loc").alias("u")).distinct() \
+        .withColumn("in_s", F.lit(1))
+    c = crawled.select("host", F.col("url").alias("u")).distinct() \
+        .withColumn("in_c", F.lit(1))
+    j = s.join(c, ["host", "u"], "full_outer")
+    return (j.groupBy("host")
+            .agg(F.sum(F.coalesce("in_s", F.lit(0))).alias("n_sitemap"),
+                 F.sum(F.coalesce("in_c", F.lit(0))).alias("n_crawled"),
+                 F.sum(F.when(F.col("in_s").isNotNull()
+                              & F.col("in_c").isNotNull(), 1)
+                       .otherwise(0)).alias("n_both"))
+            .selectExpr(
+                "host", "CAST(n_sitemap AS BIGINT) AS n_sitemap",
+                "CAST(n_crawled AS BIGINT) AS n_crawled",
+                "CAST(n_both AS BIGINT) AS n_both",
+                "CASE WHEN n_sitemap = 0 THEN 0 ELSE "
+                "n_both * 1000000 DIV n_sitemap END AS coverage_ppm",
+                "CASE WHEN n_crawled = 0 THEN 0 ELSE "
+                "(n_crawled - n_both) * 1000000 DIV n_crawled END "
+                "AS orphan_ppm"))
