@@ -3177,6 +3177,63 @@ def _q166_politeness_schedule(spark, sf):
             .orderBy("host", "slot"))
 
 
+def _q167_entity_summaries(spark, sf):
+    # Entity-card summarization (operators/kgquality.py::
+    # entity_summaries): exact-ratio predicate informativeness, top-3
+    # facts per subject via the capped window.  50 subjects x 20
+    # predicates of varying rarity over the documents ids.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        entity_summaries)
+    d = _t(spark, sf, "documents")
+    t = d.select(_u("e", F.col("doc_id") % 50).alias("subj"),
+                 _u("p", F.col("doc_id") % 20).alias("pred"),
+                 _u("o", F.col("doc_id")).alias("obj"))
+    return entity_summaries(t, k=3).orderBy("subj", "rk")
+
+
+def _q168_infer_types(spark, sf):
+    # Predicate-domain type inference (operators/kgquality.py::
+    # infer_types): untyped subjects vote via the broadcast
+    # (pred, domain) schema, struct-max majority (votes, name desc).
+    from knowledgebase_processor_spark.operators.kgquality import (
+        infer_types)
+    from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+    d = _t(spark, sf, "documents")
+    usage = d.select(_u("e", F.col("doc_id") % 50).alias("subj"),
+                     _u("p", F.col("doc_id") % 20).alias("pred"),
+                     _u("o", F.col("doc_id")).alias("obj"))
+    typed = (d.filter((F.col("doc_id") < 50)
+                      & (F.col("doc_id") % 7 == 0))
+             .select(_u("e", F.col("doc_id")).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     F.lit("Known").alias("obj")))
+    schema = spark.range(20).select(
+        _u("p", F.col("id")).alias("pred"),
+        _u("C", F.col("id") % 5).alias("domain_cls"))
+    return (infer_types(usage.unionByName(typed), schema)
+            .orderBy("subj"))
+
+
+def _q169_functional_conflicts(spark, sf):
+    # Contradiction mining on near-functional predicates
+    # (operators/kgquality.py::functional_conflicts): 'dob' is clean
+    # except the doc_id % 40 == 1 stratum (double-asserted subjects);
+    # 'tag' is wide fan-out and falls under the 0.9 functionality bar.
+    from knowledgebase_processor_spark.operators.kgquality import (
+        functional_conflicts)
+    d = _t(spark, sf, "documents")
+    dob = d.select(
+        _u("e", F.floor(F.col("doc_id") / 2)).alias("subj"),
+        F.lit("dob").alias("pred"),
+        F.when(F.col("doc_id") % 40 == 1, _u("vX", F.col("doc_id")))
+        .otherwise(_u("v", F.floor(F.col("doc_id") / 2))).alias("obj"))
+    tag = d.select(_u("e", F.col("doc_id") % 25).alias("subj"),
+                   F.lit("tag").alias("pred"),
+                   _u("o", F.col("doc_id")).alias("obj"))
+    return (functional_conflicts(dob.unionByName(tag))
+            .orderBy("pred", "subj"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3345,6 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_sitemap_parse": _q164_sitemap_parse,
         "q165_sitemap_coverage": _q165_sitemap_coverage,
         "q166_politeness_schedule": _q166_politeness_schedule,
+        "q167_entity_summaries": _q167_entity_summaries,
+        "q168_infer_types": _q168_infer_types,
+        "q169_functional_conflicts": _q169_functional_conflicts,
     }
 
 
@@ -7015,6 +7075,70 @@ def oracle_sql() -> dict[str, str]:
                      AS fetch_at_ms
             FROM r LEFT JOIN d ON d.host = r.host
             ORDER BY r.host, slot""",
+        "q167_entity_summaries": r"""
+            WITH f AS (SELECT 'e' || (doc_id % 50) AS subj,
+                              'p' || (doc_id % 20) AS pred,
+                              'o' || doc_id AS obj
+                       FROM documents),
+            ns AS (SELECT COUNT(DISTINCT subj) AS n FROM f),
+            ps AS (SELECT pred, COUNT(*) AS np
+                   FROM (SELECT DISTINCT subj, pred FROM f)
+                   GROUP BY pred),
+            sc AS (SELECT f.subj, f.pred, f.obj,
+                          (SELECT n FROM ns) * 1000000 // ps.np
+                            AS score_ppm
+                   FROM f JOIN ps ON ps.pred = f.pred),
+            r AS (SELECT subj, pred, obj, score_ppm,
+                         row_number() OVER (PARTITION BY subj
+                           ORDER BY score_ppm DESC, pred, obj) AS rk
+                  FROM sc)
+            SELECT subj, CAST(rk AS INT) AS rk, pred, obj,
+                   CAST(score_ppm AS BIGINT) AS score_ppm
+            FROM r WHERE rk <= 3 ORDER BY subj, rk""",
+        "q168_infer_types": r"""
+            WITH usage AS (SELECT DISTINCT 'e' || (doc_id % 50) AS subj,
+                                  'p' || (doc_id % 20) AS pred
+                           FROM documents),
+            typed AS (SELECT DISTINCT 'e' || doc_id AS subj
+                      FROM documents
+                      WHERE doc_id < 50 AND doc_id % 7 = 0),
+            sch AS (SELECT 'p' || i AS pred, 'C' || (i % 5) AS domain_cls
+                    FROM range(20) t(i)),
+            votes AS (SELECT u.subj, s.domain_cls, COUNT(*) AS votes
+                      FROM usage u JOIN sch s ON s.pred = u.pred
+                      WHERE u.subj NOT IN (SELECT subj FROM typed)
+                      GROUP BY u.subj, s.domain_cls),
+            r AS (SELECT subj, domain_cls, votes,
+                         row_number() OVER (PARTITION BY subj
+                           ORDER BY votes DESC, domain_cls DESC) AS rn,
+                         SUM(votes) OVER (PARTITION BY subj) AS tot
+                  FROM votes)
+            SELECT subj, domain_cls AS inferred_cls,
+                   CAST(votes AS BIGINT) AS votes,
+                   CAST(tot AS BIGINT) AS n_votes_total
+            FROM r WHERE rn = 1 ORDER BY subj""",
+        "q169_functional_conflicts": r"""
+            WITH t AS (
+              SELECT 'e' || (doc_id // 2) AS subj, 'dob' AS pred,
+                     CASE WHEN doc_id % 40 = 1 THEN 'vX' || doc_id
+                          ELSE 'v' || (doc_id // 2) END AS obj
+              FROM documents
+              UNION ALL
+              SELECT 'e' || (doc_id % 25), 'tag', 'o' || doc_id
+              FROM documents),
+            per AS (SELECT pred, subj, COUNT(DISTINCT obj) AS n_obj,
+                           MIN(obj) AS min_obj, MAX(obj) AS max_obj
+                    FROM t GROUP BY pred, subj),
+            fs AS (SELECT pred,
+                          CAST(COUNT(*) * 1000000 // SUM(n_obj)
+                               AS BIGINT) AS functionality_ppm
+                   FROM per GROUP BY pred
+                   HAVING COUNT(*) * 1000000 // SUM(n_obj) >= 900000)
+            SELECT per.pred, fs.functionality_ppm, per.subj,
+                   CAST(n_obj AS BIGINT) AS n_obj, min_obj, max_obj
+            FROM per JOIN fs ON fs.pred = per.pred
+            WHERE n_obj >= 2
+            ORDER BY per.pred, per.subj""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -140,3 +140,112 @@ def class_hierarchy_counts(triples: DataFrame,
                     F.coalesce("n_direct", F.lit(0)).cast("long")
                     .alias("n_direct"),
                     F.col("n_total").cast("long").alias("n_total")))
+
+
+def entity_summaries(triples: DataFrame, k: int = 5,
+                     type_pred: str = RDF_TYPE) -> DataFrame:
+    """Per-entity fact summarization (the LinkSUM / FACES problem,
+    integer-exact): pick each subject's top-k most informative facts
+    for entity cards and KG browsers.
+
+    Informativeness of a fact = how selective its predicate is:
+    ``score_ppm = N_subjects * 1e6 DIV n_subjects_using_pred`` — the
+    exact-ratio twin of predicate IDF (same ordering as ln(N/n), no
+    float), so rare predicates ("birthPlace") outrank boilerplate ones
+    ("type", "label").  Deterministic tie-break (pred, obj).
+
+    Plan: one partial-agg groupBy for per-predicate subject counts
+    (tiny — broadcast back), then ONE row_number window per subject
+    truncated at k — the capped-bucket idiom, so a 10^6-fact hub
+    entity costs its cap, not its fan-out, in the output.
+    """
+    facts = triples.filter(F.col("pred") != type_pred) \
+                   .select("subj", "pred", "obj")
+    n_subj = facts.select("subj").distinct().count()
+    pstats = (facts.select("subj", "pred").distinct()
+              .groupBy("pred")
+              .agg(F.count(F.lit(1)).alias("__np")))
+    scored = (facts.join(F.broadcast(pstats), "pred")
+              .withColumn("score_ppm",
+                          F.expr(f"{n_subj} * 1000000 DIV __np")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("subj").orderBy(
+        F.col("score_ppm").desc(), F.col("pred"), F.col("obj"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("subj", F.col("rk").cast("int").alias("rk"),
+                    "pred", "obj",
+                    F.col("score_ppm").cast("long").alias("score_ppm")))
+
+
+def infer_types(triples: DataFrame, schema: DataFrame,
+                type_pred: str = RDF_TYPE) -> DataFrame:
+    """Type inference for UNTYPED subjects from predicate domains (the
+    completion twin of :func:`domain_violations`): every use of a
+    predicate whose ``rdfs:domain`` is declared casts one vote for the
+    domain class; the majority class wins (struct-max, count then
+    class-name tie-break — the q148 modal-anchor idiom, deterministic
+    across engines).
+
+    -> (subj, inferred_cls, votes, n_votes_total) for subjects with no
+    rdf:type assertion and at least one vote.  Plan: broadcast the
+    (pred, domain_cls) schema into the distinct (subj, pred) usage
+    frame, anti-join the typed subjects out, two partial-agg groupBys
+    — no window.
+    """
+    sch = schema.select("pred", "domain_cls").distinct()
+    typed = triples.filter(F.col("pred") == type_pred) \
+                   .select("subj").distinct()
+    usage = (triples.filter(F.col("pred") != type_pred)
+             .select("subj", "pred").distinct()
+             .join(typed, "subj", "left_anti")
+             .join(F.broadcast(sch), "pred"))
+    votes = usage.groupBy("subj", "domain_cls").agg(
+        F.count(F.lit(1)).alias("votes"))
+    return (votes.groupBy("subj")
+            .agg(F.max(F.struct("votes", F.col("domain_cls")))
+                 .alias("__top"),
+                 F.sum("votes").alias("n_votes_total"))
+            .select("subj",
+                    F.col("__top.domain_cls").alias("inferred_cls"),
+                    F.col("__top.votes").cast("long").alias("votes"),
+                    F.col("n_votes_total").cast("long")
+                    .alias("n_votes_total")))
+
+
+def functional_conflicts(triples: DataFrame,
+                         min_functionality_ppm: int = 900_000,
+                         type_pred: str = RDF_TYPE) -> DataFrame:
+    """Contradiction mining on NEAR-FUNCTIONAL predicates: a predicate
+    that is >=X functional (one object per subject for almost every
+    subject — PARIS's merge-key signal, q144) should not assert two
+    different objects for the same subject; the subjects where it does
+    are data conflicts to adjudicate (extraction noise, vandalism,
+    stale recrawls).
+
+    -> (pred, functionality_ppm, subj, n_obj, min_obj, max_obj) for
+    every conflicted subject of a qualifying predicate.  Plan: one
+    partial-agg groupBy (pred, subj) carrying count + min/max object,
+    one tiny per-pred rollup joined back broadcast — no window, no
+    second scan.
+    """
+    per = (triples.filter(F.col("pred") != type_pred)
+           .groupBy("pred", "subj")
+           .agg(F.countDistinct("obj").alias("n_obj"),
+                F.min("obj").alias("min_obj"),
+                F.max("obj").alias("max_obj")))
+    fstats = (per.groupBy("pred")
+              .agg(F.count(F.lit(1)).alias("__ns"),
+                   F.sum("n_obj").alias("__npairs"))
+              .withColumn("functionality_ppm",
+                          F.expr("__ns * 1000000 DIV __npairs"))
+              .filter(F.col("functionality_ppm")
+                      >= min_functionality_ppm)
+              .select("pred", "functionality_ppm"))
+    return (per.filter(F.col("n_obj") >= 2)
+            .join(F.broadcast(fstats), "pred")
+            .select("pred",
+                    F.col("functionality_ppm").cast("long")
+                    .alias("functionality_ppm"),
+                    "subj", F.col("n_obj").cast("long").alias("n_obj"),
+                    "min_obj", "max_obj"))
