@@ -41,6 +41,10 @@ from knowledgebase_processor_spark.operators.postings import (  # noqa: E402
     postings_oracle_sql as _postings_oracle_sql)
 from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
+from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
+    recrawl_oracle_sql as _recrawl_oracle_sql)
+from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
+    template_oracle_sql as _template_oracle_sql)
 from knowledgebase_processor_spark.operators.select import (  # noqa: E402
     greedy_coverage_oracle_sql as _greedy_oracle_sql)
 from knowledgebase_processor_spark.operators.drift import (  # noqa: E402
@@ -3234,6 +3238,65 @@ def _q169_functional_conflicts(spark, sf):
             .orderBy("pred", "subj"))
 
 
+def _q170_recrawl_schedule(spark, sf):
+    # Cho/Garcia-Molina recrawl tiers (operators/recrawl.py): visit
+    # history of 100 urls (visit k of url m changes its fingerprint
+    # every (m%5)+1 visits), lag-window transition count, shared CASE
+    # tier ladder.
+    from knowledgebase_processor_spark.operators.recrawl import (
+        change_rate_schedule)
+    d = _t(spark, sf, "documents")
+    snaps = d.selectExpr(
+        "'u' || CAST(doc_id % 100 AS STRING) AS url",
+        "CAST(doc_id AS BIGINT) AS warc_ts",
+        "'f' || CAST((doc_id DIV 100) DIV ((doc_id % 5) + 1) AS STRING)"
+        " AS fingerprint")
+    return change_rate_schedule(snaps).orderBy("url")
+
+
+def _q171_template_shingles(spark, sf):
+    # Per-host template detection (operators/webclean.py::
+    # host_template_shingles): planted per-source footer, 0.9 share
+    # threshold keeps only the footer-internal shingles (natural
+    # cross-page shingle share in the corpus maxes out at ~12%).
+    from knowledgebase_processor_spark.operators.webclean import (
+        host_template_shingles)
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr(
+        "source AS host", "doc_id",
+        "COALESCE(text, '') || ' kgp footer ' || source ||"
+        " ' all rights reserved' AS text")
+    return (host_template_shingles(pages, min_share_ppm=900_000)
+            .orderBy("host", "shingle"))
+
+
+def _q172_blocking_quality(spark, sf):
+    # ER blocking-quality report (operators/blocking.py): two stacked
+    # blocking passes (mod-40 key + div-20 key), gold pairs from the
+    # +40 / +1 strata — the +1 pairs crossing a div-20 boundary are
+    # the planted pair-completeness misses.
+    from knowledgebase_processor_spark.operators.blocking import (
+        blocking_quality)
+    d = _t(spark, sf, "documents")
+    blocks = d.selectExpr(
+        "'b' || CAST(doc_id % 40 AS STRING) AS block_key",
+        "'r' || CAST(doc_id AS STRING) AS record_id").unionByName(
+        d.selectExpr(
+            "'c' || CAST(doc_id DIV 20 AS STRING) AS block_key",
+            "'r' || CAST(doc_id AS STRING) AS record_id"))
+    ids = d.select("doc_id")
+    other = ids.select(F.col("doc_id").alias("doc_id2"))
+    g40 = (ids.filter(F.col("doc_id") % 3 == 0)
+           .join(other, F.col("doc_id2") == F.col("doc_id") + 40)
+           .selectExpr("'r' || CAST(doc_id AS STRING) AS rec_a",
+                       "'r' || CAST(doc_id2 AS STRING) AS rec_b"))
+    g1 = (ids.filter(F.col("doc_id") % 3 == 1)
+          .join(other, F.col("doc_id2") == F.col("doc_id") + 1)
+          .selectExpr("'r' || CAST(doc_id AS STRING) AS rec_a",
+                      "'r' || CAST(doc_id2 AS STRING) AS rec_b"))
+    return blocking_quality(blocks, g40.unionByName(g1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3405,6 +3468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_entity_summaries": _q167_entity_summaries,
         "q168_infer_types": _q168_infer_types,
         "q169_functional_conflicts": _q169_functional_conflicts,
+        "q170_recrawl_schedule": _q170_recrawl_schedule,
+        "q171_template_shingles": _q171_template_shingles,
+        "q172_blocking_quality": _q172_blocking_quality,
     }
 
 
@@ -7139,6 +7205,74 @@ def oracle_sql() -> dict[str, str]:
             FROM per JOIN fs ON fs.pred = per.pred
             WHERE n_obj >= 2
             ORDER BY per.pred, per.subj""",
+        "q170_recrawl_schedule": (
+            "WITH base AS (" + _recrawl_oracle_sql(
+                "SELECT 'u' || (doc_id % 100) AS url,"
+                " CAST(doc_id AS BIGINT) AS warc_ts,"
+                " 'f' || ((doc_id // 100) // ((doc_id % 5) + 1))"
+                " AS fingerprint FROM documents")
+            + ") SELECT * FROM base ORDER BY url"),
+        "q171_template_shingles": (
+            "WITH base AS (" + _template_oracle_sql(
+                "SELECT source AS host, doc_id,"
+                " COALESCE(text, '') || ' kgp footer ' || source ||"
+                " ' all rights reserved' AS text FROM documents",
+                min_share_ppm=900_000)
+            + ") SELECT * FROM base ORDER BY host, shingle"),
+        "q172_blocking_quality": r"""
+            WITH b AS (SELECT DISTINCT block_key, record_id FROM (
+                SELECT 'b' || (doc_id % 40) AS block_key,
+                       'r' || doc_id AS record_id FROM documents
+                UNION ALL
+                SELECT 'c' || (doc_id // 20), 'r' || doc_id
+                FROM documents)),
+            per AS (SELECT block_key, COUNT(*) AS c FROM b
+                    GROUP BY block_key),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                          CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                            AS n_comparisons,
+                          CAST(MAX(c) AS BIGINT) AS max_block,
+                          CAST(MAX(c * (c - 1) // 2) AS BIGINT) AS maxp
+                   FROM per),
+            nr AS (SELECT CAST(COUNT(DISTINCT record_id) AS BIGINT)
+                     AS n_records FROM b),
+            g0 AS (SELECT 'r' || d.doc_id AS a,
+                          'r' || d2.doc_id AS b2
+                   FROM documents d JOIN documents d2
+                     ON d2.doc_id = d.doc_id + 40
+                   WHERE d.doc_id % 3 = 0
+                   UNION ALL
+                   SELECT 'r' || d.doc_id, 'r' || d2.doc_id
+                   FROM documents d JOIN documents d2
+                     ON d2.doc_id = d.doc_id + 1
+                   WHERE d.doc_id % 3 = 1),
+            g AS (SELECT DISTINCT LEAST(a, b2) AS a,
+                         GREATEST(a, b2) AS b2
+                  FROM g0 WHERE a <> b2),
+            cob AS (SELECT DISTINCT g.a, g.b2
+                    FROM g JOIN b ba ON ba.record_id = g.a
+                           JOIN b bb ON bb.record_id = g.b2
+                                    AND bb.block_key = ba.block_key),
+            gs AS (SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+                     AS n_gold,
+                   CAST((SELECT COUNT(*) FROM cob) AS BIGINT) AS hit)
+            SELECT nr.n_records, st.n_blocks, st.n_comparisons,
+                   st.max_block,
+                   CAST(CASE WHEN st.n_comparisons = 0 THEN 0
+                        ELSE st.maxp * 1000000 // st.n_comparisons END
+                        AS BIGINT) AS max_block_share_ppm,
+                   CAST(CASE WHEN nr.n_records * (nr.n_records - 1) // 2
+                               = 0 THEN 0
+                        WHEN st.n_comparisons >=
+                          nr.n_records * (nr.n_records - 1) // 2 THEN 0
+                        ELSE 1000000 - st.n_comparisons * 1000000 //
+                          (nr.n_records * (nr.n_records - 1) // 2)
+                        END AS BIGINT) AS reduction_ppm,
+                   gs.n_gold,
+                   CAST(CASE WHEN gs.n_gold = 0 THEN 0
+                        ELSE gs.hit * 1000000 // gs.n_gold END
+                        AS BIGINT) AS pc_ppm
+            FROM st, nr, gs""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -218,3 +218,71 @@ def sitemap_coverage(sitemap_urls: DataFrame,
                 "CASE WHEN n_crawled = 0 THEN 0 ELSE "
                 "(n_crawled - n_both) * 1000000 DIV n_crawled END "
                 "AS orphan_ppm"))
+
+
+def host_template_shingles(pages: DataFrame, min_share_ppm: int = 500_000,
+                           min_pages: int = 2, n: int = 3) -> DataFrame:
+    """Per-host boilerplate/template detection: the n-gram shingles that
+    appear on at least ``min_share_ppm`` of a host's pages (nav bars,
+    footers, cookie banners — the text a host stamps on every page).
+    The output frame is the removal dictionary a template-stripping
+    pass anti-joins against, and the per-host recall complement of the
+    corpus-wide novelty report (novelty.py).
+
+    -> (host, shingle, df, n_pages, share_ppm), hosts with fewer than
+    ``min_pages`` pages skipped (no evidence).  Plan: ONE explode of
+    per-page distinct shingles (the shared portable shingle formula,
+    functions/text.py), one partial-agg groupBy (host, shingle), one
+    tiny per-host page-count join — map-side combinable end-to-end, no
+    window, no pair expansion.
+    """
+    from ..functions.text import shingles
+    sh = pages.select(
+        F.col("host"), F.col("doc_id").alias("__doc"),
+        F.explode(F.array_distinct(shingles(F.col("text"), n)))
+        .alias("shingle"))
+    df_ = sh.groupBy("host", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    sizes = (pages.groupBy("host")
+             .agg(F.countDistinct("doc_id").cast("long").alias("n_pages"))
+             .filter(F.col("n_pages") >= min_pages))
+    return (df_.join(F.broadcast(sizes), "host")
+            .withColumn("share_ppm",
+                        F.expr("df * 1000000 DIV n_pages").cast("long"))
+            .filter(F.col("share_ppm") >= min_share_ppm)
+            .select("host", "shingle", "df", "n_pages", "share_ppm"))
+
+
+def template_oracle_sql(pages_sql: str, min_share_ppm: int = 500_000,
+                        min_pages: int = 2) -> str:
+    """EXACT ANSI replay of :func:`host_template_shingles` (3-gram
+    shared shingle formula) for DuckDB.  ``pages_sql`` must select
+    (host, doc_id, text)."""
+    return (r"""
+        WITH d0 AS ({pages_sql}),
+        words AS (
+          SELECT host, doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '[ \t\n\r\f]+'),
+                             w -> w <> '') AS ws
+          FROM d0),
+        sh0 AS (
+          SELECT host, doc_id, CASE WHEN len(ws) >= 3
+            THEN list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+            ELSE [array_to_string(ws, ' ')] END AS gs
+          FROM words),
+        sh AS (SELECT DISTINCT host, doc_id, unnest(gs) AS shingle
+               FROM sh0),
+        df_ AS (SELECT host, shingle, COUNT(*)::BIGINT AS df
+                FROM sh GROUP BY host, shingle),
+        sizes AS (SELECT host, COUNT(DISTINCT doc_id)::BIGINT AS n_pages
+                  FROM d0 GROUP BY host
+                  HAVING COUNT(DISTINCT doc_id) >= {min_pages})
+        SELECT df_.host, shingle, df, n_pages,
+               (df * 1000000 // n_pages)::BIGINT AS share_ppm
+        FROM df_ JOIN sizes ON sizes.host = df_.host
+        WHERE df * 1000000 // n_pages >= {min_share}
+        """.replace("{pages_sql}", pages_sql)
+           .replace("{min_pages}", str(min_pages))
+           .replace("{min_share}", str(min_share_ppm)))
