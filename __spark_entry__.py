@@ -41,6 +41,8 @@ from knowledgebase_processor_spark.operators.postings import (  # noqa: E402
     postings_oracle_sql as _postings_oracle_sql)
 from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
+from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
+    RHO_PPM_SQL as _RHO_PPM_SQL)
 from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
     recrawl_oracle_sql as _recrawl_oracle_sql)
 from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
@@ -3297,6 +3299,46 @@ def _q172_blocking_quality(spark, sf):
     return blocking_quality(blocks, g40.unionByName(g1))
 
 
+def _q173_spearman(spark, sf):
+    # Spearman rank agreement between two per-doc signals
+    # (operators/corrstats.py): n_chars vs a deterministic pseudo-noise
+    # signal, per source; row_number ranks (doc_id tie), exact d^2
+    # sums, one shared-SQL rho rounding.
+    from knowledgebase_processor_spark.operators.corrstats import (
+        spearman_by_group)
+    d = _t(spark, sf, "documents").selectExpr(
+        "source", "doc_id",
+        "CAST(n_chars AS DOUBLE) AS x",
+        "CAST((doc_id * 37) % 101 AS DOUBLE) AS y")
+    return (spearman_by_group(d, "source", "doc_id", "x", "y")
+            .orderBy("source"))
+
+
+def _q174_gini(spark, sf):
+    # Gini concentration of the per-source character budget
+    # (operators/corrstats.py::gini_by_group): sorted-index identity,
+    # integer-exact end-to-end.
+    from knowledgebase_processor_spark.operators.corrstats import (
+        gini_by_group)
+    d = _t(spark, sf, "documents")
+    return gini_by_group(d, "source", "doc_id", "n_chars") \
+        .orderBy("source")
+
+
+def _q175_host_reciprocity(spark, sf):
+    # Host-graph rollup + reciprocity (operators/hostgraph.py): page
+    # links h_m -> h_{m^2 mod 13} (squaring map: non-invertible, so
+    # only the 3<->9 orbit is mutual), rolled up then scored.
+    from knowledgebase_processor_spark.operators.hostgraph import (
+        host_link_graph, host_reciprocity)
+    d = _t(spark, sf, "documents")
+    links = d.selectExpr(
+        "'h' || CAST(doc_id % 13 AS STRING) AS src_host",
+        "'h' || CAST((doc_id * doc_id) % 13 AS STRING) AS dst_host",
+        "'p' || CAST(doc_id % 50 AS STRING) AS src_page")
+    return host_reciprocity(host_link_graph(links)).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3471,6 +3513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_recrawl_schedule": _q170_recrawl_schedule,
         "q171_template_shingles": _q171_template_shingles,
         "q172_blocking_quality": _q172_blocking_quality,
+        "q173_spearman": _q173_spearman,
+        "q174_gini": _q174_gini,
+        "q175_host_reciprocity": _q175_host_reciprocity,
     }
 
 
@@ -7273,6 +7318,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE gs.hit * 1000000 // gs.n_gold END
                         AS BIGINT) AS pc_ppm
             FROM st, nr, gs""",
+        "q173_spearman": ("""
+            WITH d AS (SELECT source AS g, doc_id,
+                              CAST(n_chars AS DOUBLE) AS x,
+                              CAST((doc_id * 37) % 101 AS DOUBLE) AS y
+                       FROM documents),
+            r AS (SELECT g,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY x, doc_id) AS rx,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY y, doc_id) AS ry
+                  FROM d),
+            a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT)
+                           AS sum_d2
+                  FROM r GROUP BY g HAVING COUNT(*) >= 2)
+            SELECT g AS source, n, sum_d2, """
+            + _RHO_PPM_SQL + """ AS rho_ppm
+            FROM a ORDER BY source"""),
+        "q174_gini": r"""
+            WITH d AS (SELECT source AS g, doc_id,
+                              CAST(n_chars AS BIGINT) AS x
+                       FROM documents),
+            r AS (SELECT g, x,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY x, doc_id) AS i
+                  FROM d),
+            a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS total,
+                         CAST(SUM(i * x) AS BIGINT) AS ix
+                  FROM r GROUP BY g)
+            SELECT g AS source, n, total,
+                   CAST(CASE WHEN total = 0 THEN 0 ELSE
+                        (2 * ix - (n + 1) * total) * 1000000
+                        // (n * total) END AS BIGINT) AS gini_ppm
+            FROM a ORDER BY source""",
+        "q175_host_reciprocity": r"""
+            WITH l AS (SELECT 'h' || (doc_id % 13) AS s,
+                              'h' || ((doc_id * doc_id) % 13) AS t
+                       FROM documents),
+            e AS (SELECT DISTINCT s, t FROM l WHERE s <> t),
+            outs AS (SELECT s, COUNT(*)::BIGINT AS o FROM e GROUP BY s),
+            ins AS (SELECT t, COUNT(*)::BIGINT AS i FROM e GROUP BY t),
+            mut AS (SELECT e.s, COUNT(*)::BIGINT AS m
+                    FROM e JOIN e e2 ON e2.s = e.t AND e2.t = e.s
+                    GROUP BY e.s),
+            hosts AS (SELECT COALESCE(outs.s, ins.t) AS host,
+                             COALESCE(o, 0) AS out_hosts,
+                             COALESCE(i, 0) AS in_hosts
+                      FROM outs FULL OUTER JOIN ins ON ins.t = outs.s)
+            SELECT host, CAST(out_hosts AS BIGINT) AS out_hosts,
+                   CAST(in_hosts AS BIGINT) AS in_hosts,
+                   CAST(COALESCE(m, 0) AS BIGINT) AS mutual_hosts,
+                   CAST(CASE WHEN out_hosts = 0 THEN 0 ELSE
+                        COALESCE(m, 0) * 1000000 // out_hosts END
+                        AS BIGINT) AS reciprocity_ppm
+            FROM hosts LEFT JOIN mut ON mut.s = hosts.host
+            ORDER BY host""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
