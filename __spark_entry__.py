@@ -3339,6 +3339,62 @@ def _q175_host_reciprocity(spark, sf):
     return host_reciprocity(host_link_graph(links)).orderBy("host")
 
 
+def _q176_shacl_cardinality(spark, sf):
+    # SHACL-lite min/max-count validation (operators/shacl.py::
+    # cardinality_report): 60 instances over 3 classes, 'name'
+    # asserted on even ids (bounded 1..4), 'email' required on C0.
+    from knowledgebase_processor_spark.operators.rdfs import RDF_TYPE
+    from knowledgebase_processor_spark.operators.shacl import (
+        cardinality_report)
+    d = _t(spark, sf, "documents")
+    types = d.select(_u("e", F.col("doc_id") % 60).alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     _u("C", F.col("doc_id") % 60 % 3).alias("obj")) \
+        .distinct()
+    names = d.filter(F.col("doc_id") % 2 == 0).select(
+        _u("e", F.col("doc_id") % 60).alias("subj"),
+        F.lit("name").alias("pred"), _u("n", F.col("doc_id")).alias("obj"))
+    emails = d.filter(F.col("doc_id") % 7 == 0).select(
+        _u("e", F.col("doc_id") % 60).alias("subj"),
+        F.lit("email").alias("pred"),
+        _u("x", F.col("doc_id")).alias("obj"))
+    shapes = spark.createDataFrame(
+        [("C0", "name", 1, 4), ("C1", "name", 1, 4),
+         ("C2", "name", 1, 4), ("C0", "email", 1, None)],
+        "cls string, pred string, min_count int, max_count int")
+    t = types.unionByName(names).unionByName(emails)
+    return cardinality_report(t, shapes).orderBy("cls", "pred")
+
+
+def _q177_fact_lifespan(spark, sf):
+    # Temporal fact lifespan over crawl snapshots (operators/shacl.py::
+    # fact_lifespan): 150 facts observed across DIV-25 snapshot waves;
+    # is_current = seen in the corpus-max wave.
+    from knowledgebase_processor_spark.operators.shacl import (
+        fact_lifespan)
+    d = _t(spark, sf, "documents")
+    obs = d.select(_u("s", F.col("doc_id") % 25).alias("subj"),
+                   _u("p", F.col("doc_id") % 2).alias("pred"),
+                   _u("o", F.col("doc_id") % 75).alias("obj"),
+                   F.floor(F.col("doc_id") / 25).cast("long")
+                   .alias("warc_ts"))
+    return fact_lifespan(obs).orderBy("subj", "pred", "obj")
+
+
+def _q178_property_graph_nodes(spark, sf):
+    # Property-graph node export (operators/shacl.py::
+    # property_graph_nodes): literal props fold into the sorted
+    # byte-stable props string, URI objects counted as out-edges.
+    from knowledgebase_processor_spark.operators.shacl import (
+        property_graph_nodes)
+    d = _t(spark, sf, "documents")
+    t = d.select(_u("e", F.col("doc_id") % 30).alias("subj"),
+                 _u("p", F.col("doc_id") % 5).alias("pred"),
+                 _u("v", F.col("doc_id")).alias("obj"),
+                 (F.col("doc_id") % 3 == 0).alias("obj_is_uri"))
+    return property_graph_nodes(t).orderBy("subj")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3516,6 +3572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_spearman": _q173_spearman,
         "q174_gini": _q174_gini,
         "q175_host_reciprocity": _q175_host_reciprocity,
+        "q176_shacl_cardinality": _q176_shacl_cardinality,
+        "q177_fact_lifespan": _q177_fact_lifespan,
+        "q178_property_graph_nodes": _q178_property_graph_nodes,
     }
 
 
@@ -7375,6 +7434,77 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS reciprocity_ppm
             FROM hosts LEFT JOIN mut ON mut.s = hosts.host
             ORDER BY host""",
+        "q176_shacl_cardinality": r"""
+            WITH members AS (SELECT DISTINCT 'e' || (doc_id % 60) AS subj,
+                                    'C' || (doc_id % 60 % 3) AS cls
+                             FROM documents),
+            asserts AS (
+              SELECT 'e' || (doc_id % 60) AS subj, 'name' AS pred
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'e' || (doc_id % 60), 'email'
+              FROM documents WHERE doc_id % 7 = 0),
+            counts AS (SELECT subj, pred, COUNT(*) AS c
+                       FROM asserts GROUP BY subj, pred),
+            shapes(cls, pred, min_count, max_count) AS (VALUES
+              ('C0', 'name', 1, 4), ('C1', 'name', 1, 4),
+              ('C2', 'name', 1, 4), ('C0', 'email', 1, NULL)),
+            got AS (SELECT m.cls, s.pred, m.subj,
+                           COALESCE(c.c, 0) AS c,
+                           s.min_count, s.max_count
+                    FROM members m JOIN shapes s ON s.cls = m.cls
+                    LEFT JOIN counts c ON c.subj = m.subj
+                                      AND c.pred = s.pred),
+            v AS (SELECT cls, pred,
+                         CASE WHEN c < min_count THEN 'under'
+                              WHEN max_count IS NOT NULL
+                                   AND c > max_count THEN 'over'
+                              ELSE 'ok' END AS state
+                  FROM got)
+            SELECT cls, pred, CAST(COUNT(*) AS BIGINT) AS n_instances,
+                   CAST(SUM(CASE WHEN state = 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_conforming,
+                   CAST(SUM(CASE WHEN state = 'under' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_under,
+                   CAST(SUM(CASE WHEN state = 'over' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_over,
+                   CAST(SUM(CASE WHEN state = 'ok' THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT)
+                     AS conforming_ppm
+            FROM v GROUP BY cls, pred ORDER BY cls, pred""",
+        "q177_fact_lifespan": r"""
+            WITH obs AS (SELECT 's' || (doc_id % 25) AS subj,
+                                'p' || (doc_id % 2) AS pred,
+                                'o' || (doc_id % 75) AS obj,
+                                CAST(doc_id // 25 AS BIGINT) AS warc_ts
+                         FROM documents),
+            per AS (SELECT subj, pred, obj,
+                           MIN(warc_ts) AS first_seen,
+                           MAX(warc_ts) AS last_seen,
+                           CAST(COUNT(*) AS BIGINT) AS n_obs
+                    FROM obs GROUP BY subj, pred, obj)
+            SELECT subj, pred, obj, first_seen, last_seen, n_obs,
+                   last_seen = (SELECT MAX(warc_ts) FROM obs)
+                     AS is_current
+            FROM per ORDER BY subj, pred, obj""",
+        "q178_property_graph_nodes": r"""
+            WITH t AS (SELECT 'e' || (doc_id % 30) AS subj,
+                              'p' || (doc_id % 5) AS pred,
+                              'v' || doc_id AS obj,
+                              doc_id % 3 = 0 AS obj_is_uri
+                       FROM documents)
+            SELECT subj,
+                   CAST(SUM(CASE WHEN NOT obj_is_uri THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_props,
+                   CAST(SUM(CASE WHEN obj_is_uri THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_edges_out,
+                   COALESCE(string_agg(
+                     CASE WHEN NOT obj_is_uri
+                          THEN pred || '=' || obj END, chr(31)
+                     ORDER BY CASE WHEN NOT obj_is_uri
+                                   THEN pred || '=' || obj END), '')
+                     AS props
+            FROM t GROUP BY subj ORDER BY subj""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
