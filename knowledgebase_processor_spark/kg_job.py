@@ -4,6 +4,7 @@ One orchestration function wiring every stage of the BASELINE.json
 north_star together, with per-stage parquet checkpoints (resume from the
 last materialized table), per-partition lineage rows, and run metrics:
 
+  0. url canonical redirect-map pointer doubling -> page re-key (optional)
   1. extract      web_pages -> pre-merged entities   (Arrow UDF, no shuffle)
   2. resolve      wikilink -> document broadcast join
   3. mentions     alias-dictionary mention detection (optional)
@@ -38,7 +39,8 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         alias_dict: dict | None = None, force: bool = False,
         openie: bool = False, coref_salt: int | None = 16,
         dedup: bool = False, rewrite_canonical: bool = False,
-        entailment: bool = False) -> dict:
+        entailment: bool = False,
+        url_redirects: DataFrame | None = None) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -66,6 +68,30 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
 
     def stage(name):
         return os.path.join(work_dir, name)
+
+    # 00: url canonicalization through the crawl's redirect map
+    # (optional).  ``url_redirects`` is the (src, dst) 3xx log; pointer
+    # doubling (operators/redirects.py) collapses chains, the RESOLVED
+    # mapping checkpoints (it is the small side — ~10% of a crawl), and
+    # pages re-key to their final url so alternate entry urls of the
+    # same destination unify into one document id downstream (dedup and
+    # the wikilink registry then see one page, not N).  Redirect loops
+    # stay unresolved and leave their pages' urls untouched.  The join
+    # is a plain shuffle equi-join on url — the mapping can be billions
+    # of rows, so no broadcast; AQE splits hot destinations.
+    if url_redirects is not None:
+        rpath0 = stage("url_canonical")
+        if force or not os.path.exists(os.path.join(rpath0, "_SUCCESS")):
+            from .operators.redirects import resolve_redirects
+            (resolve_redirects(url_redirects)
+             .filter(F.col("resolved"))
+             .select("url", "final_url")
+             .write.mode("overwrite").parquet(rpath0))
+        mapping = spark.read.parquet(rpath0)
+        metrics["n_redirects_resolved"] = mapping.count()
+        pages = (pages.join(mapping, "url", "left")
+                 .withColumn("url", F.coalesce("final_url", "url"))
+                 .drop("final_url"))
 
     docs = pages_to_documents(pages)
 

@@ -359,3 +359,41 @@ def test_kg_job_canonical_rewrite_and_entailment_stages(spark, tmp_path):
                     rewrite_canonical=True, entailment=True)
     assert m2["n_canonical_triples"] == m["n_canonical_triples"]
     assert m2["n_entailed"] == m["n_entailed"]
+
+
+def test_kg_job_url_redirect_stage(spark, tmp_path):
+    pages = fixture_pages(spark).limit(6)
+    urls = [r.url for r in pages.select("url").collect()]
+    # alias url 0 -> chain -> url 1; a loop pair stays untouched
+    redirects = spark.createDataFrame(
+        [(urls[0], "https://kb.example.org/hop.md"),
+         ("https://kb.example.org/hop.md", urls[1]),
+         ("https://loop.example/a", "https://loop.example/b"),
+         ("https://loop.example/b", "https://loop.example/a")],
+        "src string, dst string")
+    work = str(tmp_path / "run_redir")
+    m = kg_job.run(spark, pages, work, url_redirects=redirects)
+    assert m["n_redirects_resolved"] == 2          # loop pair excluded
+    final = spark.read.parquet(os.path.join(work, "kg_triples"))
+    uris = {r.subj for r in final.select("subj").collect()}
+    # url 0's page now lives under url 1's document id: no subject URI
+    # derived from url 0 remains
+    from knowledgebase_processor_spark.sources.web_pages import (
+        pages_to_documents)
+    gone = pages_to_documents(pages.limit(1)).select("doc_id").collect()[0][0]
+    assert not any(gone in u for u in uris)
+
+    # resume reuses the checkpointed mapping: identical metrics
+    m2 = kg_job.run(spark, pages, work, url_redirects=redirects)
+    assert m2["n_triples"] == m["n_triples"]
+    assert m2["n_redirects_resolved"] == 2
+
+
+def test_kg_job_without_redirects_unchanged(spark, tmp_path):
+    pages = fixture_pages(spark).limit(4)
+    a = kg_job.run(spark, pages, str(tmp_path / "a"))
+    b = kg_job.run(spark, pages, str(tmp_path / "b"),
+                   url_redirects=spark.createDataFrame(
+                       [], "src string, dst string"))
+    assert a["n_triples"] == b["n_triples"]
+    assert b["n_redirects_resolved"] == 0
