@@ -3395,6 +3395,48 @@ def _q178_property_graph_nodes(spark, sf):
     return property_graph_nodes(t).orderBy("subj")
 
 
+def _q179_crawl_traps(spark, sf):
+    # URL-space trap detector (operators/crawlhealth.py::
+    # crawl_trap_report): every third url is a query permutation of one
+    # /cal path (the calendar-trap shape), the rest are real articles.
+    from knowledgebase_processor_spark.operators.crawlhealth import (
+        crawl_trap_report)
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr(
+        "'h' || CAST(doc_id % 9 AS STRING) AS host",
+        "CASE WHEN doc_id % 3 = 0 THEN"
+        " 'https://h' || (doc_id % 9) || '/cal?d=' || doc_id"
+        " ELSE 'https://h' || (doc_id % 9) || '/p' || doc_id END AS url")
+    return crawl_trap_report(pages, min_urls=10).orderBy("host")
+
+
+def _q180_soft404(spark, sf):
+    # Soft-404 gate (operators/crawlhealth.py::soft404_report): the
+    # doc_id % 11 == 0 stratum is replaced by a short error template,
+    # % 11 == 1 gets the phrase PREPENDED to a real article (long ->
+    # phrase without flag), shared regex + length bound.
+    from knowledgebase_processor_spark.operators.crawlhealth import (
+        soft404_report)
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr(
+        "doc_id", "source AS host",
+        "CASE WHEN doc_id % 11 = 0 THEN 'Sorry - page not found.'"
+        " WHEN doc_id % 11 = 1 THEN '404 error ' || COALESCE(text, '')"
+        " ELSE text END AS text")
+    return soft404_report(pages).orderBy("doc_id")
+
+
+def _q181_lang_mismatch(spark, sf):
+    # Metadata-vs-content language audit (operators/crawlhealth.py::
+    # lang_mismatch_report): declared `lang` column vs the shared
+    # stopword-vote language ID, per source host.
+    from knowledgebase_processor_spark.operators.crawlhealth import (
+        lang_mismatch_report)
+    d = _t(spark, sf, "documents")
+    pages = d.select(F.col("source").alias("host"), "lang", "text")
+    return lang_mismatch_report(pages).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3575,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_shacl_cardinality": _q176_shacl_cardinality,
         "q177_fact_lifespan": _q177_fact_lifespan,
         "q178_property_graph_nodes": _q178_property_graph_nodes,
+        "q179_crawl_traps": _q179_crawl_traps,
+        "q180_soft404": _q180_soft404,
+        "q181_lang_mismatch": _q181_lang_mismatch,
     }
 
 
@@ -7505,6 +7550,69 @@ def oracle_sql() -> dict[str, str]:
                                    THEN pred || '=' || obj END), '')
                      AS props
             FROM t GROUP BY subj ORDER BY subj""",
+        "q179_crawl_traps": r"""
+            WITH p AS (SELECT 'h' || (doc_id % 9) AS host,
+                              CASE WHEN doc_id % 3 = 0 THEN
+                                'https://h' || (doc_id % 9) ||
+                                '/cal?d=' || doc_id
+                              ELSE 'https://h' || (doc_id % 9) ||
+                                '/p' || doc_id END AS url
+                       FROM documents),
+            e AS (SELECT host, url,
+                         regexp_extract(url,
+                           '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                         CASE WHEN contains(url, '?') THEN 1 ELSE 0 END
+                           AS has_q
+                  FROM p),
+            a AS (SELECT host,
+                         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+                         CAST(SUM(has_q) AS BIGINT) AS n_with_query
+                  FROM e GROUP BY host HAVING COUNT(DISTINCT url) >= 10)
+            SELECT host, n_urls, n_paths, n_with_query,
+                   CAST(CASE WHEN n_paths = 0 THEN 0 ELSE
+                        n_urls * 1000000 // n_paths END AS BIGINT)
+                     AS urls_per_path_ppm,
+                   CAST(n_with_query * 1000000 // n_urls AS BIGINT)
+                     AS query_share_ppm
+            FROM a ORDER BY host""",
+        "q180_soft404": r"""
+            WITH p AS (SELECT doc_id, source AS host,
+                              CASE WHEN doc_id % 11 = 0
+                                THEN 'Sorry - page not found.'
+                              WHEN doc_id % 11 = 1
+                                THEN '404 error ' || COALESCE(text, '')
+                              ELSE text END AS text
+                       FROM documents),
+            s AS (SELECT doc_id, host, COALESCE(text, '') AS t FROM p)
+            SELECT doc_id, host,
+                   CAST(length(t) AS BIGINT) AS n_chars,
+                   regexp_matches(lower(t),
+                     '(page not found|404 error|no longer available|does not exist|page cannot be found)')
+                     AS has_phrase,
+                   (regexp_matches(lower(t),
+                     '(page not found|404 error|no longer available|does not exist|page cannot be found)')
+                    AND length(t) < 2000) AS is_soft404
+            FROM s ORDER BY doc_id""",
+        "q181_lang_mismatch": f"""
+            WITH p AS (SELECT source AS host, lang,
+                              {lang_case} AS pred
+                       FROM documents)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(CASE WHEN pred = lang AND pred <> 'und'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+                   CAST(SUM(CASE WHEN pred <> lang AND pred <> 'und'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   CAST(SUM(CASE WHEN pred = 'und' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_und,
+                   CAST(CASE WHEN SUM(CASE WHEN pred <> 'und' THEN 1
+                                      ELSE 0 END) = 0 THEN 0
+                        ELSE SUM(CASE WHEN pred <> lang
+                                      AND pred <> 'und' THEN 1 ELSE 0
+                                 END) * 1000000
+                          // SUM(CASE WHEN pred <> 'und' THEN 1 ELSE 0
+                                 END) END AS BIGINT) AS mismatch_ppm
+            FROM p GROUP BY host ORDER BY host""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
