@@ -3437,6 +3437,46 @@ def _q181_lang_mismatch(spark, sf):
     return lang_mismatch_report(pages).orderBy("host")
 
 
+def _q182_ifp_candidates(spark, sf):
+    # Inverse-functional-property ER candidates (operators/sameas.py::
+    # ifp_sameas_candidates): adjacent ids share an email (all pairs)
+    # and, on the doc_id % 4 < 2 stratum, a homepage too (n_evidence 2);
+    # the all-shared 'tag' predicate fails the IFP bar.
+    from knowledgebase_processor_spark.operators.sameas import (
+        ifp_sameas_candidates)
+    d = _t(spark, sf, "documents")
+    email = d.select(_u("e", F.col("doc_id")).alias("subj"),
+                     F.lit("email").alias("pred"),
+                     _u("m", F.col("doc_id") - F.col("doc_id") % 2)
+                     .alias("obj"))
+    home = d.filter(F.col("doc_id") % 4 < 2).select(
+        _u("e", F.col("doc_id")).alias("subj"),
+        F.lit("homepage").alias("pred"),
+        _u("h", F.col("doc_id") - F.col("doc_id") % 2).alias("obj"))
+    tag = d.select(_u("e", F.col("doc_id")).alias("subj"),
+                   F.lit("tag").alias("pred"), F.lit("news").alias("obj"))
+    t = email.unionByName(home).unionByName(tag)
+    return (ifp_sameas_candidates(t, min_inv_functionality_ppm=500_000)
+            .orderBy("subj_a", "subj_b"))
+
+
+def _q183_fuse_facts(spark, sf):
+    # Weighted truth discovery (operators/fusion.py::fuse_facts): four
+    # sources with trust 1..4 assert rotating objects; highest summed
+    # trust wins, ties by recency then object.
+    from knowledgebase_processor_spark.operators.fusion import fuse_facts
+    d = _t(spark, sf, "documents")
+    obs = d.select(_u("e", F.col("doc_id") % 50).alias("subj"),
+                   _u("p", F.col("doc_id") % 2).alias("pred"),
+                   _u("v", F.col("doc_id") % 3).alias("obj"),
+                   _u("src", F.col("doc_id") % 4).alias("source"),
+                   F.col("doc_id").cast("long").alias("warc_ts"))
+    trust = spark.range(4).select(
+        _u("src", F.col("id")).alias("source"),
+        (F.col("id") + 1).cast("long").alias("weight"))
+    return fuse_facts(obs, trust).orderBy("subj", "pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3620,6 +3660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_crawl_traps": _q179_crawl_traps,
         "q180_soft404": _q180_soft404,
         "q181_lang_mismatch": _q181_lang_mismatch,
+        "q182_ifp_candidates": _q182_ifp_candidates,
+        "q183_fuse_facts": _q183_fuse_facts,
     }
 
 
@@ -7613,6 +7655,67 @@ def oracle_sql() -> dict[str, str]:
                           // SUM(CASE WHEN pred <> 'und' THEN 1 ELSE 0
                                  END) END AS BIGINT) AS mismatch_ppm
             FROM p GROUP BY host ORDER BY host""",
+        "q182_ifp_candidates": r"""
+            WITH t AS (
+              SELECT 'e' || doc_id AS subj, 'email' AS pred,
+                     'm' || (doc_id - doc_id % 2) AS obj FROM documents
+              UNION ALL
+              SELECT 'e' || doc_id, 'homepage',
+                     'h' || (doc_id - doc_id % 2)
+              FROM documents WHERE doc_id % 4 < 2
+              UNION ALL
+              SELECT 'e' || doc_id, 'tag', 'news' FROM documents),
+            pf AS (SELECT DISTINCT subj, pred, obj FROM t),
+            fs AS (SELECT pred FROM (
+                     SELECT pred, COUNT(DISTINCT obj) AS no,
+                            COUNT(*) AS np
+                     FROM pf GROUP BY pred)
+                   WHERE no * 1000000 // np >= 500000),
+            k AS (SELECT pf.pred AS band, pf.obj AS bucket, pf.subj
+                  FROM pf JOIN fs ON fs.pred = pf.pred),
+            sizes AS (SELECT band, bucket, COUNT(*) AS n
+                      FROM k GROUP BY band, bucket),
+            ok AS (SELECT k.band, k.bucket, k.subj
+                   FROM k JOIN sizes ON sizes.band = k.band
+                                    AND sizes.bucket = k.bucket
+                   WHERE sizes.n BETWEEN 2 AND 100),
+            pairs AS (SELECT a.subj AS subj_a, b.subj AS subj_b
+                      FROM ok a JOIN ok b
+                        ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.subj < b.subj)
+            SELECT subj_a, subj_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_evidence
+            FROM pairs GROUP BY subj_a, subj_b
+            ORDER BY subj_a, subj_b""",
+        "q183_fuse_facts": r"""
+            WITH a0 AS (SELECT DISTINCT
+                          'e' || (doc_id % 50) AS subj,
+                          'p' || (doc_id % 2) AS pred,
+                          'v' || (doc_id % 3) AS obj,
+                          'src' || (doc_id % 4) AS source,
+                          CAST(doc_id AS BIGINT) AS warc_ts
+                        FROM documents),
+            tr AS (SELECT 'src' || i AS source, i + 1 AS w
+                   FROM range(4) t(i)),
+            v AS (SELECT a0.*, tr.w FROM a0 JOIN tr
+                    ON tr.source = a0.source),
+            per AS (SELECT subj, pred, obj,
+                           CAST(SUM(w) AS BIGINT) AS w,
+                           MAX(warc_ts) AS last_ts,
+                           CAST(COUNT(DISTINCT source) AS BIGINT)
+                             AS n_sources
+                    FROM v GROUP BY subj, pred, obj),
+            r AS (SELECT subj, pred, obj, w, last_ts, n_sources,
+                         row_number() OVER (PARTITION BY subj, pred
+                           ORDER BY w DESC, last_ts DESC, obj DESC)
+                           AS rn,
+                         COUNT(*) OVER (PARTITION BY subj, pred)
+                           AS n_candidates
+                  FROM per)
+            SELECT subj, pred, obj, w AS weight_total, last_ts,
+                   n_sources, CAST(n_candidates AS BIGINT)
+                     AS n_candidates
+            FROM r WHERE rn = 1 ORDER BY subj, pred""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -74,3 +74,45 @@ def rewrite_with_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
                       .otherwise(F.col("__o_can")))
          .drop("__o_can"))
     return t.distinct()
+
+
+def ifp_sameas_candidates(triples: DataFrame,
+                          min_inv_functionality_ppm: int = 900_000,
+                          max_bucket: int = 100) -> DataFrame:
+    """Inverse-functional-property entity matching (OWL IFP semantics,
+    the classic silk/LIMES ER signal): two subjects asserting the SAME
+    object under a (near-)inverse-functional predicate — email,
+    homepage, ISBN — are sameAs candidates; the output edge frame feeds
+    :func:`sameas_labels` / the kg_job coreference CC.
+
+    -> (subj_a, subj_b, n_evidence) with subj_a < subj_b: the number of
+    distinct (pred, obj) keys the pair shares across qualifying
+    predicates (multi-key agreement = stronger evidence).
+
+    Predicates qualify when their inverse functionality —
+    ``|distinct obj| * 1e6 DIV |distinct (subj, obj)|`` (the PARIS
+    signal, same convention as q144/q169) — meets the bar.  Candidate
+    generation is the dedup.py capped-bucket shape: hot objects
+    (``mailto:info@`` shared by 10^6 subjects) are TRUNCATED in a
+    spillable window BEFORE any aggregation buffer materializes the
+    member list, then dropped whole via the sentinel row — a
+    boilerplate object can never go quadratic.
+    """
+    pairs_frame = triples.select("subj", "pred", "obj").distinct()
+    fstats = (pairs_frame.groupBy("pred")
+              .agg(F.countDistinct("obj").alias("__no"),
+                   F.count(F.lit(1)).alias("__np"))
+              .withColumn("__ifp", F.expr("__no * 1000000 DIV __np"))
+              .filter(F.col("__ifp") >= min_inv_functionality_ppm)
+              .select("pred"))
+    keyed = pairs_frame.join(F.broadcast(fstats), "pred") \
+                       .select(F.col("pred").alias("band"),
+                               F.col("obj").alias("bucket"),
+                               F.col("subj"))
+    from .dedup import _capped_bucket_members, _expand_bucket_pairs
+    members = _capped_bucket_members(keyed, max_bucket, payload="subj")
+    return (_expand_bucket_pairs(members)
+            .select(F.col("p.doc_a").alias("subj_a"),
+                    F.col("p.doc_b").alias("subj_b"))
+            .groupBy("subj_a", "subj_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_evidence")))
