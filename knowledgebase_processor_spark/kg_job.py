@@ -40,7 +40,8 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         openie: bool = False, coref_salt: int | None = 16,
         dedup: bool = False, rewrite_canonical: bool = False,
         entailment: bool = False,
-        url_redirects: DataFrame | None = None) -> dict:
+        url_redirects: DataFrame | None = None,
+        ifp_canonical: bool = False) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -219,6 +220,27 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
             rewrite_with_labels(flat, label_map) \
                 .write.mode("overwrite").parquet(rpath)
         metrics["n_canonical_triples"] = spark.read.parquet(rpath).count()
+
+    # 6b': IFP-driven canonicalization (optional): inverse-functional
+    # predicate agreement (shared email/homepage objects,
+    # operators/sameas.ifp_sameas_candidates — capped buckets, so a
+    # boilerplate object never goes quadratic) yields sameAs edges that
+    # the CC + min-election + rewrite pipeline of canonicalize_triples
+    # closes over — the data-driven complement of the mention/wikilink
+    # coreference labels in 6b.
+    if ifp_canonical:
+        from .operators.sameas import (
+            canonicalize_triples, ifp_sameas_candidates,
+        )
+        ipath = stage("kg_triples_ifp")
+        if force or not os.path.exists(os.path.join(ipath, "_SUCCESS")):
+            cands = (ifp_sameas_candidates(
+                flat.select("subj", "pred", "obj"))
+                .select(F.col("subj_a").alias("src"),
+                        F.col("subj_b").alias("dst")))
+            canonicalize_triples(flat, cands) \
+                .write.mode("overwrite").parquet(ipath)
+        metrics["n_ifp_triples"] = spark.read.parquet(ipath).count()
 
     # 6c: RDFS entailment materialization (operators/rdfs.rdfs_closure):
     # schema triples close on the tiny side, instance triples get one

@@ -397,3 +397,16 @@ def test_kg_job_without_redirects_unchanged(spark, tmp_path):
                        [], "src string, dst string"))
     assert a["n_triples"] == b["n_triples"]
     assert b["n_redirects_resolved"] == 0
+
+
+def test_kg_job_ifp_canonical_stage(spark, tmp_path):
+    pages = fixture_pages(spark).limit(8)
+    work = str(tmp_path / "run_ifp")
+    m = kg_job.run(spark, pages, work, ifp_canonical=True)
+    assert "n_ifp_triples" in m
+    ifp = spark.read.parquet(os.path.join(work, "kg_triples_ifp"))
+    # rewrite only ever coalesces duplicates, never invents triples
+    assert 0 < m["n_ifp_triples"] <= m["n_triples"]
+    assert ifp.count() == m["n_ifp_triples"]
+    m2 = kg_job.run(spark, pages, work, ifp_canonical=True)
+    assert m2["n_ifp_triples"] == m["n_ifp_triples"]
