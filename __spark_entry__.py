@@ -43,6 +43,8 @@ from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
 from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
     RHO_PPM_SQL as _RHO_PPM_SQL)
+from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
+    FLESCH_SQL as _FLESCH_SQL)
 from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
     recrawl_oracle_sql as _recrawl_oracle_sql)
 from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
@@ -3477,6 +3479,41 @@ def _q183_fuse_facts(spark, sf):
     return fuse_facts(obs, trust).orderBy("subj", "pred")
 
 
+def _q184_robots_compliance(spark, sf):
+    # Distributed robots compliance (operators/urlrules.py::
+    # apply_robots): per-host rule frames with an allow carve-out
+    # inside a disallowed subtree, longest-prefix-match-wins.
+    from knowledgebase_processor_spark.operators.urlrules import (
+        apply_robots)
+    d = _t(spark, sf, "documents")
+    crawl = d.selectExpr(
+        "'h' || CAST(doc_id % 5 AS STRING) AS host",
+        "'u' || CAST(doc_id AS STRING) AS url",
+        "CASE doc_id % 4"
+        " WHEN 0 THEN '/a/x' || doc_id"
+        " WHEN 1 THEN '/a/pub/p' || doc_id"
+        " WHEN 2 THEN '/b/q' || doc_id"
+        " ELSE '/open/' || doc_id END AS path")
+    rule_rows = []
+    for h in range(5):
+        rule_rows += [(f"h{h}", "*", False, "/a"),
+                      (f"h{h}", "*", True, "/a/pub")]
+        if h % 2 == 0:
+            rule_rows.append((f"h{h}", "*", False, "/b"))
+    rules = spark.createDataFrame(
+        rule_rows, "host string, agent string, allow boolean, path string")
+    return apply_robots(crawl, rules).orderBy("url")
+
+
+def _q185_readability(spark, sf):
+    # Flesch readability (operators/textstats.py): portable tokenizer,
+    # vowel-run syllables, shared micro-quantized formula.
+    from knowledgebase_processor_spark.operators.textstats import (
+        readability_report)
+    d = _t(spark, sf, "documents")
+    return readability_report(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3662,6 +3699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_lang_mismatch": _q181_lang_mismatch,
         "q182_ifp_candidates": _q182_ifp_candidates,
         "q183_fuse_facts": _q183_fuse_facts,
+        "q184_robots_compliance": _q184_robots_compliance,
+        "q185_readability": _q185_readability,
     }
 
 
@@ -7716,6 +7755,57 @@ def oracle_sql() -> dict[str, str]:
                    n_sources, CAST(n_candidates AS BIGINT)
                      AS n_candidates
             FROM r WHERE rn = 1 ORDER BY subj, pred""",
+        "q184_robots_compliance": r"""
+            WITH crawl AS (SELECT 'h' || (doc_id % 5) AS host,
+                                  'u' || doc_id AS url,
+                                  CASE doc_id % 4
+                                    WHEN 0 THEN '/a/x' || doc_id
+                                    WHEN 1 THEN '/a/pub/p' || doc_id
+                                    WHEN 2 THEN '/b/q' || doc_id
+                                    ELSE '/open/' || doc_id END AS path
+                           FROM documents),
+            hr AS (SELECT 'h' || i AS host, i FROM range(5) t(i)),
+            rules AS (
+              SELECT host, FALSE AS allow, '/a' AS rule_path FROM hr
+              UNION ALL
+              SELECT host, TRUE, '/a/pub' FROM hr
+              UNION ALL
+              SELECT host, FALSE, '/b' FROM hr WHERE i % 2 = 0),
+            m AS (SELECT c.host, c.url, r.allow, r.rule_path,
+                         row_number() OVER (PARTITION BY c.host, c.url
+                           ORDER BY length(r.rule_path) DESC,
+                                    r.allow DESC, r.rule_path DESC)
+                           AS rn
+                  FROM crawl c JOIN rules r ON r.host = c.host
+                  WHERE substr(c.path, 1, length(r.rule_path))
+                          = r.rule_path)
+            SELECT c.host, c.url,
+                   COALESCE(m.allow, TRUE) AS allowed,
+                   m.rule_path AS matched_rule
+            FROM crawl c LEFT JOIN m ON m.host = c.host
+                                    AND m.url = c.url AND m.rn = 1
+            ORDER BY c.url""",
+        "q185_readability": ("""
+            WITH d0 AS (SELECT doc_id,
+                               COALESCE(text, '') AS t FROM documents),
+            words AS (SELECT doc_id, t,
+                             list_filter(string_split_regex(
+                               lower(trim(t)), '[ \t\n\r\f]+'),
+                               x -> x <> '') AS ws
+                      FROM d0),
+            c AS (SELECT doc_id,
+                         CAST(len(ws) AS BIGINT) AS w,
+                         CAST(greatest(1, len(regexp_extract_all(
+                           lower(t), '[.!?]+'))) AS BIGINT) AS s,
+                         CAST(COALESCE(list_sum(list_transform(ws,
+                           x -> greatest(1, len(regexp_extract_all(x,
+                             '[aeiouy]+'))))), 0) AS BIGINT) AS y
+                  FROM words)
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_syllables,
+                   CASE WHEN w = 0 THEN NULL ELSE """
+            + _FLESCH_SQL + """ END AS flesch_micro
+            FROM c ORDER BY doc_id"""),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

@@ -105,3 +105,41 @@ def url_prefix_rollup(df: DataFrame, path_col: str,
     ex = with_segs.select(F.posexplode(prefixes).alias("d", "prefix"))
     return (ex.groupBy((F.col("d") + 1).cast("int").alias("depth"), "prefix")
             .agg(F.count(F.lit(1)).alias("n_pages")))
+
+
+def apply_robots(crawled: DataFrame, rules: DataFrame,
+                 agent: str = "*") -> DataFrame:
+    """Distributed robots compliance: evaluate every crawled url
+    against its host's parsed robots rules (the frame
+    ``webclean.parse_robots`` emits) under the standard
+    LONGEST-PREFIX-MATCH-WINS semantics (Google's published robots.txt
+    algorithm; allow beats disallow on equal length).  Hosts with no
+    rules — or urls matching none — default to allowed.
+
+    (host, url, path) x (host, agent, allow, path) ->
+    (host, url, allowed, matched_rule) where matched_rule is the
+    winning rule path (NULL when nothing matched).
+
+    Plan shape: one equi-join on host (per-host rule sets are tens of
+    rows — the join fans each url out to its host's rules only, never
+    cross-host), a startswith filter, then ONE partial-agg struct-max
+    per url picking (longest path, allow, path) — no window over the
+    crawl, deterministic on equal-length allow/disallow twins.
+    """
+    r = (rules.filter(F.col("agent") == agent)
+         .select("host", F.col("allow"),
+                 F.col("path").alias("rule_path")))
+    m = (crawled.join(r, "host", "left")
+         .withColumn("__hit",
+                     F.col("rule_path").isNotNull()
+                     & F.col("path").startswith(F.col("rule_path"))))
+    best = (m.groupBy("host", "url")
+            .agg(F.max(F.when(F.col("__hit"),
+                              F.struct(F.length("rule_path").alias("l"),
+                                       F.col("allow"),
+                                       F.col("rule_path"))))
+                 .alias("__w")))
+    return best.select(
+        "host", "url",
+        F.coalesce(F.col("__w.allow"), F.lit(True)).alias("allowed"),
+        F.col("__w.rule_path").alias("matched_rule"))
