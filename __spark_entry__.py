@@ -3514,6 +3514,28 @@ def _q185_readability(spark, sf):
     return readability_report(d).orderBy("doc_id")
 
 
+def _q186_edit_distance(spark, sf):
+    # Levenshtein pair verification (operators/dedup.py::
+    # edit_distance_pairs): each doc's 200-char prefix paired with a
+    # planted twin (identical / ' edited' suffix / ' x' suffix by
+    # stratum), exact distances + length-normalized ppm.
+    from knowledgebase_processor_spark.operators.dedup import (
+        edit_distance_pairs)
+    d = _t(spark, sf, "documents")
+    base = d.selectExpr(
+        "doc_id", "substring(COALESCE(text, ''), 1, 200) AS text")
+    twin = d.selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "substring(COALESCE(text, ''), 1, 200) ||"
+        " CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' edited'"
+        " ELSE ' x' END AS text")
+    cands = d.selectExpr("doc_id AS doc_a",
+                         "doc_id + 1000000 AS doc_b")
+    return (edit_distance_pairs(base.unionByName(twin), cands,
+                                max_dist=10)
+            .orderBy("doc_a"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3701,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_fuse_facts": _q183_fuse_facts,
         "q184_robots_compliance": _q184_robots_compliance,
         "q185_readability": _q185_readability,
+        "q186_edit_distance": _q186_edit_distance,
     }
 
 
@@ -7806,6 +7829,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN w = 0 THEN NULL ELSE """
             + _FLESCH_SQL + """ END AS flesch_micro
             FROM c ORDER BY doc_id"""),
+        "q186_edit_distance": r"""
+            WITH base AS (SELECT doc_id,
+                                 substr(COALESCE(text, ''), 1, 200) AS t
+                          FROM documents),
+            twin AS (SELECT doc_id + 1000000 AS doc_id,
+                            substr(COALESCE(text, ''), 1, 200) ||
+                            CASE doc_id % 3 WHEN 0 THEN ''
+                                 WHEN 1 THEN ' edited'
+                                 ELSE ' x' END AS t
+                     FROM documents),
+            j AS (SELECT b.doc_id AS doc_a, w.doc_id AS doc_b,
+                         levenshtein(substr(b.t, 1, 4000),
+                                     substr(w.t, 1, 4000)) AS dist,
+                         greatest(length(b.t), length(w.t), 1) AS l
+                  FROM base b JOIN twin w
+                    ON w.doc_id = b.doc_id + 1000000)
+            SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
+                   CAST(dist * 1000000 // l AS BIGINT) AS dist_ppm
+            FROM j WHERE dist <= 10 ORDER BY doc_a""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

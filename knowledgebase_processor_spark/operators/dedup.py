@@ -718,3 +718,43 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                 F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
                             lambda s: s["line"]), "\n").alias("text"),
                  F.count("*").alias("n_lines_kept")))
+
+
+def edit_distance_pairs(docs: DataFrame, candidates: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_dist: int = 20,
+                        max_chars: int = 4000) -> DataFrame:
+    """Verify candidate pairs with exact Levenshtein distance — the
+    character-level verifier next to the shingle-set one
+    (:func:`ngram_jaccard_pairs`); catches small in-place edits
+    (typo fixes, date bumps, template fills) that shift every
+    surrounding shingle but only move a few characters.
+
+    (docs, candidate (doc_a, doc_b) pairs) -> (doc_a, doc_b, dist,
+    dist_ppm) for pairs with ``dist <= max_dist``; ``dist_ppm`` is the
+    distance normalized by the longer text (exact integer).
+
+    Scale contract: Levenshtein is O(len_a * len_b) per pair, so texts
+    are TRUNCATED to ``max_chars`` first (candidates come from the
+    bucketed generators, so pair count is already bounded; the
+    truncation bounds the per-pair CPU and is disclosed in the column
+    name ``dist`` = distance of the truncated prefixes).  JVM-side
+    ``levenshtein`` builtin — DuckDB ships the same function, so the
+    q186 oracle replays bit-identically.
+    """
+    t = docs.select(F.col(id_col).alias("doc_id"),
+                    F.substring(F.coalesce(F.col(text_col), F.lit("")),
+                                1, max_chars).alias("t"))
+    j = (candidates
+         .join(t.withColumnRenamed("doc_id", "doc_a")
+               .withColumnRenamed("t", "t_a"), "doc_a")
+         .join(t.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("t", "t_b"), "doc_b"))
+    dist = F.levenshtein("t_a", "t_b")
+    longer = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
+    return (j.select("doc_a", "doc_b",
+                     dist.cast("long").alias("dist"),
+                     longer.cast("long").alias("__l"))
+            .filter(F.col("dist") <= max_dist)
+            .selectExpr("doc_a", "doc_b", "dist",
+                        "dist * 1000000 DIV __l AS dist_ppm"))
