@@ -167,7 +167,10 @@ def entity_summaries(triples: DataFrame, k: int = 5,
               .agg(F.count(F.lit(1)).alias("__np")))
     scored = (facts.join(F.broadcast(pstats), "pred")
               .withColumn("score_ppm",
-                          F.expr(f"{n_subj} * 1000000 DIV __np")))
+                          # BIGINT literal: an INT n_subj overflows ANSI
+                          # multiply past ~2k subjects (stress-tested)
+                          F.expr(f"CAST({n_subj} AS BIGINT) * 1000000 "
+                                 "DIV __np")))
     from pyspark.sql import Window
     w = Window.partitionBy("subj").orderBy(
         F.col("score_ppm").desc(), F.col("pred"), F.col("obj"))
