@@ -3536,6 +3536,18 @@ def _q186_edit_distance(spark, sf):
             .orderBy("doc_a"))
 
 
+def _q187_l_diversity(spark, sf):
+    # l-diversity privacy audit (operators/kanon.py::
+    # l_diversity_report): QI = (source, lang), sensitive = a 7-way
+    # synthetic attribute; the k-anonymity companion gate.
+    from knowledgebase_processor_spark.operators.kanon import (
+        l_diversity_report)
+    d = _t(spark, sf, "documents").selectExpr(
+        "source", "lang", "'s' || CAST(doc_id % 7 AS STRING) AS diag")
+    return (l_diversity_report(d, ["source", "lang"], "diag", ls=[3, 7])
+            .orderBy("l"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3724,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_robots_compliance": _q184_robots_compliance,
         "q185_readability": _q185_readability,
         "q186_edit_distance": _q186_edit_distance,
+        "q187_l_diversity": _q187_l_diversity,
     }
 
 
@@ -7848,6 +7861,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
                    CAST(dist * 1000000 // l AS BIGINT) AS dist_ppm
             FROM j WHERE dist <= 10 ORDER BY doc_a""",
+        "q187_l_diversity": r"""
+            WITH d AS (SELECT source, lang,
+                              's' || (doc_id % 7) AS diag
+                       FROM documents),
+            sizes AS (SELECT source, lang, COUNT(*) AS sz,
+                             COUNT(DISTINCT diag) AS dv
+                      FROM d GROUP BY source, lang),
+            ls AS (SELECT UNNEST([3, 7]) AS l)
+            SELECT CAST(l AS BIGINT) AS l,
+                   CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(dv) AS BIGINT) AS min_diversity,
+                   CAST(SUM(CASE WHEN dv < l THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_groups,
+                   CAST(SUM(CASE WHEN dv < l THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(SUM(CASE WHEN dv < l THEN sz ELSE 0 END)
+                        * 1000000 // SUM(sz) AS BIGINT) AS risk_ppm
+            FROM sizes CROSS JOIN ls GROUP BY l ORDER BY l""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

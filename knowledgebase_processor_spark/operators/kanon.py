@@ -84,3 +84,38 @@ def kanon_oracle_sql(rows_sql: str, qi_sql: list[str],
         FROM (SELECT {qi}, COUNT(*)::BIGINT AS sz
               FROM ({rows_sql}) GROUP BY {qi})""")
     return " UNION ALL ".join(parts)
+
+
+def l_diversity_report(df: DataFrame, qi_cols: list[str],
+                       sensitive_col: str,
+                       ls: list[int]) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2006, public — the companion
+    gate to k-anonymity: a class can be large yet still leak if every
+    member shares one sensitive value).  For each l, one row:
+    (l, n_rows, n_groups, min_diversity, n_violating_groups,
+    rows_at_risk, risk_ppm) where a group violates when its QI class
+    carries fewer than l DISTINCT sensitive values.
+
+    Same plan shape as the k report: one partial-agg groupBy over
+    (QI..., count + countDistinct(sensitive)) then tiny rollups."""
+    sizes = (df.groupBy(*qi_cols)
+             .agg(F.count(F.lit(1)).cast("long").alias("sz"),
+                  F.countDistinct(sensitive_col).cast("long")
+                  .alias("div")))
+    parts = []
+    for lv in ls:
+        parts.append(sizes.agg(
+            F.lit(int(lv)).cast("long").alias("l"),
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("div").cast("long").alias("min_diversity"),
+            F.sum(F.when(F.col("div") < lv, 1).otherwise(0))
+            .cast("long").alias("n_violating_groups"),
+            F.sum(F.when(F.col("div") < lv, F.col("sz")).otherwise(0))
+            .cast("long").alias("rows_at_risk")))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionByName(more)
+    return out.withColumn(
+        "risk_ppm",
+        F.expr(f"rows_at_risk * {SCALE} DIV n_rows").cast("long"))

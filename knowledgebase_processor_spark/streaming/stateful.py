@@ -77,3 +77,55 @@ def track_document_versions(pages_stream):
                 stateStructType=VERSION_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- streaming politeness dispatch ----------------------------------------
+
+POLITE_OUT = StructType([
+    StructField("host", StringType()),
+    StructField("url", StringType()),
+    StructField("slot", LongType()),
+    StructField("fetch_at_ms", LongType()),
+])
+
+# state: next free per-host slot
+POLITE_STATE = StructType([StructField("next_slot", LongType())])
+
+
+def apply_politeness_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Transition function for the STREAMING frontier scheduler: the
+    batch twin is ``operators/frontier.politeness_schedule`` — here the
+    per-host slot counter lives in GroupState, so urls arriving in
+    later micro-batches continue the host's fetch sequence instead of
+    restarting at slot 0 (the property a long-running crawl needs).
+    Within a batch the order is (priority desc, url), matching the
+    batch operator; rows must carry a ``delay_ms`` column (join the
+    robots Crawl-delay policy upstream)."""
+    host = key[0]
+    nxt = state.get[0] if state.exists else 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["priority", "url"],
+                              ascending=[False, True])
+    rows = []
+    for rec in batch.itertuples(index=False):
+        rows.append({"host": host, "url": rec.url, "slot": nxt,
+                     "fetch_at_ms": nxt * int(rec.delay_ms)})
+        nxt += 1
+    state.update((nxt,))
+    yield pd.DataFrame(rows, columns=[f.name for f in POLITE_OUT.fields])
+
+
+def schedule_frontier_stream(frontier_stream):
+    """streaming frontier (host, url, priority, delay_ms) -> per-url
+    (host, url, slot, fetch_at_ms) with per-host slots persisting
+    across micro-batches (stateful)."""
+    return (frontier_stream
+            .groupBy("host")
+            .applyInPandasWithState(
+                apply_politeness_state,
+                outputStructType=POLITE_OUT,
+                stateStructType=POLITE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
