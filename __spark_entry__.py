@@ -45,6 +45,11 @@ from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
     RHO_PPM_SQL as _RHO_PPM_SQL)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     FLESCH_SQL as _FLESCH_SQL)
+from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
+    welch_oracle_sql as _welch_oracle_sql,
+    chi2_oracle_sql as _chi2_oracle_sql,
+    bootstrap_oracle_sql as _bootstrap_oracle_sql,
+    auc_oracle_sql as _auc_oracle_sql)
 from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
     recrawl_oracle_sql as _recrawl_oracle_sql)
 from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
@@ -3548,6 +3553,53 @@ def _q187_l_diversity(spark, sf):
             .orderBy("l"))
 
 
+def _q188_welch_ttest(spark, sf):
+    # Welch's unequal-variance t-test (operators/inference.py): does
+    # the 'en' slice have a different mean page length?  One
+    # conditional-agg pass; exact BIGINT moments, shared float formula.
+    from knowledgebase_processor_spark.operators.inference import (
+        welch_ttest)
+    d = _t(spark, sf, "documents")
+    return welch_ttest(d.withColumn("is_en", F.col("lang") == "en"),
+                       "n_chars", "is_en")
+
+
+def _q189_chi_square_drift(spark, sf):
+    # Chi-square homogeneity of the language mix between two crawl
+    # halves (doc_id parity as the snapshot key); per-lang nano-
+    # quantized contributions sum to an order-proof BIGINT statistic.
+    from knowledgebase_processor_spark.operators.inference import (
+        chi_square_drift)
+    d = _t(spark, sf, "documents")
+    return (chi_square_drift(d.withColumn("half", F.expr("doc_id % 2")),
+                             "lang", "half")
+            .orderBy("cat"))
+
+
+def _q190_poisson_bootstrap(spark, sf):
+    # Poisson bootstrap of mean page length (operators/inference.py):
+    # B=32 resamples in ONE scan via portable salted-md5 Poisson(1)
+    # weights — the web-scale bootstrap; DuckDB replays every draw.
+    from knowledgebase_processor_spark.operators.inference import (
+        poisson_bootstrap_mean)
+    d = _t(spark, sf, "documents")
+    return (poisson_bootstrap_mean(d, "doc_id", "n_chars", 32)
+            .orderBy("b"))
+
+
+def _q191_auc(spark, sf):
+    # Tie-aware rank-sum ROC AUC (operators/inference.py): does page
+    # length separate English pages?  Distinct-score-bin reduction
+    # first, ENTIRELY integer arithmetic end-to-end.
+    from knowledgebase_processor_spark.operators.inference import (
+        binned_auc)
+    d = _t(spark, sf, "documents")
+    return binned_auc(
+        d.selectExpr("n_chars DIV 16 AS score_bin",
+                     "lang = 'en' AS is_en"),
+        "score_bin", "is_en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3737,6 +3789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_readability": _q185_readability,
         "q186_edit_distance": _q186_edit_distance,
         "q187_l_diversity": _q187_l_diversity,
+        "q188_welch_ttest": _q188_welch_ttest,
+        "q189_chi_square_drift": _q189_chi_square_drift,
+        "q190_poisson_bootstrap": _q190_poisson_bootstrap,
+        "q191_auc": _q191_auc,
     }
 
 
@@ -7880,6 +7936,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN dv < l THEN sz ELSE 0 END)
                         * 1000000 // SUM(sz) AS BIGINT) AS risk_ppm
             FROM sizes CROSS JOIN ls GROUP BY l ORDER BY l""",
+        "q188_welch_ttest": _welch_oracle_sql(
+            "documents", "n_chars", "lang = 'en'"),
+        "q189_chi_square_drift": _chi2_oracle_sql(
+            "documents", "lang", "doc_id % 2"),
+        "q190_poisson_bootstrap": _bootstrap_oracle_sql(
+            "documents", "doc_id", "n_chars"),
+        "q191_auc": _auc_oracle_sql(
+            "documents", "n_chars // 16", "lang = 'en'"),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
