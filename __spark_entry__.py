@@ -50,6 +50,10 @@ from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     chi2_oracle_sql as _chi2_oracle_sql,
     bootstrap_oracle_sql as _bootstrap_oracle_sql,
     auc_oracle_sql as _auc_oracle_sql)
+from knowledgebase_processor_spark.operators.rulemine import (  # noqa: E402
+    rules_oracle_sql as _rules_oracle_sql)
+from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
+    covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
     recrawl_oracle_sql as _recrawl_oracle_sql)
 from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
@@ -3600,6 +3604,76 @@ def _q191_auc(spark, sf):
         "score_bin", "is_en")
 
 
+_Q192_TRIPLES_SQL = """
+    SELECT 'p' || CAST(doc_id AS {S}) AS subj, 'worksAt' AS pred,
+           'o' || CAST(doc_id % 40 AS {S}) AS obj FROM documents
+    UNION ALL
+    SELECT 'o' || CAST(doc_id % 40 AS {S}), 'locatedIn',
+           'c' || CAST((doc_id % 40) % 8 AS {S}) FROM documents
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS {S}), 'basedIn',
+           'c' || CAST((doc_id % 40) % 8 AS {S}) FROM documents
+    WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS {S}), 'livesIn',
+           'c' || CAST((doc_id % 40) % 8 AS {S}) FROM documents
+    WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 'c' || CAST((doc_id % 40) % 8 AS {S}), 'cityIn',
+           'n' || CAST(((doc_id % 40) % 8) % 2 AS {S}) FROM documents
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS {S}), 'citizenOf',
+           'n' || CAST(((doc_id % 40) % 8) % 2 AS {S}) FROM documents
+    WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS {S}), 'cites',
+           'p' || CAST(doc_id + 1 AS {S}) FROM documents"""
+
+
+def _q192_rule_mining(spark, sf):
+    # AMIE-lite path-rule mining (operators/rulemine.py) over a
+    # synthetic org KG: worksAt ∧ locatedIn ⇒ basedIn holds at 80%
+    # confidence by construction; cites is the noise predicate.
+    from knowledgebase_processor_spark.operators.rulemine import (
+        mine_path_rules)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    t = spark.sql(_Q192_TRIPLES_SQL.format(S="STRING"))
+    return (mine_path_rules(t, min_support=2, max_fanout=None)
+            .orderBy("p1", "p2", "p3"))
+
+
+def _q193_embedding_covariance(spark, sf):
+    # Distributed PCA prep (operators/covariance.py): micro-quantized
+    # upper-triangle second moments of the first 16 embedding dims —
+    # one partial-agg pass, integer-exact until the shared float step.
+    from knowledgebase_processor_spark.operators.covariance import (
+        embedding_covariance)
+    e = _t(spark, sf, "embeddings")
+    return embedding_covariance(e, "embedding", dims=16).orderBy("i", "j")
+
+
+def _q194_scc(spark, sf):
+    # Redirect-ring detection via strongly connected components
+    # (operators/scc.py, Orzan forward-coloring): synthetic host graph
+    # of 5-node rings (even groups) and chains (odd groups) with
+    # forward cross edges; rings resolve to their max member.
+    from knowledgebase_processor_spark.operators.scc import (
+        strongly_connected_components)
+    nodes = (_t(spark, sf, "documents")
+             .selectExpr("doc_id DIV 10 AS k").distinct())
+    cand = nodes.selectExpr(
+        "k AS src",
+        "CASE WHEN (k DIV 5) % 2 = 0"
+        " THEN (k DIV 5) * 5 + ((k % 5) + 1) % 5"
+        " WHEN k % 5 < 4 THEN k + 1 ELSE NULL END AS dst")
+    cross = nodes.filter("k % 5 = 4").selectExpr("k AS src",
+                                                 "k + 1 AS dst")
+    edges = (cand.unionByName(cross)
+             .filter(F.col("dst").isNotNull())
+             .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    return strongly_connected_components(edges).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3793,6 +3867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_chi_square_drift": _q189_chi_square_drift,
         "q190_poisson_bootstrap": _q190_poisson_bootstrap,
         "q191_auc": _q191_auc,
+        "q192_rule_mining": _q192_rule_mining,
+        "q193_embedding_covariance": _q193_embedding_covariance,
+        "q194_scc": _q194_scc,
     }
 
 
@@ -7944,6 +8021,23 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "n_chars"),
         "q191_auc": _auc_oracle_sql(
             "documents", "n_chars // 16", "lang = 'en'"),
+        "q192_rule_mining": _rules_oracle_sql(
+            _Q192_TRIPLES_SQL.format(S="VARCHAR"), min_support=2),
+        "q193_embedding_covariance": _covariance_oracle_sql(
+            "embeddings", "embedding", dims=16),
+        # q194: the synthetic ring/chain graph has a closed-form SCC
+        # assignment (a ring exists iff its even group is complete) —
+        # the general algorithm is differential-tested against Tarjan
+        # in tests/test_r2_batch34.py.
+        "q194_scc": """
+            WITH nodes AS (SELECT DISTINCT doc_id // 10 AS k
+                           FROM documents),
+            mx AS (SELECT MAX(k) AS mk FROM nodes)
+            SELECT CAST(k AS BIGINT) AS node,
+                   CAST(CASE WHEN (k // 5) % 2 = 0
+                             AND (k // 5) * 5 + 4 <= mx.mk
+                        THEN (k // 5) * 5 + 4 ELSE k END AS BIGINT) AS scc
+            FROM nodes CROSS JOIN mx ORDER BY node""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
