@@ -54,6 +54,10 @@ from knowledgebase_processor_spark.operators.rulemine import (  # noqa: E402
     rules_oracle_sql as _rules_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
+from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
+    fertility_oracle_sql as _fertility_oracle_sql)
+from knowledgebase_processor_spark.operators.hilbert import (  # noqa: E402
+    hilbert_sql as _hilbert_sql)
 from knowledgebase_processor_spark.operators.recrawl import (  # noqa: E402
     recrawl_oracle_sql as _recrawl_oracle_sql)
 from knowledgebase_processor_spark.operators.webclean import (  # noqa: E402
@@ -3674,6 +3678,44 @@ def _q194_scc(spark, sf):
     return strongly_connected_components(edges).orderBy("node")
 
 
+def _q195_hreflang_clusters(spark, sf):
+    # hreflang translation clusters (operators/hreflang.py): CC over
+    # a partial alternate-chain graph (groups of 4 language variants),
+    # rolled up to per-cluster size + distinct-language profiles.
+    from knowledgebase_processor_spark.operators.hreflang import (
+        translation_clusters)
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr("'u' || CAST(doc_id AS STRING) AS url", "lang")
+    edges = (d.alias("a").join(
+        d.selectExpr("doc_id AS nxt").alias("b"),
+        F.expr("b.nxt = a.doc_id + 1 AND"
+               " a.doc_id DIV 4 = (a.doc_id + 1) DIV 4"))
+        .selectExpr("'u' || CAST(a.doc_id AS STRING) AS src",
+                    "'u' || CAST(a.doc_id + 1 AS STRING) AS dst"))
+    return (translation_clusters(edges, pages)
+            .orderBy("cluster"))
+
+
+def _q196_token_fertility(spark, sf):
+    # Tokenizer fertility by language (operators/textstats.py):
+    # bytes/chars per subword token, exact integer ppm — the
+    # multilingual data-card companion to q11/q135.
+    from knowledgebase_processor_spark.operators.textstats import (
+        token_fertility)
+    return token_fertility(_t(spark, sf, "documents")).orderBy("lang")
+
+
+def _q197_hilbert_layout(spark, sf):
+    # Hilbert-curve layout index (operators/hilbert.py): the SAME
+    # generated chained-CTE SQL text runs verbatim on Spark here and
+    # on DuckDB as the oracle — bit-level parity by construction.
+    from knowledgebase_processor_spark.operators.hilbert import (
+        hilbert_sql)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(hilbert_sql("documents", "doc_id",
+                                 "doc_id % 256", "(doc_id * 7) % 256"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3870,6 +3912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_rule_mining": _q192_rule_mining,
         "q193_embedding_covariance": _q193_embedding_covariance,
         "q194_scc": _q194_scc,
+        "q195_hreflang_clusters": _q195_hreflang_clusters,
+        "q196_token_fertility": _q196_token_fertility,
+        "q197_hilbert_layout": _q197_hilbert_layout,
     }
 
 
@@ -8038,6 +8083,20 @@ def oracle_sql() -> dict[str, str]:
                              AND (k // 5) * 5 + 4 <= mx.mk
                         THEN (k // 5) * 5 + 4 ELSE k END AS BIGINT) AS scc
             FROM nodes CROSS JOIN mx ORDER BY node""",
+        # q195: the synthetic alternate graph chains each 4-variant
+        # group, so its components have a closed form; the general CC
+        # operator is the heavily-tested north-rule J9 path.
+        "q195_hreflang_clusters": """
+            WITH m AS (SELECT doc_id, lang, doc_id // 4 AS g
+                       FROM documents)
+            SELECT MIN('u' || CAST(doc_id AS VARCHAR)) AS cluster,
+                   CAST(COUNT(*) AS BIGINT) AS size,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM m GROUP BY g HAVING COUNT(*) > 1
+            ORDER BY cluster""",
+        "q196_token_fertility": _fertility_oracle_sql("documents"),
+        "q197_hilbert_layout": _hilbert_sql(
+            "documents", "doc_id", "doc_id % 256", "(doc_id * 7) % 256"),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }

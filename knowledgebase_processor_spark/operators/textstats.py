@@ -62,3 +62,55 @@ def readability_report(docs: DataFrame, id_col: str = "doc_id",
         "y AS n_syllables",
         f"CASE WHEN w = 0 THEN NULL ELSE {FLESCH_SQL} END"
         " AS flesch_micro")
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility: bytes/chars per subword token by language — the
+# number a multilingual-corpus data card reports next to its language
+# mix (CJK languages tokenize at several bytes per token, and a
+# fertility outlier inside one language is a mojibake/encoding flag,
+# the q153 gate's statistical twin).  Counting uses the shared
+# token_count regex run VERBATIM by the DuckDB oracle; sums are exact
+# BIGINTs, ratios exact integer ppm.  One partial-agg groupBy(lang).
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_fertility(docs: DataFrame, lang_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """-> (lang, n_docs, sum_bytes, sum_chars, sum_tokens,
+    bytes_per_token_ppm, chars_per_token_ppm) per language."""
+    from ..functions.text import token_count
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    agg = (docs.groupBy(F.col(lang_col).alias("lang"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.octet_length(t)).cast("long").alias("sum_bytes"),
+                F.sum(F.length(t)).cast("long").alias("sum_chars"),
+                F.sum(token_count(t)).cast("long").alias("sum_tokens")))
+    return agg.selectExpr(
+        "lang", "n_docs", "sum_bytes", "sum_chars", "sum_tokens",
+        "sum_bytes * 1000000 DIV nullif(sum_tokens, 0)"
+        " AS bytes_per_token_ppm",
+        "sum_chars * 1000000 DIV nullif(sum_tokens, 0)"
+        " AS chars_per_token_ppm")
+
+
+def fertility_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay: same token regex, octet_length via encode()."""
+    return rf"""
+        WITH d AS (SELECT lang, COALESCE(text, '') AS t FROM {table})
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(encode(t))) AS BIGINT) AS sum_bytes,
+               CAST(SUM(length(t)) AS BIGINT) AS sum_chars,
+               CAST(SUM(len(regexp_extract_all(t,
+                   '{TOKEN_RE}'))) AS BIGINT) AS sum_tokens,
+               CAST(SUM(octet_length(encode(t))) * 1000000
+                    // nullif(SUM(len(regexp_extract_all(t,
+                       '{TOKEN_RE}'))), 0) AS BIGINT)
+                   AS bytes_per_token_ppm,
+               CAST(SUM(length(t)) * 1000000
+                    // nullif(SUM(len(regexp_extract_all(t,
+                       '{TOKEN_RE}'))), 0) AS BIGINT)
+                   AS chars_per_token_ppm
+        FROM d GROUP BY lang ORDER BY lang"""
