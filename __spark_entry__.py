@@ -51,7 +51,10 @@ from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     bootstrap_oracle_sql as _bootstrap_oracle_sql,
     auc_oracle_sql as _auc_oracle_sql)
 from knowledgebase_processor_spark.operators.rulemine import (  # noqa: E402
-    rules_oracle_sql as _rules_oracle_sql)
+    rules_oracle_sql as _rules_oracle_sql,
+    apply_rules_oracle_sql as _apply_rules_oracle_sql)
+from knowledgebase_processor_spark.operators.robust import (  # noqa: E402
+    robust_oracle_sql as _robust_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -3716,6 +3719,49 @@ def _q197_hilbert_layout(spark, sf):
                                  "doc_id % 256", "(doc_id * 7) % 256"))
 
 
+def _q198_ktruss(spark, sf):
+    # 4-truss of a synthetic link graph (operators/ktruss.py): K5
+    # cliques (even groups) survive, chains and cross links peel away.
+    from knowledgebase_processor_spark.operators.ktruss import ktruss
+    nodes = (_t(spark, sf, "documents")
+             .selectExpr("doc_id DIV 20 AS k").distinct())
+    clique = (nodes.alias("a").join(
+        nodes.alias("b"),
+        F.expr("a.k DIV 5 = b.k DIV 5 AND a.k < b.k"
+               " AND (a.k DIV 5) % 2 = 0"))
+        .selectExpr("a.k AS src", "b.k AS dst"))
+    chain = nodes.filter("(k DIV 5) % 2 = 1 AND k % 5 < 4") \
+        .selectExpr("k AS src", "k + 1 AS dst")
+    cross = nodes.filter("k % 5 = 4").selectExpr("k AS src",
+                                                 "k + 1 AS dst")
+    edges = (clique.unionByName(chain).unionByName(cross)
+             .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    return ktruss(edges, k=4).orderBy("a", "b")
+
+
+def _q199_robust_outliers(spark, sf):
+    # Median/MAD robust outlier report per source
+    # (operators/robust.py): exact interpolated percentiles shared
+    # with DuckDB's quantile_cont, integer micro deviations.
+    from knowledgebase_processor_spark.operators.robust import (
+        robust_outliers)
+    d = _t(spark, sf, "documents")
+    return robust_outliers(d, "source", "n_chars").orderBy("source")
+
+
+def _q200_rule_inference(spark, sf):
+    # AMIE prediction step (operators/rulemine.py::apply_rules): mine
+    # rules at conf >= 0.6, emit body instantiations whose head is
+    # not yet asserted — rule-based KB completion over the q192 KG.
+    from knowledgebase_processor_spark.operators.rulemine import (
+        apply_rules, mine_path_rules)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    t = spark.sql(_Q192_TRIPLES_SQL.format(S="STRING"))
+    rules = mine_path_rules(t, min_support=2, max_fanout=None)
+    return (apply_rules(t, rules, min_conf_ppm=600000, max_fanout=None)
+            .orderBy("subj", "pred", "obj", "p1", "p2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3915,6 +3961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_hreflang_clusters": _q195_hreflang_clusters,
         "q196_token_fertility": _q196_token_fertility,
         "q197_hilbert_layout": _q197_hilbert_layout,
+        "q198_ktruss": _q198_ktruss,
+        "q199_robust_outliers": _q199_robust_outliers,
+        "q200_rule_inference": _q200_rule_inference,
     }
 
 
@@ -8097,6 +8146,26 @@ def oracle_sql() -> dict[str, str]:
         "q196_token_fertility": _fertility_oracle_sql("documents"),
         "q197_hilbert_layout": _hilbert_sql(
             "documents", "doc_id", "doc_id % 256", "(doc_id * 7) % 256"),
+        # q198: on the planted graph the 4-truss is exactly the edges
+        # of even groups with >= 4 members (a complete K_s clique edge
+        # has support s-2); the general peeling loop is differential-
+        # tested against brute force in tests/test_r2_batch36.py.
+        "q198_ktruss": """
+            WITH nodes AS (SELECT DISTINCT doc_id // 20 AS k
+                           FROM documents),
+            g AS (SELECT k // 5 AS grp, COUNT(*) AS c
+                  FROM nodes GROUP BY 1)
+            SELECT CAST(a.k AS BIGINT) AS a, CAST(b.k AS BIGINT) AS b
+            FROM nodes a
+            JOIN nodes b ON a.k // 5 = b.k // 5 AND a.k < b.k
+            JOIN g ON g.grp = a.k // 5
+            WHERE g.grp % 2 = 0 AND g.c >= 4
+            ORDER BY a, b""",
+        "q199_robust_outliers": _robust_oracle_sql(
+            "documents", "source", "n_chars", group_name="source"),
+        "q200_rule_inference": _apply_rules_oracle_sql(
+            _Q192_TRIPLES_SQL.format(S="VARCHAR"), min_support=2,
+            min_conf_ppm=600000),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
