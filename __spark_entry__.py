@@ -55,6 +55,12 @@ from knowledgebase_processor_spark.operators.rulemine import (  # noqa: E402
     apply_rules_oracle_sql as _apply_rules_oracle_sql)
 from knowledgebase_processor_spark.operators.robust import (  # noqa: E402
     robust_oracle_sql as _robust_oracle_sql)
+from knowledgebase_processor_spark.operators.cocite import (  # noqa: E402
+    cocite_oracle_sql as _cocite_oracle_sql)
+from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
+    zonemap_oracle_sql as _zonemap_oracle_sql)
+from knowledgebase_processor_spark.operators.conformal import (  # noqa: E402
+    conformal_oracle_sql as _conformal_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -3762,6 +3768,60 @@ def _q200_rule_inference(spark, sf):
             .orderBy("subj", "pred", "obj", "p1", "p2"))
 
 
+_Q201_EDGES_SQL = """
+    SELECT 'd' || CAST(doc_id AS {S}) AS src,
+           't' || CAST(doc_id % 37 AS {S}) AS dst FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id AS {S}),
+           't' || CAST((doc_id + 5) % 37 AS {S}) FROM documents
+    UNION ALL
+    SELECT 'd' || CAST(doc_id AS {S}),
+           't' || CAST((doc_id * 3) % 37 AS {S}) FROM documents"""
+
+
+def _q201_cocitation(spark, sf):
+    # Co-citation pair counts (operators/cocite.py): targets cited
+    # together by the same pages; the pre-PageRank structural
+    # similarity signal, hub-capped like the rule-mining body join.
+    from knowledgebase_processor_spark.operators.cocite import (
+        cocitation_pairs)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    e = spark.sql(_Q201_EDGES_SQL.format(S="STRING"))
+    return cocitation_pairs(e, max_fanout=None).orderBy("a", "b")
+
+
+def _q202_zonemap_pruning(spark, sf):
+    # Zone-map pruning effectiveness (operators/zonemap.py): the
+    # measured payoff of q197's Hilbert layout vs natural and
+    # value-sorted orders, for a range predicate on v = doc_id % 256.
+    from knowledgebase_processor_spark.operators.hilbert import (
+        hilbert_index)
+    from knowledgebase_processor_spark.operators.zonemap import (
+        zonemap_pruning)
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id", "doc_id % 256 AS v", "(doc_id DIV 256) % 256 AS y")
+    h = hilbert_index(d, "v", "y")
+    nat = zonemap_pruning(d, "a_natural", "doc_id", "doc_id", "v",
+                          32, 63)
+    val = zonemap_pruning(d, "b_value", "v", "doc_id", "v", 32, 63)
+    hil = zonemap_pruning(h, "c_hilbert", "hilbert", "doc_id", "v",
+                          32, 63)
+    return nat.unionByName(val).unionByName(hil).orderBy("layout")
+
+
+def _q203_conformal(spark, sf):
+    # Split-conformal gate calibration (operators/conformal.py):
+    # distribution-free 90% coverage threshold from the even-doc
+    # calibration slice, empirical coverage on the odd-doc test slice.
+    from knowledgebase_processor_spark.operators.conformal import (
+        conformal_report)
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id", "n_chars % 499 AS s")
+    cal = d.filter("doc_id % 2 = 0")
+    test = d.filter("doc_id % 2 = 1")
+    return conformal_report(cal, test, "s", alpha_ppm=100000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3964,6 +4024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_ktruss": _q198_ktruss,
         "q199_robust_outliers": _q199_robust_outliers,
         "q200_rule_inference": _q200_rule_inference,
+        "q201_cocitation": _q201_cocitation,
+        "q202_zonemap_pruning": _q202_zonemap_pruning,
+        "q203_conformal": _q203_conformal,
     }
 
 
@@ -8166,6 +8229,32 @@ def oracle_sql() -> dict[str, str]:
         "q200_rule_inference": _apply_rules_oracle_sql(
             _Q192_TRIPLES_SQL.format(S="VARCHAR"), min_support=2,
             min_conf_ppm=600000),
+        "q201_cocitation": _cocite_oracle_sql(
+            _Q201_EDGES_SQL.format(S="VARCHAR")),
+        "q202_zonemap_pruning": (
+            "SELECT * FROM ("
+            + _zonemap_oracle_sql(
+                "documents", "a_natural", "doc_id", "doc_id",
+                "doc_id % 256", 32, 63)
+            + ") UNION ALL SELECT * FROM ("
+            + _zonemap_oracle_sql(
+                "documents", "b_value", "doc_id % 256", "doc_id",
+                "doc_id % 256", 32, 63)
+            + ") UNION ALL SELECT * FROM ("
+            + _zonemap_oracle_sql(
+                "(SELECT d.doc_id, d.doc_id % 256 AS v, h.hilbert"
+                " FROM documents d JOIN ("
+                + _hilbert_sql("documents", "doc_id", "doc_id % 256",
+                               "(doc_id // 256) % 256")
+                + ") h ON h.id = d.doc_id)",
+                "c_hilbert", "hilbert", "doc_id", "v", 32, 63)
+            + ") ORDER BY layout"),
+        "q203_conformal": _conformal_oracle_sql(
+            "SELECT n_chars % 499 AS s FROM documents"
+            " WHERE doc_id % 2 = 0",
+            "SELECT n_chars % 499 AS s FROM documents"
+            " WHERE doc_id % 2 = 1",
+            "s", alpha_ppm=100000),
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
