@@ -61,6 +61,10 @@ from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
     zonemap_oracle_sql as _zonemap_oracle_sql)
 from knowledgebase_processor_spark.operators.conformal import (  # noqa: E402
     conformal_oracle_sql as _conformal_oracle_sql)
+from knowledgebase_processor_spark.operators.dp import (  # noqa: E402
+    dp_oracle_sql as _dp_oracle_sql)
+from knowledgebase_processor_spark.operators.allocation import (  # noqa: E402
+    neyman_oracle_sql as _neyman_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -3822,6 +3826,38 @@ def _q203_conformal(spark, sf):
     return conformal_report(cal, test, "s", alpha_ppm=100000)
 
 
+def _q204_dp_counts(spark, sf):
+    # ε-DP noisy per-language counts (operators/dp.py): discrete
+    # Laplace from portable salted-md5 geometrics — the release an
+    # auditor can replay bit-exactly (oracle does).
+    from knowledgebase_processor_spark.operators.dp import (
+        dp_group_counts)
+    d = _t(spark, sf, "documents")
+    return dp_group_counts(d, "lang", epsilon_micro=500000).orderBy("lang")
+
+
+def _q205_neyman_allocation(spark, sf):
+    # Neyman labeling-budget allocation (operators/allocation.py):
+    # B=100 labels across sources ∝ N_h·σ_h of page length, Hamilton
+    # largest-remainder rounding summing to B exactly.
+    from knowledgebase_processor_spark.operators.allocation import (
+        neyman_allocation)
+    d = _t(spark, sf, "documents")
+    return (neyman_allocation(d, "source", "n_chars", budget=100)
+            .orderBy("stratum"))
+
+
+def _q206_wordpiece(spark, sf):
+    # WordPiece greedy segmentation (operators/wordpiece.py): Arrow-
+    # batched mapInPandas with broadcast vocab; per-language tokenizer
+    # health report.  Oracle: VALUES pinned from the PURE-PYTHON
+    # reference over the sf0.01 parquet (independent implementation).
+    from knowledgebase_processor_spark.operators.wordpiece import (
+        wordpiece_lang_report)
+    d = _t(spark, sf, "documents")
+    return wordpiece_lang_report(d).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4027,6 +4063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_cocitation": _q201_cocitation,
         "q202_zonemap_pruning": _q202_zonemap_pruning,
         "q203_conformal": _q203_conformal,
+        "q204_dp_counts": _q204_dp_counts,
+        "q205_neyman_allocation": _q205_neyman_allocation,
+        "q206_wordpiece": _q206_wordpiece,
     }
 
 
@@ -8255,6 +8294,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_chars % 499 AS s FROM documents"
             " WHERE doc_id % 2 = 1",
             "s", alpha_ppm=100000),
+        "q204_dp_counts": _dp_oracle_sql(
+            "documents", "lang", epsilon_micro=500000,
+            group_name="lang"),
+        "q205_neyman_allocation": _neyman_oracle_sql(
+            "documents", "source", "n_chars", budget=100),
+        # q206: VALUES pinned from the pure-Python WordPiece reference
+        # over the sf0.01 parquet (independent-implementation check,
+        # the q22/q67 ORACLE_SF001_PINNED pattern).
+        "q206_wordpiece": """
+            SELECT * FROM (VALUES
+                ('de', 70, 3549, 14635, 0, 0),
+                ('en', 218, 11757, 48212, 0, 0),
+                ('es', 73, 3958, 16318, 0, 0),
+                ('fr', 64, 3758, 15472, 0, 0),
+                ('zh', 75, 4143, 17075, 0, 0))
+            AS t(lang, n_docs, n_words, n_subwords, n_unk, unk_ppm)
+            ORDER BY lang""",
         # q20 stays rows-only: the engine-native xxhash64 banded-LSH scale
         # path (its portable twin q34 value-checks the identical mechanism).
     }
@@ -8268,7 +8324,7 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q33_dedup_corpus", "q32_ann_ivf",
                        "q62_video_frames", "q66_bpe_merges",
                        "q67_bpe_encode", "q70_prepare_corpus_v2",
-                       "q87_incremental_kg"}
+                       "q87_incremental_kg", "q206_wordpiece"}
 
 
 if __name__ == "__main__":

