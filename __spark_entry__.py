@@ -65,6 +65,12 @@ from knowledgebase_processor_spark.operators.dp import (  # noqa: E402
     dp_oracle_sql as _dp_oracle_sql)
 from knowledgebase_processor_spark.operators.allocation import (  # noqa: E402
     neyman_oracle_sql as _neyman_oracle_sql)
+from knowledgebase_processor_spark.operators.graphmetrics import (  # noqa: E402
+    homophily_oracle_sql as _homophily_oracle_sql)
+from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
+    heavy_change_oracle_sql as _heavy_change_oracle_sql)
+from knowledgebase_processor_spark.operators.psl import (  # noqa: E402
+    site_rollup_oracle_sql as _site_rollup_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -3858,6 +3864,63 @@ def _q206_wordpiece(spark, sf):
     return wordpiece_lang_report(d).orderBy("lang")
 
 
+_Q207_EDGES_SQL = """
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+    WHERE doc_id + 1 IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, doc_id + 7 FROM documents
+    WHERE doc_id + 7 IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, (doc_id * 13) % 256 FROM documents
+    WHERE (doc_id * 13) % 256 IN (SELECT doc_id FROM documents)"""
+
+# shared verbatim by Spark and DuckDB (|| stringifies ints identically)
+_Q209_URL_SQL = """CASE doc_id % 4
+    WHEN 0 THEN 'https://www.ex' || (doc_id % 7) || '.co.uk/p' || doc_id
+    WHEN 1 THEN 'https://u' || (doc_id % 5) || '.github.io/x'
+    WHEN 2 THEN 'https://blog.site' || (doc_id % 3) || '.com/a'
+    ELSE CASE WHEN doc_id % 11 = 0 THEN 'https://com/x'
+         ELSE 'https://news.portal' || (doc_id % 2) || '.de/y' END
+    END"""
+
+
+def _q207_lang_homophily(spark, sf):
+    # Categorical assortativity of page language over a synthetic link
+    # graph (operators/graphmetrics.py::categorical_homophily): does
+    # the crawl link within languages?  Exact mixing-matrix integers.
+    from knowledgebase_processor_spark.operators.graphmetrics import (
+        categorical_homophily)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    e = spark.sql(_Q207_EDGES_SQL)
+    labels = spark.sql("SELECT doc_id AS node, lang AS cat"
+                       " FROM documents")
+    return categorical_homophily(e, labels)
+
+
+def _q208_cms_heavy_change(spark, sf):
+    # Heavy-change detection between crawl halves (operators/heavy.py
+    # ::heavy_change): host mix shifts from mod-50 to mod-60 — CMS
+    # grids built with the portable md5 family, DuckDB replays cells.
+    from knowledgebase_processor_spark.operators.heavy import (
+        heavy_change)
+    d = _t(spark, sf, "documents")
+    a = d.filter("doc_id % 2 = 0").selectExpr(
+        "'h' || CAST(doc_id % 50 AS STRING) AS v")
+    b = d.filter("doc_id % 2 = 1").selectExpr(
+        "'h' || CAST(doc_id % 60 AS STRING) AS v")
+    return heavy_change(a, b, "v", min_change=3).orderBy("v")
+
+
+def _q209_sites(spark, sf):
+    # Registrable-domain (eTLD+1) rollup (operators/psl.py): PSL
+    # longest-match ladder — news.bbc.co.uk-style hosts fold to one
+    # site, user{n}.github.io stay distinct, bare suffixes go NULL.
+    from knowledgebase_processor_spark.operators.psl import site_rollup
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr(f"({_Q209_URL_SQL}) AS url")
+    return site_rollup(pages).orderBy(F.col("site").asc_nulls_first())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4066,6 +4129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_dp_counts": _q204_dp_counts,
         "q205_neyman_allocation": _q205_neyman_allocation,
         "q206_wordpiece": _q206_wordpiece,
+        "q207_lang_homophily": _q207_lang_homophily,
+        "q208_cms_heavy_change": _q208_cms_heavy_change,
+        "q209_sites": _q209_sites,
     }
 
 
@@ -8299,6 +8365,17 @@ def oracle_sql() -> dict[str, str]:
             group_name="lang"),
         "q205_neyman_allocation": _neyman_oracle_sql(
             "documents", "source", "n_chars", budget=100),
+        "q207_lang_homophily": _homophily_oracle_sql(
+            _Q207_EDGES_SQL,
+            "SELECT doc_id AS node, lang AS cat FROM documents"),
+        "q208_cms_heavy_change": _heavy_change_oracle_sql(
+            "SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS v"
+            " FROM documents WHERE doc_id % 2 = 0",
+            "SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) AS v"
+            " FROM documents WHERE doc_id % 2 = 1",
+            value_name="v", min_change=3),
+        "q209_sites": _site_rollup_oracle_sql(
+            "documents", _Q209_URL_SQL),
         # q206: VALUES pinned from the pure-Python WordPiece reference
         # over the sf0.01 parquet (independent-implementation check,
         # the q22/q67 ORACLE_SF001_PINNED pattern).

@@ -180,3 +180,78 @@ def assortativity_oracle_sql(edges_sql: str) -> str:
                  / (n_edges_directed * sum_x2 - sum_x * sum_x)::DOUBLE
                  AS r
         FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Categorical homophily (Newman's assortativity for DISCRETE attributes
+# — the degree version above answers "do hubs link hubs?"; this one
+# answers "do English pages link English pages?", the signal that
+# decides whether per-language crawl frontiers can be sharded cheaply).
+# r = (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i) over the edge
+# mixing matrix; with exact integer counts this is
+# (m*same - S) / (m^2 - S), S = sum_i row_i * col_i — BIGINT until the
+# one shared float step (negative values make integer DIV engine-
+# dependent, so the ratio goes through the shared round() formula).
+HOMOPHILY_R_PPM_SQL = (
+    "CASE WHEN m * m - s_prod = 0 THEN NULL ELSE "
+    "CAST(round(1000000 * (CAST(m AS DOUBLE) * n_same - s_prod)"
+    " / (CAST(m AS DOUBLE) * m - s_prod)) AS BIGINT) END")
+
+
+def categorical_homophily(edges: DataFrame, labels: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          node_col: str = "node",
+                          cat_col: str = "cat") -> DataFrame:
+    """-> one row (m, n_same, s_prod, r_ppm): directed categorical
+    assortativity of the label over the edge set.  Edges whose
+    endpoint lacks a label are dropped (both ends must be labeled).
+
+    Two broadcast-friendly label joins + three partial-agg groupBys
+    over the (tiny) mixing matrix; no windows."""
+    la = labels.select(F.col(node_col).alias(src),
+                       F.col(cat_col).alias("ca"))
+    lb = labels.select(F.col(node_col).alias(dst),
+                       F.col(cat_col).alias("cb"))
+    e = (edges.select(src, dst).join(la, src).join(lb, dst))
+    cells = e.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    rows = cells.groupBy(F.col("ca").alias("cat")).agg(
+        F.sum("c").cast("long").alias("row_c"))
+    cols = cells.groupBy(F.col("cb").alias("cat")).agg(
+        F.sum("c").cast("long").alias("col_c"))
+    s = (rows.join(cols, "cat", "full")
+         .select((F.coalesce("row_c", F.lit(0))
+                  * F.coalesce("col_c", F.lit(0))).alias("p"))
+         .agg(F.sum("p").cast("long").alias("s_prod")))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("c"))
+              .otherwise(0)).cast("long").alias("n_same"))
+    return (tot.crossJoin(F.broadcast(s))
+            .select("m", "n_same", "s_prod",
+                    F.expr(HOMOPHILY_R_PPM_SQL).alias("r_ppm")))
+
+
+def homophily_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """DuckDB replay: same mixing-matrix counts, same shared formula."""
+    return f"""
+        WITH e0 AS ({edges_sql}), lab AS ({labels_sql}),
+        e AS (SELECT la.cat AS ca, lb.cat AS cb
+              FROM e0
+              JOIN lab la ON la.node = e0.src
+              JOIN lab lb ON lb.node = e0.dst),
+        cells AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY ca, cb),
+        rows_ AS (SELECT ca AS cat, CAST(SUM(c) AS BIGINT) AS row_c
+                  FROM cells GROUP BY ca),
+        cols_ AS (SELECT cb AS cat, CAST(SUM(c) AS BIGINT) AS col_c
+                  FROM cells GROUP BY cb),
+        s AS (SELECT CAST(SUM(COALESCE(row_c, 0) * COALESCE(col_c, 0))
+                          AS BIGINT) AS s_prod
+              FROM rows_ FULL JOIN cols_ USING (cat)),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m,
+                       CAST(SUM(CASE WHEN ca = cb THEN c ELSE 0 END)
+                            AS BIGINT) AS n_same
+                FROM cells)
+        SELECT m, n_same, s_prod, {HOMOPHILY_R_PPM_SQL} AS r_ppm
+        FROM tot CROSS JOIN s"""

@@ -113,3 +113,83 @@ def cms_pos_sql(value_sql: str, row: int, width: int) -> str:
     DuckDB ``('0x'||x)::BIGINT`` — both exact on 60-bit values.)"""
     return (f"CAST(('0x' || substr(md5('cms{row}|' || {value_sql}), 1, "
             f"{HEX_DIGITS}))::BIGINT % {width} AS INT)")
+
+
+def heavy_change(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                 min_change: int, depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Heavy-CHANGE detection between two snapshots (Cormode-
+    Muthukrishnan "what's new"): keys whose CM-estimated frequency
+    moved by at least ``min_change`` between crawl A and crawl B — the
+    sketch answer to "which hosts surged or vanished since
+    yesterday?", computable from two PERSISTED counter grids without
+    re-reading either crawl (grids merge/diff cell-wise; this
+    convenience entry builds both grids in one pass each).
+
+    -> (value, exact_a, exact_b, est_a, est_b, est_change), filtered
+    on |est_change| >= min_change.  exact_* ride along for
+    verification exactly as in :func:`heavy_hitters`; at sketch scale
+    the candidate set is the key dictionary, here the distinct keys of
+    both halves.  CM one-sided error makes est_change off by at most
+    the collision mass of either grid — a true change of
+    min_change + 2*eps*N is never missed.
+    """
+    grid_a = cms_counters(df_a, value_col, depth, width)
+    grid_b = cms_counters(df_b, value_col, depth, width)
+    ka = df_a.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+    kb = df_b.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_b"))
+    keys = (ka.join(kb, value_col, "full")
+            .select(value_col,
+                    F.coalesce("exact_a", F.lit(0)).alias("exact_a"),
+                    F.coalesce("exact_b", F.lit(0)).alias("exact_b")))
+    ea = cms_estimate(grid_a, keys.select(value_col), value_col,
+                      depth, width).withColumnRenamed("cms_estimate",
+                                                      "est_a")
+    eb = cms_estimate(grid_b, keys.select(value_col), value_col,
+                      depth, width).withColumnRenamed("cms_estimate",
+                                                      "est_b")
+    out = (keys.join(ea, value_col).join(eb, value_col)
+           .withColumn("est_change",
+                       (F.col("est_a") - F.col("est_b")).cast("bigint")))
+    return out.filter(F.abs(F.col("est_change")) >= min_change)
+
+
+def heavy_change_oracle_sql(a_sql: str, b_sql: str, value_name: str,
+                            min_change: int, depth: int = 4,
+                            width: int = 256) -> str:
+    """DuckDB replay of :func:`heavy_change`: same portable grid
+    cells, same min-over-rows estimates.  ``a_sql``/``b_sql`` must
+    each select one column named ``v``."""
+    def grid(src: str) -> str:
+        fans = " UNION ALL ".join(
+            f"SELECT {r} AS row, {cms_pos_sql('v', r, width)} AS pos"
+            f" FROM {src}" for r in range(depth))
+        return f"SELECT row, pos, COUNT(*)::BIGINT AS cnt FROM ({fans}) GROUP BY row, pos"
+
+    def probes() -> str:
+        return " UNION ALL ".join(
+            f"SELECT v, {r} AS row, {cms_pos_sql('v', r, width)} AS pos"
+            " FROM keys" for r in range(depth))
+
+    return f"""
+        WITH ha AS ({a_sql}), hb AS ({b_sql}),
+        grid_a AS ({grid('ha')}), grid_b AS ({grid('hb')}),
+        ka AS (SELECT v, COUNT(*)::BIGINT AS exact_a FROM ha GROUP BY v),
+        kb AS (SELECT v, COUNT(*)::BIGINT AS exact_b FROM hb GROUP BY v),
+        keys AS (SELECT v, COALESCE(exact_a, 0) AS exact_a,
+                        COALESCE(exact_b, 0) AS exact_b
+                 FROM ka FULL JOIN kb USING (v)),
+        pr AS ({probes()}),
+        ea AS (SELECT pr.v, MIN(COALESCE(cnt, 0))::BIGINT AS est_a
+               FROM pr LEFT JOIN grid_a USING (row, pos) GROUP BY pr.v),
+        eb AS (SELECT pr.v, MIN(COALESCE(cnt, 0))::BIGINT AS est_b
+               FROM pr LEFT JOIN grid_b USING (row, pos) GROUP BY pr.v)
+        SELECT keys.v AS {value_name},
+               CAST(exact_a AS BIGINT) AS exact_a,
+               CAST(exact_b AS BIGINT) AS exact_b, est_a, est_b,
+               (est_a - est_b)::BIGINT AS est_change
+        FROM keys JOIN ea USING (v) JOIN eb USING (v)
+        WHERE abs(est_a - est_b) >= {min_change}
+        ORDER BY {value_name}"""
