@@ -71,6 +71,14 @@ from knowledgebase_processor_spark.operators.heavy import (  # noqa: E402
     heavy_change_oracle_sql as _heavy_change_oracle_sql)
 from knowledgebase_processor_spark.operators.psl import (  # noqa: E402
     site_rollup_oracle_sql as _site_rollup_oracle_sql)
+from knowledgebase_processor_spark.operators.keyness import (  # noqa: E402
+    keyness_oracle_sql as _keyness_oracle_sql)
+from knowledgebase_processor_spark.operators.fs import (  # noqa: E402
+    fs_em_sql as _fs_em_sql)
+from knowledgebase_processor_spark.operators.itemsets import (  # noqa: E402
+    triples_oracle_sql as _triples_oracle_sql)
+from knowledgebase_processor_spark.operators.ewma import (  # noqa: E402
+    ewma_oracle_sql as _ewma_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -3921,6 +3929,130 @@ def _q209_sites(spark, sf):
     return site_rollup(pages).orderBy(F.col("site").asc_nulls_first())
 
 
+# shared verbatim by Spark and DuckDB: per-pair boolean agreement
+# flags for the Fellegi-Sunter EM — doc_id%3=0 rows are planted
+# matches (flags mostly true), the rest non-matches (mostly false).
+_Q212_PAIRS_SQL = """
+    SELECT (CASE WHEN doc_id % 3 = 0 THEN doc_id % 17 <> 0
+            ELSE doc_id % 13 = 0 END) AS g1,
+           (CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 <> 0
+            ELSE doc_id % 11 = 0 END) AS g2,
+           (CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 <> 0
+            ELSE doc_id % 19 = 0 END) AS g3
+    FROM documents"""
+
+
+def _q210_bowtie(spark, sf):
+    # Broder bowtie decomposition (operators/bowtie.py): planted
+    # 10-node bowties (IN chain -> 5-ring core -> OUT chain) per
+    # group; the globally largest core (tie-broken min rep) labels
+    # group 0, everything else is 'other'.
+    from knowledgebase_processor_spark.operators.bowtie import bowtie
+    nodes = (_t(spark, sf, "documents")
+             .selectExpr("doc_id DIV 20 AS k").distinct())
+    cand = nodes.selectExpr(
+        "k AS src",
+        "CASE WHEN k % 10 <= 6 OR k % 10 = 8 THEN k + 1"
+        " WHEN k % 10 = 7 THEN k + 1 ELSE NULL END AS dst")
+    close = nodes.filter("k % 10 = 7").selectExpr(
+        "k AS src", "(k DIV 10) * 10 + 3 AS dst")
+    edges = (cand.unionByName(close)
+             .filter(F.col("dst").isNotNull())
+             .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    return bowtie(edges).orderBy("node")
+
+
+def _q211_keyness(spark, sf):
+    # Monroe log-odds keyness (operators/keyness.py): which terms
+    # characterize the English slice vs the rest, Dirichlet-shrunk.
+    from knowledgebase_processor_spark.operators.keyness import keyness
+    d = _t(spark, sf, "documents")
+    return (keyness(d.filter("lang = 'en'"), d.filter("lang <> 'en'"),
+                    min_count=5)
+            .orderBy("term"))
+
+
+def _q212_fs_em(spark, sf):
+    # Fellegi-Sunter EM (operators/fs.py): unsupervised m/u/π over
+    # agreement-pattern counts — the generated unrolled-EM SQL text
+    # runs verbatim here and as the DuckDB oracle.
+    from knowledgebase_processor_spark.operators.fs import fs_em_sql
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(fs_em_sql(_Q212_PAIRS_SQL, k=3, iters=3))
+
+
+_Q213_TX_SQL = """
+    SELECT doc_id AS doc, 'a' || (doc_id % 5) AS item FROM documents
+    UNION ALL SELECT doc_id, 'b' || (doc_id % 3) FROM documents
+    UNION ALL SELECT doc_id, 'x' FROM documents WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, 'y' FROM documents WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, 'z' FROM documents WHERE doc_id % 4 = 0"""
+
+
+def _q213_itemsets(spark, sf):
+    # A-priori frequent triples (operators/itemsets.py): staged
+    # L1/L2/C3 pruning — anti-monotonicity, not brute force.
+    from knowledgebase_processor_spark.operators.itemsets import (
+        frequent_triples)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    tx = spark.sql(_Q213_TX_SQL)
+    return (frequent_triples(tx, min_support=20, max_items=None)
+            .orderBy("i1", "i2", "i3"))
+
+
+def _q214_bowtie_full(spark, sf):
+    # Complete Broder taxonomy (operators/bowtie.py::bowtie_full):
+    # planted 15-position groups — IN chain, 5-ring core, OUT chain,
+    # a tube bypassing the core, two tendrils, a disconnected islet;
+    # only group 0 (minimal-rep largest core) gets non-disconnected
+    # labels, every other group is seed-list gap by construction.
+    from knowledgebase_processor_spark.operators.bowtie import (
+        bowtie_full)
+    nodes = (_t(spark, sf, "documents")
+             .selectExpr("doc_id DIV 10 AS k").distinct())
+    chain = nodes.filter(
+        "k % 15 <= 8 OR k % 15 = 13").selectExpr("k AS src",
+                                                 "k + 1 AS dst")
+    extra = (nodes.filter("k % 15 = 7")
+             .selectExpr("k AS src", "(k DIV 15) * 15 + 3 AS dst")
+             .unionByName(nodes.filter("k % 15 = 1").selectExpr(
+                 "k AS src", "(k DIV 15) * 15 + 10 AS dst"))
+             .unionByName(nodes.filter("k % 15 = 10").selectExpr(
+                 "k AS src", "(k DIV 15) * 15 + 8 AS dst"))
+             .unionByName(nodes.filter("k % 15 = 2").selectExpr(
+                 "k AS src", "(k DIV 15) * 15 + 11 AS dst"))
+             .unionByName(nodes.filter("k % 15 = 12").selectExpr(
+                 "k AS src", "(k DIV 15) * 15 + 8 AS dst")))
+    edges = (chain.unionByName(extra)
+             .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    return bowtie_full(edges).orderBy("node")
+
+
+def _q215_kcenter(spark, sf):
+    # Gonzalez k-center coreset (operators/kcenter.py): k=8 spread-
+    # maximizing picks over the first 16 embedding dims; integer
+    # milli-quantized distances, deterministic tie-breaks.  Oracle:
+    # VALUES pinned from the pure-Python reference (sf0.01).
+    from knowledgebase_processor_spark.operators.kcenter import (
+        kcenter_select)
+    e = _t(spark, sf, "embeddings")
+    picked = kcenter_select(e, k=8, dims=16)
+    return spark.createDataFrame(
+        [(int(v), int(d)) for v, d in picked], "vid long, d long")
+
+
+def _q216_ewma_drift(spark, sf):
+    # Integer-stepped EWMA drift per user (operators/ewma.py): the
+    # batch twin of a stateful-streaming detector; DuckDB replays the
+    # recurrence with a recursive CTE — exact, no floats anywhere.
+    from knowledgebase_processor_spark.operators.ewma import (
+        ewma_drift_report)
+    ev = _t(spark, sf, "events").selectExpr(
+        "user_id", "ts", "event_id", "event_id % 1000 AS x")
+    return (ewma_drift_report(ev, "user_id", "ts", "event_id", "x")
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4132,6 +4264,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_lang_homophily": _q207_lang_homophily,
         "q208_cms_heavy_change": _q208_cms_heavy_change,
         "q209_sites": _q209_sites,
+        "q210_bowtie": _q210_bowtie,
+        "q211_keyness": _q211_keyness,
+        "q212_fs_em": _q212_fs_em,
+        "q213_itemsets": _q213_itemsets,
+        "q214_bowtie_full": _q214_bowtie_full,
+        "q215_kcenter": _q215_kcenter,
+        "q216_ewma_drift": _q216_ewma_drift,
     }
 
 
@@ -8376,6 +8515,56 @@ def oracle_sql() -> dict[str, str]:
             value_name="v", min_change=3),
         "q209_sites": _site_rollup_oracle_sql(
             "documents", _Q209_URL_SQL),
+        # q210: the planted bowtie graph has a closed-form region map
+        # (group 0's ring is the globally minimal-rep largest SCC);
+        # the general composition is Tarjan-differential-tested.
+        "q210_bowtie": """
+            WITH nodes AS (SELECT DISTINCT doc_id // 20 AS k
+                           FROM documents)
+            SELECT CAST(k AS BIGINT) AS node,
+                   CASE WHEN k <= 2 THEN 'in'
+                        WHEN k <= 7 THEN 'core'
+                        WHEN k <= 9 THEN 'out'
+                        ELSE 'other' END AS region
+            FROM nodes ORDER BY node""",
+        "q211_keyness": _keyness_oracle_sql(
+            "SELECT text FROM documents WHERE lang = 'en'",
+            "SELECT text FROM documents WHERE lang <> 'en'",
+            min_count=5),
+        "q212_fs_em": _fs_em_sql(_Q212_PAIRS_SQL, k=3, iters=3),
+        "q213_itemsets": _triples_oracle_sql(_Q213_TX_SQL,
+                                             min_support=20),
+        # q214: closed-form region map of the planted taxonomy graph;
+        # the general composition is differential-tested.
+        "q214_bowtie_full": """
+            WITH nodes AS (SELECT DISTINCT doc_id // 10 AS k
+                           FROM documents)
+            SELECT CAST(k AS BIGINT) AS node,
+                   CASE WHEN k >= 15 THEN 'disconnected'
+                        WHEN k <= 2 THEN 'in'
+                        WHEN k <= 7 THEN 'core'
+                        WHEN k <= 9 THEN 'out'
+                        WHEN k = 10 THEN 'tube'
+                        WHEN k <= 12 THEN 'tendril'
+                        ELSE 'disconnected' END AS region
+            FROM nodes ORDER BY node""",
+        # q215: VALUES pinned from the pure-Python Gonzalez reference
+        # over the sf0.01 embeddings (ORACLE_SF001_PINNED).
+        "q215_kcenter": """
+            SELECT * FROM (VALUES
+                (0, 0),
+                (276, 924101),
+                (199, 779978),
+                (106, 678381),
+                (353, 675054),
+                (499, 635129),
+                (50, 626199),
+                (78, 618650)) AS t(vid, d)
+            ORDER BY vid""",
+        "q216_ewma_drift": _ewma_oracle_sql(
+            "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
+            " FROM events)",
+            "user_id", "ts", "event_id", "x", key_name="user_id"),
         # q206: VALUES pinned from the pure-Python WordPiece reference
         # over the sf0.01 parquet (independent-implementation check,
         # the q22/q67 ORACLE_SF001_PINNED pattern).
@@ -8401,7 +8590,8 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q33_dedup_corpus", "q32_ann_ivf",
                        "q62_video_frames", "q66_bpe_merges",
                        "q67_bpe_encode", "q70_prepare_corpus_v2",
-                       "q87_incremental_kg", "q206_wordpiece"}
+                       "q87_incremental_kg", "q206_wordpiece",
+                       "q215_kcenter"}
 
 
 if __name__ == "__main__":
