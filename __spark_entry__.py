@@ -79,6 +79,12 @@ from knowledgebase_processor_spark.operators.itemsets import (  # noqa: E402
     triples_oracle_sql as _triples_oracle_sql)
 from knowledgebase_processor_spark.operators.ewma import (  # noqa: E402
     ewma_oracle_sql as _ewma_oracle_sql)
+from knowledgebase_processor_spark.operators.wl import (  # noqa: E402
+    wl_oracle_sql as _wl_oracle_sql)
+from knowledgebase_processor_spark.operators.conductance import (  # noqa: E402
+    conductance_oracle_sql as _conductance_oracle_sql)
+from knowledgebase_processor_spark.operators.ucb import (  # noqa: E402
+    ucb_oracle_sql as _ucb_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4053,6 +4059,83 @@ def _q216_ewma_drift(spark, sf):
             .orderBy("user_id"))
 
 
+_Q217_EDGES_SQL = """
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+    WHERE doc_id % 10 < 9
+      AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, doc_id - 9 FROM documents WHERE doc_id % 20 = 9"""
+
+_Q218_EDGES_SQL = """
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND b.doc_id < 12
+     AND ((a.doc_id < 6 AND b.doc_id < 6)
+          OR (a.doc_id >= 6 AND b.doc_id >= 6))
+    UNION ALL
+    SELECT 5, 6 FROM documents WHERE doc_id = 0"""
+
+_Q218_SCORES_SQL = ("SELECT doc_id AS node, -doc_id AS score"
+                    " FROM documents WHERE doc_id < 12")
+
+
+def _q217_wl_colors(spark, sf):
+    # 1-WL color refinement (operators/wl.py): rings (even groups,
+    # all-symmetric -> one color) vs open chains (color classes by
+    # distance to the ends); portable sorted-multiset md5 colors.
+    from knowledgebase_processor_spark.operators.wl import (
+        wl_colors, wl_histogram)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    e = spark.sql(_Q217_EDGES_SQL)
+    return (wl_histogram(wl_colors(e, rounds=3, max_degree=None))
+            .orderBy("color"))
+
+
+def _q218_conductance_sweep(spark, sf):
+    # ACL conductance sweep (operators/conductance.py): two 6-cliques
+    # joined by one bridge; sweeping the node order finds the bridge
+    # cut (phi = 1/31 at rank 6) — local community detection's
+    # evaluation half.
+    from knowledgebase_processor_spark.operators.conductance import (
+        conductance_sweep)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    e = spark.sql(_Q218_EDGES_SQL)
+    s = spark.sql(_Q218_SCORES_SQL)
+    return conductance_sweep(e, s).orderBy("rank")
+
+
+def _q219_ucb_recrawl(spark, sf):
+    # UCB1 crawl-probe priorities (operators/ucb.py): change-rate
+    # mean + optimism bonus from a synthetic probe log (each doc = one
+    # probe of host doc_id%25, changed when doc_id%3=0).
+    from knowledgebase_processor_spark.operators.ucb import ucb_scores
+    d = _t(spark, sf, "documents")
+    probes = d.selectExpr("'h' || CAST(doc_id % 25 AS STRING) AS host",
+                          "doc_id % 3 = 0 AS changed")
+    return ucb_scores(probes).orderBy("host")
+
+
+def _q220_incremental_cc(spark, sf):
+    # Delta-maintained connected components (operators/components.py
+    # ::incremental_components): yesterday's chain-of-4 assignment +
+    # today's pair-joining edges resolve to chains of 8, touching
+    # only the delta's components; equals a full re-run bit-for-bit.
+    from knowledgebase_processor_spark.operators.components import (
+        incremental_components)
+    nodes = (_t(spark, sf, "documents")
+             .selectExpr("doc_id DIV 25 AS k").distinct())
+    old_edges = (nodes.filter("k % 4 < 3")
+                 .selectExpr("k AS src", "k + 1 AS dst")
+                 .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    assignment = nodes.selectExpr("k AS node",
+                                  "(k DIV 4) * 4 AS component")
+    new_edges = (nodes.filter("k % 8 = 3")
+                 .selectExpr("k AS src", "k + 1 AS dst")
+                 .join(nodes.selectExpr("k AS dst"), "dst", "left_semi"))
+    return (incremental_components(assignment, old_edges, new_edges)
+            .orderBy("node"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4271,6 +4354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_bowtie_full": _q214_bowtie_full,
         "q215_kcenter": _q215_kcenter,
         "q216_ewma_drift": _q216_ewma_drift,
+        "q217_wl_colors": _q217_wl_colors,
+        "q218_conductance_sweep": _q218_conductance_sweep,
+        "q219_ucb_recrawl": _q219_ucb_recrawl,
+        "q220_incremental_cc": _q220_incremental_cc,
     }
 
 
@@ -8561,6 +8648,25 @@ def oracle_sql() -> dict[str, str]:
                 (50, 626199),
                 (78, 618650)) AS t(vid, d)
             ORDER BY vid""",
+        "q217_wl_colors": _wl_oracle_sql(_Q217_EDGES_SQL, rounds=3),
+        "q218_conductance_sweep": _conductance_oracle_sql(
+            _Q218_EDGES_SQL, _Q218_SCORES_SQL),
+        "q219_ucb_recrawl": _ucb_oracle_sql(
+            "documents", "'h' || CAST(doc_id % 25 AS VARCHAR)",
+            "doc_id % 3 = 0"),
+        # q220: closed-form merged assignment (pairs of chain-4
+        # components join into chains of 8 where the partner group is
+        # complete); the incremental path is equivalence-tested
+        # against a full CC re-run.
+        "q220_incremental_cc": """
+            WITH nodes AS (SELECT DISTINCT doc_id // 25 AS k
+                           FROM documents),
+            mx AS (SELECT MAX(k) AS mk FROM nodes)
+            SELECT CAST(k AS BIGINT) AS node,
+                   CAST(CASE WHEN (k // 8) * 8 + 7 <= mx.mk
+                        THEN (k // 8) * 8
+                        ELSE (k // 4) * 4 END AS BIGINT) AS component
+            FROM nodes CROSS JOIN mx ORDER BY node""",
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",

@@ -137,3 +137,52 @@ def coreference_edges(entities: DataFrame, salt: int | None = None) -> DataFrame
                    .select(F.col("rep").alias("src"),
                            F.col("kb_id").alias("dst")))
     return wl.unionByName(alias_edges)
+
+
+def incremental_components(assignment: DataFrame, old_edges: DataFrame,
+                           new_edges: DataFrame) -> DataFrame:
+    """Delta-maintain a connected-components ASSIGNMENT when a crawl
+    update adds edges (north-rule 'resumable': yesterday's
+    canonicalization labels are an asset, not a rebuild input).
+
+    Only components TOUCHED by a new edge are re-solved: new-edge
+    endpoints pull in their old component ids, the induced old
+    subgraph (old edges whose endpoints sit in touched components)
+    unions with the delta, CC runs on that small graph, and untouched
+    assignments pass through verbatim — work scales with the delta's
+    component footprint, not the corpus.  Endpoints never seen before
+    are handled by the CC itself.  Label contract matches
+    :func:`connected_components` (min member id), so a full re-run and
+    the incremental path agree bit-for-bit (tested).
+
+    All joins are hash joins on node/component keys; the touched
+    component set is typically tiny and broadcasts.
+    """
+    new_e = new_edges.select(F.col("src"), F.col("dst")) \
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()) \
+        .dropDuplicates(["src", "dst"]).localCheckpoint()
+    ends = (new_e.select(F.col("src").alias("node"))
+            .unionByName(new_e.select(F.col("dst").alias("node")))
+            .distinct())
+    touched = (assignment.join(ends, "node", "left_semi")
+               .select("component").distinct())
+    touched_nodes = assignment.join(
+        F.broadcast(touched), "component", "left_semi").select("node")
+    old_sub = (old_edges
+               .join(touched_nodes.withColumnRenamed("node", "src"),
+                     "src", "left_semi")
+               .join(touched_nodes.withColumnRenamed("node", "dst"),
+                     "dst", "left_semi"))
+    merged = old_sub.select("src", "dst").unionByName(new_e)
+    resolved = connected_components(merged)
+    untouched = assignment.join(F.broadcast(touched), "component",
+                                "left_anti")
+    # nodes in touched components but absent from the merged subgraph
+    # (isolated after the delta) keep their singleton label
+    lonely = (assignment.join(F.broadcast(touched), "component",
+                              "left_semi")
+              .join(resolved.select("node"), "node", "left_anti")
+              .select("node", F.col("node").alias("component")))
+    return (untouched.select("node", "component")
+            .unionByName(resolved.select("node", "component"))
+            .unionByName(lonely))

@@ -129,3 +129,65 @@ def schedule_frontier_stream(frontier_stream):
                 stateStructType=POLITE_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ------------------------------------------------------------- EWMA drift ----
+# Streaming twin of operators/ewma.ewma_drift_report: the SAME integer
+# transition (operators/ewma.ewma_step — exact, replayable) with the
+# running (ewma_micro, n, n_flags) carried in GroupState, so a host's
+# metric stream continues its average across micro-batches.  Emits one
+# row per micro-batch per key with the post-batch state — the
+# monitoring view a drift dashboard tails.
+
+EWMA_OUT = StructType([
+    StructField("k", LongType()),
+    StructField("n", LongType()),
+    StructField("n_flags", LongType()),
+    StructField("last_ewma_micro", LongType()),
+])
+EWMA_STATE = StructType([
+    StructField("ewma", LongType()),
+    StructField("n", LongType()),
+    StructField("flags", LongType()),
+])
+
+EWMA_ALPHA_PPM = 200000
+EWMA_THRESHOLD_PPM = 500000
+
+
+def apply_ewma_state(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.ewma import MICRO, ewma_step
+
+    if state.exists:
+        ewma, n, flags = state.get
+    else:
+        ewma, n, flags = None, 0, 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["o", "t"])
+    for rec in batch.itertuples(index=False):
+        x = int(rec.x)
+        if ewma is None:
+            ewma = x * MICRO
+        else:
+            if abs(x * MICRO - ewma) * MICRO > EWMA_THRESHOLD_PPM * ewma:
+                flags += 1
+            ewma = ewma_step(ewma, x, EWMA_ALPHA_PPM)
+        n += 1
+    state.update((ewma, n, flags))
+    yield pd.DataFrame([{"k": key[0], "n": n, "n_flags": flags,
+                         "last_ewma_micro": ewma}])
+
+
+def ewma_drift_stream(events_stream):
+    """streaming (k, o, t, x) -> per-key (k, n, n_flags,
+    last_ewma_micro) with state persisting across micro-batches."""
+    return (events_stream
+            .groupBy("k")
+            .applyInPandasWithState(
+                apply_ewma_state,
+                outputStructType=EWMA_OUT,
+                stateStructType=EWMA_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
