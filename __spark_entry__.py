@@ -85,6 +85,8 @@ from knowledgebase_processor_spark.operators.conductance import (  # noqa: E402
     conductance_oracle_sql as _conductance_oracle_sql)
 from knowledgebase_processor_spark.operators.ucb import (  # noqa: E402
     ucb_oracle_sql as _ucb_oracle_sql)
+from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
+    script_mix_oracle_sql as _script_mix_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4136,6 +4138,37 @@ def _q220_incremental_cc(spark, sf):
             .orderBy("node"))
 
 
+def _q221_hac_blocks(spark, sf):
+    # Within-block average-linkage HAC (operators/hac.py): the
+    # chaining-proof ER clusterer; per-block summary pinned from the
+    # pure-Python reference (sf0.01).
+    from knowledgebase_processor_spark.operators.hac import hac_blocks
+    d = _t(spark, sf, "documents")
+    records = d.selectExpr(
+        "'b' || CAST(doc_id % 25 AS STRING) AS block",
+        "doc_id AS rec_id",
+        "'r' || repeat(CAST(doc_id DIV 50 AS STRING), 4) ||"
+        " CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'x'"
+        " WHEN 2 THEN 'xy' ELSE 'qqqq' END AS key")
+    out = hac_blocks(records, threshold_milli=2000, max_block=50)
+    sizes = out.groupBy("block", "cluster").agg(
+        F.count(F.lit(1)).alias("c"))
+    return (sizes.groupBy("block")
+            .agg(F.sum("c").cast("long").alias("n_records"),
+                 F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.max("c").cast("long").alias("max_cluster"))
+            .orderBy("block"))
+
+
+def _q222_script_mix(spark, sf):
+    # Unicode script-block mix per language (operators/textstats.py):
+    # the statistical mislabel/mojibake gate; literal char-class
+    # ranges compile identically in Java regex and RE2.
+    from knowledgebase_processor_spark.operators.textstats import (
+        script_mix_report)
+    return script_mix_report(_t(spark, sf, "documents")).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4358,6 +4391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_conductance_sweep": _q218_conductance_sweep,
         "q219_ucb_recrawl": _q219_ucb_recrawl,
         "q220_incremental_cc": _q220_incremental_cc,
+        "q221_hac_blocks": _q221_hac_blocks,
+        "q222_script_mix": _q222_script_mix,
     }
 
 
@@ -8667,6 +8702,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN (k // 8) * 8
                         ELSE (k // 4) * 4 END AS BIGINT) AS component
             FROM nodes CROSS JOIN mx ORDER BY node""",
+        # q221: per-block summary pinned from the pure-Python HAC
+        # reference over the formula records (ORACLE_SF001_PINNED) —
+        # every block holds 5 mergeable pairs + 10 singletons.
+        "q221_hac_blocks": ("""
+            SELECT * FROM (VALUES """ + ", ".join(
+            f"('b{k}', 20, 15, 2)" for k in range(25)) + """)
+            AS t(block, n_records, n_clusters, max_cluster)
+            ORDER BY block"""),
+        "q222_script_mix": _script_mix_oracle_sql("documents"),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
@@ -8697,7 +8741,7 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q62_video_frames", "q66_bpe_merges",
                        "q67_bpe_encode", "q70_prepare_corpus_v2",
                        "q87_incremental_kg", "q206_wordpiece",
-                       "q215_kcenter"}
+                       "q215_kcenter", "q221_hac_blocks"}
 
 
 if __name__ == "__main__":

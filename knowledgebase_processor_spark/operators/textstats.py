@@ -114,3 +114,69 @@ def fertility_oracle_sql(table: str = "documents") -> str:
                        '{TOKEN_RE}'))), 0) AS BIGINT)
                    AS chars_per_token_ppm
         FROM d GROUP BY lang ORDER BY lang"""
+
+
+# --------------------------------------------------------------------------
+# Unicode script mix: per-language counts of codepoints by script
+# block — the statistical gate behind q181's lang-vs-content check and
+# q153's mojibake detector (a page declared 'de' that is 40% CJK
+# codepoints is mislabeled, scraped wrong, or spam; a corpus card
+# reports this table next to the language mix).  Ranges are spelled as
+# literal character-class ranges so the SAME pattern text compiles in
+# Java regex and RE2.  Counts exact BIGINTs, one groupBy(lang).
+
+SCRIPT_RANGES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힯]"),
+)
+
+
+def script_mix_report(docs: DataFrame, lang_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """-> (lang, n_docs, n_chars, latin, digit, cyrillic, greek, cjk,
+    arabic, hangul, other, latin_ppm) per language; ``other`` =
+    everything not matched and not whitespace."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+              for name, pat in SCRIPT_RANGES}
+    ws = F.size(F.regexp_extract_all(t, F.lit("[ \t\n\r\f]"), 0))
+    agg = (docs.groupBy(F.col(lang_col).alias("lang"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length(t)).cast("long").alias("n_chars"),
+                *[F.sum(c).cast("long").alias(n)
+                  for n, c in counts.items()],
+                F.sum(ws).cast("long").alias("_ws")))
+    known = " + ".join(n for n, _ in SCRIPT_RANGES)
+    return (agg.withColumn("other", F.expr(
+        f"n_chars - ({known}) - _ws").cast("long"))
+        .withColumn("latin_ppm", F.expr(
+            "latin * 1000000 DIV nullif(n_chars - _ws, 0)"))
+        .drop("_ws"))
+
+
+def script_mix_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay — identical literal character-class patterns."""
+    cols = ",\n               ".join(
+        f"CAST(SUM(len(regexp_extract_all(t, '{pat}'))) AS BIGINT)"
+        f" AS {name}" for name, pat in SCRIPT_RANGES)
+    known = " + ".join(n for n, _ in SCRIPT_RANGES)
+    col_list = ", ".join(n for n, _ in SCRIPT_RANGES)
+    return f"""
+        WITH d AS (SELECT lang, COALESCE(text, '') AS t FROM {table}),
+        agg AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+               {cols},
+               CAST(SUM(len(regexp_extract_all(t, '[ \t\n\r\f]')))
+                    AS BIGINT) AS ws
+          FROM d GROUP BY lang)
+        SELECT lang, n_docs, n_chars, {col_list},
+               CAST(n_chars - ({known}) - ws AS BIGINT) AS other,
+               CAST(latin * 1000000 // nullif(n_chars - ws, 0)
+                    AS BIGINT) AS latin_ppm
+        FROM agg ORDER BY lang"""
