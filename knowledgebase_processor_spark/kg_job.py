@@ -40,6 +40,8 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         openie: bool = False, coref_salt: int | None = 16,
         dedup: bool = False, rewrite_canonical: bool = False,
         entailment: bool = False,
+        rule_completion: bool = False, rule_min_support: int = 2,
+        rule_min_conf_ppm: int = 600000,
         url_redirects: DataFrame | None = None,
         ifp_canonical: bool = False) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
@@ -254,6 +256,22 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
             rdfs_closure(flat.select("subj", "pred", "obj", "obj_is_uri")) \
                 .write.mode("overwrite").parquet(epath)
         metrics["n_entailed"] = spark.read.parquet(epath).count()
+
+    # 6d: rule-based KB completion (operators/rulemine.py): AMIE-lite
+    # path rules mined from the materialized graph, confident-rule
+    # body instantiations whose head is missing become the INFERRED
+    # triple table (with rule provenance + conf_ppm) beside the
+    # asserted one — the cheap densifier before any learned link
+    # predictor, same per-stage checkpoint/resume contract.
+    if rule_completion:
+        from .operators.rulemine import apply_rules, mine_path_rules
+        ipath2 = stage("kg_triples_inferred")
+        if force or not os.path.exists(os.path.join(ipath2, "_SUCCESS")):
+            base = flat.select("subj", "pred", "obj")
+            rules = mine_path_rules(base, min_support=rule_min_support)
+            apply_rules(base, rules, min_conf_ppm=rule_min_conf_ppm) \
+                .write.mode("overwrite").parquet(ipath2)
+        metrics["n_inferred"] = spark.read.parquet(ipath2).count()
 
     metrics["wall_s"] = round(time.time() - t_start, 3)
     sinks.write_metrics(spark, stage("metrics"), "kg_job",

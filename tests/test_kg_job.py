@@ -410,3 +410,29 @@ def test_kg_job_ifp_canonical_stage(spark, tmp_path):
     assert ifp.count() == m["n_ifp_triples"]
     m2 = kg_job.run(spark, pages, work, ifp_canonical=True)
     assert m2["n_ifp_triples"] == m["n_ifp_triples"]
+
+
+def test_kg_job_rule_completion_stage(spark, tmp_path):
+    from knowledgebase_processor_spark import kg_job
+
+    pages = fixture_pages(spark).limit(12)
+    wd = str(tmp_path / "rulejob")
+    m = kg_job.run(spark, pages, wd, rule_completion=True,
+                   rule_min_support=1, rule_min_conf_ppm=100000)
+    assert "n_inferred" in m
+    import os
+    ipath = os.path.join(wd, "kg_triples_inferred")
+    assert os.path.exists(os.path.join(ipath, "_SUCCESS"))
+    inferred = spark.read.parquet(ipath)
+    assert set(inferred.columns) == {"subj", "pred", "obj", "p1", "p2",
+                                     "conf_ppm"}
+    # inferred heads must NOT already be asserted
+    flat = spark.read.parquet(os.path.join(wd, "kg_triples"))
+    overlap = (inferred.select("subj", "pred", "obj").distinct()
+               .join(flat.select("subj", "pred", "obj").distinct(),
+                     ["subj", "pred", "obj"], "left_semi").count())
+    assert overlap == 0
+    # resume: second run with same workdir reuses the checkpoint
+    m2 = kg_job.run(spark, pages, wd, rule_completion=True,
+                    rule_min_support=1, rule_min_conf_ppm=100000)
+    assert m2["n_inferred"] == m["n_inferred"]
