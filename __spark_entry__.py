@@ -87,6 +87,9 @@ from knowledgebase_processor_spark.operators.ucb import (  # noqa: E402
     ucb_oracle_sql as _ucb_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     script_mix_oracle_sql as _script_mix_oracle_sql)
+from knowledgebase_processor_spark.operators.zipf import (  # noqa: E402
+    good_turing_oracle_sql as _good_turing_oracle_sql,
+    zipf_oracle_sql as _zipf_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4169,6 +4172,22 @@ def _q222_script_mix(spark, sf):
     return script_mix_report(_t(spark, sf, "documents")).orderBy("lang")
 
 
+def _q223_good_turing(spark, sf):
+    # Good-Turing frequency-of-frequencies + discounted counts
+    # (operators/zipf.py): the unseen-mass estimator — all integer.
+    from knowledgebase_processor_spark.operators.zipf import good_turing
+    return good_turing(_t(spark, sf, "documents"), max_r=10) \
+        .orderBy("r")
+
+
+def _q224_zipf_slope(spark, sf):
+    # Zipf rank-frequency log-log slope (operators/zipf.py):
+    # milli-quantized log moments, exact integer sums, one shared
+    # float step — the one-number corpus-health signal.
+    from knowledgebase_processor_spark.operators.zipf import zipf_slope
+    return zipf_slope(_t(spark, sf, "documents"), min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4393,6 +4412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_incremental_cc": _q220_incremental_cc,
         "q221_hac_blocks": _q221_hac_blocks,
         "q222_script_mix": _q222_script_mix,
+        "q223_good_turing": _q223_good_turing,
+        "q224_zipf_slope": _q224_zipf_slope,
     }
 
 
@@ -8711,6 +8732,9 @@ def oracle_sql() -> dict[str, str]:
             AS t(block, n_records, n_clusters, max_cluster)
             ORDER BY block"""),
         "q222_script_mix": _script_mix_oracle_sql("documents"),
+        "q223_good_turing": _good_turing_oracle_sql("documents",
+                                                    max_r=10),
+        "q224_zipf_slope": _zipf_oracle_sql("documents", min_count=2),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
