@@ -90,6 +90,9 @@ from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
 from knowledgebase_processor_spark.operators.zipf import (  # noqa: E402
     good_turing_oracle_sql as _good_turing_oracle_sql,
     zipf_oracle_sql as _zipf_oracle_sql)
+from knowledgebase_processor_spark.operators.trend import (  # noqa: E402
+    mk_oracle_sql as _mk_oracle_sql,
+    jain_oracle_sql as _jain_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4188,6 +4191,30 @@ def _q224_zipf_slope(spark, sf):
     return zipf_slope(_t(spark, sf, "documents"), min_count=2)
 
 
+def _q225_mann_kendall(spark, sf):
+    # Mann-Kendall trend per user over its event sequence
+    # (operators/trend.py): distribution-free monotone-drift test;
+    # integer S and tie-corrected variance, shared-z oracle.
+    from knowledgebase_processor_spark.operators.trend import (
+        mann_kendall)
+    ev = _t(spark, sf, "events").selectExpr(
+        "user_id", "event_id", "(event_id * 7) % 100 + event_id"
+        " DIV 100 AS x")
+    return (mann_kendall(ev, "user_id", "event_id", "x")
+            .orderBy("user_id"))
+
+
+def _q226_jain_fairness(spark, sf):
+    # Jain fairness of the per-host page allocation
+    # (operators/trend.py): one scalar for the politeness budget.
+    from knowledgebase_processor_spark.operators.trend import (
+        jain_fairness)
+    d = _t(spark, sf, "documents").selectExpr(
+        "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
+        " ELSE doc_id % 40 END AS STRING) AS host")
+    return jain_fairness(d, "host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4414,6 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_script_mix": _q222_script_mix,
         "q223_good_turing": _q223_good_turing,
         "q224_zipf_slope": _q224_zipf_slope,
+        "q225_mann_kendall": _q225_mann_kendall,
+        "q226_jain_fairness": _q226_jain_fairness,
     }
 
 
@@ -8735,6 +8764,14 @@ def oracle_sql() -> dict[str, str]:
         "q223_good_turing": _good_turing_oracle_sql("documents",
                                                     max_r=10),
         "q224_zipf_slope": _zipf_oracle_sql("documents", min_count=2),
+        "q225_mann_kendall": _mk_oracle_sql(
+            "events", "user_id", "event_id",
+            "(event_id * 7) % 100 + event_id // 100",
+            key_name="user_id"),
+        "q226_jain_fairness": _jain_oracle_sql(
+            "documents",
+            "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
+            " ELSE doc_id % 40 END AS VARCHAR)"),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
