@@ -93,6 +93,10 @@ from knowledgebase_processor_spark.operators.zipf import (  # noqa: E402
 from knowledgebase_processor_spark.operators.trend import (  # noqa: E402
     mk_oracle_sql as _mk_oracle_sql,
     jain_oracle_sql as _jain_oracle_sql)
+from knowledgebase_processor_spark.operators.agreement import (  # noqa: E402
+    brier_oracle_sql as _brier_oracle_sql)
+from knowledgebase_processor_spark.operators.capture import (  # noqa: E402
+    capture_oracle_sql as _capture_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4215,6 +4219,27 @@ def _q226_jain_fairness(spark, sf):
     return jain_fairness(d, "host")
 
 
+def _q227_brier_decomposition(spark, sf):
+    # Murphy decomposition of the Brier score (operators/agreement.py)
+    # over a deterministic ppm score vs a correlated label — the
+    # recalibrate-or-retrain triple beside q130's ECE.
+    from knowledgebase_processor_spark.operators.agreement import (
+        brier_decomposition)
+    d = _t(spark, sf, "documents").selectExpr(
+        "(doc_id * 37) % 1000001 AS p",
+        "((doc_id * 37) % 1000001) * 2 + (doc_id % 500000)"
+        " > 1000000 AS y")
+    return brier_decomposition(d, "p", "y", n_bins=10)
+
+
+def _q228_capture_recapture(spark, sf):
+    # Chapman capture-recapture (operators/capture.py): two portable
+    # md5 Bernoulli samples estimate the corpus size from overlap.
+    from knowledgebase_processor_spark.operators.capture import (
+        capture_recapture)
+    return capture_recapture(_t(spark, sf, "documents"), "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4443,6 +4468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_zipf_slope": _q224_zipf_slope,
         "q225_mann_kendall": _q225_mann_kendall,
         "q226_jain_fairness": _q226_jain_fairness,
+        "q227_brier_decomposition": _q227_brier_decomposition,
+        "q228_capture_recapture": _q228_capture_recapture,
     }
 
 
@@ -8772,6 +8799,12 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
             " ELSE doc_id % 40 END AS VARCHAR)"),
+        "q227_brier_decomposition": _brier_oracle_sql(
+            "SELECT (doc_id * 37) % 1000001 AS p,"
+            " ((doc_id * 37) % 1000001) * 2 + (doc_id % 500000)"
+            " > 1000000 AS y FROM documents", n_bins=10),
+        "q228_capture_recapture": _capture_oracle_sql(
+            "documents", "doc_id"),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",

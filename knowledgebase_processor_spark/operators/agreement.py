@@ -240,3 +240,95 @@ def calibration_oracle_sql(rows_sql: str, n_bins: int = 10) -> str:
                SUM(n_pos)::BIGINT,
                (SUM(gap_abs) // MAX(n_total))::BIGINT
         FROM per_bin"""
+
+
+# --------------------------------------------------------------------------
+# Murphy decomposition of the Brier score (the q130 calibration
+# report's missing summary: BS = reliability - resolution +
+# uncertainty.  Reliability (how far bin confidence sits from bin
+# accuracy) is what recalibration can remove; resolution (how much
+# the bins separate outcomes) is the score's real discriminative
+# value; uncertainty is the base-rate floor no model can beat.  One
+# triple says whether to recalibrate or retrain).
+#
+# Exactness: with ppm integer scores, per-bin sums are exact BIGINTs;
+# each component is a nano-quantized per-bin contribution summed as
+# integers (order-proof), the corrstats.py discipline.
+
+BRIER_REL_NANO_SQL = (
+    "CAST(round(1000000000.0 * n_b * (CAST(sum_p AS DOUBLE) / n_b / 1000000"
+    " - CAST(sum_y AS DOUBLE) / n_b) * (CAST(sum_p AS DOUBLE) / n_b"
+    " / 1000000 - CAST(sum_y AS DOUBLE) / n_b)) AS BIGINT)")
+BRIER_RES_NANO_SQL = (
+    "CAST(round(1000000000.0 * n_b * (CAST(sum_y AS DOUBLE) / n_b"
+    " - CAST(y_tot AS DOUBLE) / n_tot) * (CAST(sum_y AS DOUBLE) / n_b"
+    " - CAST(y_tot AS DOUBLE) / n_tot)) AS BIGINT)")
+
+
+def brier_decomposition(df: DataFrame, score_col: str, label_col: str,
+                        n_bins: int = 10) -> DataFrame:
+    """-> one row (n, n_bins_used, reliability_nano, resolution_nano,
+    uncertainty_nano): Murphy decomposition over equal-width bins of
+    the ppm score (0..1e6).  *_nano values are per-row averages
+    scaled 1e9 (so BS_nano ~= rel - res + unc)."""
+    b = F.least(F.lit(n_bins - 1),
+                F.expr(f"CAST({score_col} * {n_bins} DIV 1000001"
+                       " AS INT)"))
+    bins = (df.select(b.alias("bin"),
+                      F.col(score_col).cast("long").alias("p"),
+                      F.when(F.col(label_col), 1).otherwise(0)
+                      .cast("long").alias("y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_b"),
+                 F.sum("p").cast("long").alias("sum_p"),
+                 F.sum("y").cast("long").alias("sum_y")))
+    tot = bins.agg(F.sum("n_b").cast("long").alias("n_tot"),
+                   F.sum("sum_y").cast("long").alias("y_tot"))
+    cells = (bins.crossJoin(F.broadcast(tot))
+             .select("n_b",
+                     F.expr(BRIER_REL_NANO_SQL).alias("rel"),
+                     F.expr(BRIER_RES_NANO_SQL).alias("res")))
+    agg = cells.agg(F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+                    F.sum("rel").cast("long").alias("rel_sum"),
+                    F.sum("res").cast("long").alias("res_sum"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "n_tot AS n", "n_bins_used",
+                "CAST(rel_sum DIV nullif(n_tot, 0) AS BIGINT)"
+                " AS reliability_nano",
+                "CAST(res_sum DIV nullif(n_tot, 0) AS BIGINT)"
+                " AS resolution_nano",
+                "CAST(round(1000000000.0 * (CAST(y_tot AS DOUBLE)"
+                " / n_tot) * (1.0 - CAST(y_tot AS DOUBLE) / n_tot))"
+                " AS BIGINT) AS uncertainty_nano"))
+
+
+def brier_oracle_sql(rows_sql: str, n_bins: int = 10) -> str:
+    """DuckDB replay; ``rows_sql`` selects (p ppm BIGINT, y boolean)."""
+    return f"""
+        WITH rows_ AS ({rows_sql}),
+        bins AS (SELECT least({n_bins - 1},
+                              CAST(p * {n_bins} // 1000001 AS INT))
+                            AS bin,
+                        CAST(COUNT(*) AS BIGINT) AS n_b,
+                        CAST(SUM(p) AS BIGINT) AS sum_p,
+                        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END)
+                             AS BIGINT) AS sum_y
+                 FROM rows_ GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_tot,
+                       CAST(SUM(sum_y) AS BIGINT) AS y_tot FROM bins),
+        cells AS (SELECT n_b, {BRIER_REL_NANO_SQL} AS rel,
+                         {BRIER_RES_NANO_SQL} AS res
+                  FROM bins CROSS JOIN tot),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                       CAST(SUM(rel) AS BIGINT) AS rel_sum,
+                       CAST(SUM(res) AS BIGINT) AS res_sum FROM cells)
+        SELECT n_tot AS n, n_bins_used,
+               CAST(rel_sum // nullif(n_tot, 0) AS BIGINT)
+                   AS reliability_nano,
+               CAST(res_sum // nullif(n_tot, 0) AS BIGINT)
+                   AS resolution_nano,
+               CAST(round(1000000000.0 * (CAST(y_tot AS DOUBLE) / n_tot)
+                    * (1.0 - CAST(y_tot AS DOUBLE) / n_tot)) AS BIGINT)
+                   AS uncertainty_nano
+        FROM agg CROSS JOIN tot"""
