@@ -97,6 +97,8 @@ from knowledgebase_processor_spark.operators.agreement import (  # noqa: E402
     brier_oracle_sql as _brier_oracle_sql)
 from knowledgebase_processor_spark.operators.capture import (  # noqa: E402
     capture_oracle_sql as _capture_oracle_sql)
+from knowledgebase_processor_spark.operators.owl import (  # noqa: E402
+    owl_oracle_sql as _owl_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4240,6 +4242,36 @@ def _q228_capture_recapture(spark, sf):
     return capture_recapture(_t(spark, sf, "documents"), "doc_id")
 
 
+_Q229_INSTANCE_SQL = """
+    SELECT 'u' || doc_id AS subj, 'partOf' AS pred,
+           'u' || (doc_id + 1) AS obj FROM documents
+    WHERE doc_id % 5 < 4
+    UNION ALL
+    SELECT 'u' || doc_id, 'adjacentTo', 'u' || (doc_id + 2)
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'u' || doc_id, 'contains', 'u' || ((doc_id * 3) % 50)
+    FROM documents WHERE doc_id % 11 = 0"""
+
+
+def _q229_owl_closure(spark, sf):
+    # OWL-lite property-axiom materialization (operators/owl.py):
+    # contains inverseOf partOf, adjacentTo symmetric, partOf
+    # transitive — derived-only edge set, axioms composing.
+    from knowledgebase_processor_spark.operators.owl import (
+        OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE, RDF_TYPE,
+        owl_property_closure)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    inst = spark.sql(_Q229_INSTANCE_SQL)
+    schema = spark.createDataFrame(
+        [("contains", OWL_INVERSE, "partOf"),
+         ("adjacentTo", RDF_TYPE, OWL_SYMMETRIC),
+         ("partOf", RDF_TYPE, OWL_TRANSITIVE)],
+        "subj string, pred string, obj string")
+    return (owl_property_closure(inst, schema)
+            .orderBy("subj", "pred", "obj"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4470,6 +4502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_jain_fairness": _q226_jain_fairness,
         "q227_brier_decomposition": _q227_brier_decomposition,
         "q228_capture_recapture": _q228_capture_recapture,
+        "q229_owl_closure": _q229_owl_closure,
     }
 
 
@@ -8805,6 +8838,10 @@ def oracle_sql() -> dict[str, str]:
             " > 1000000 AS y FROM documents", n_bins=10),
         "q228_capture_recapture": _capture_oracle_sql(
             "documents", "doc_id"),
+        "q229_owl_closure": _owl_oracle_sql(
+            _Q229_INSTANCE_SQL,
+            inv_pairs=[("contains", "partOf")],
+            symmetric=["adjacentTo"], transitive=["partOf"]),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
