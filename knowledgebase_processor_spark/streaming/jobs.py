@@ -252,3 +252,33 @@ def correlate_event_streams_outer(left: DataFrame, right: DataFrame,
             & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
     return l.join(r, cond, "left_outer").select("key", "l_event", "l_ts",
                                                 "r_event", "r_ts")
+
+
+def join_fetch_stream(requests: DataFrame, responses: DataFrame,
+                      watermark: str = "2 hours",
+                      max_lag_minutes: int = 60) -> DataFrame:
+    """STREAM-STREAM inner join — the crawl-ops request/response
+    matcher: each fetch request joins the response for the same url
+    arriving within ``max_lag_minutes`` of it.  Both sides carry
+    watermarks and the join condition bounds event time in BOTH
+    directions, so Spark can prove state expiry: a request older than
+    the watermark + lag window is dropped from the join state — the
+    state-boundedness argument is the same as
+    ``dedup_crawl_stream``'s, but for the classic two-stream case
+    (impressions⋈clicks in ad tech; request⋈response here).
+
+    Batch twin: operators/rangejoin's interval join (q54) — the
+    streaming test asserts row-level equality between the two on the
+    same data.  ``requests``: (url, req_ts); ``responses``:
+    (r_url, resp_ts, status).
+    """
+    req = requests.withWatermark("req_ts", watermark)
+    resp = responses.withWatermark("resp_ts", watermark)
+    cond = F.expr(
+        "url = r_url AND resp_ts >= req_ts AND "
+        f"resp_ts <= req_ts + INTERVAL {max_lag_minutes} MINUTES")
+    return (req.join(resp, cond)
+            .select("url", "req_ts", "resp_ts", "status",
+                    (F.unix_timestamp("resp_ts")
+                     - F.unix_timestamp("req_ts")).cast("long")
+                    .alias("lag_s")))
