@@ -99,6 +99,8 @@ from knowledgebase_processor_spark.operators.capture import (  # noqa: E402
     capture_oracle_sql as _capture_oracle_sql)
 from knowledgebase_processor_spark.operators.owl import (  # noqa: E402
     owl_oracle_sql as _owl_oracle_sql)
+from knowledgebase_processor_spark.operators.quotes import (  # noqa: E402
+    quotes_oracle_sql as _quotes_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4272,6 +4274,29 @@ def _q229_owl_closure(spark, sf):
             .orderBy("subj", "pred", "obj"))
 
 
+_Q230_DOCS_SQL = """
+    SELECT doc_id AS doc, source AS src, doc_id AS ts,
+           'p' || (doc_id - doc_id % 20) || ' q'
+           || (doc_id - doc_id % 20)
+           || ' w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 t' || doc_id AS text
+    FROM documents"""
+
+
+def _q230_quote_mining(spark, sf):
+    # Cross-source quote attribution (operators/quotes.py): groups of
+    # 20 docs share two group-marked 8-grams (attributable quotes);
+    # the 10-word common span is template mass killed by the bucket
+    # guard; per-doc tails never pair.
+    from knowledgebase_processor_spark.operators.quotes import (
+        quote_pairs)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    d = spark.sql(_Q230_DOCS_SQL)
+    return (quote_pairs(d, id_col="doc", text_col="text",
+                        source_col="src", ts_col="ts",
+                        max_bucket=200, min_shared=2)
+            .orderBy("src_doc", "quoting_doc"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4503,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_brier_decomposition": _q227_brier_decomposition,
         "q228_capture_recapture": _q228_capture_recapture,
         "q229_owl_closure": _q229_owl_closure,
+        "q230_quote_mining": _q230_quote_mining,
     }
 
 
@@ -8842,6 +8868,8 @@ def oracle_sql() -> dict[str, str]:
             _Q229_INSTANCE_SQL,
             inv_pairs=[("contains", "partOf")],
             symmetric=["adjacentTo"], transitive=["partOf"]),
+        "q230_quote_mining": _quotes_oracle_sql(
+            _Q230_DOCS_SQL, max_bucket=200, min_shared=2),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
