@@ -101,6 +101,8 @@ from knowledgebase_processor_spark.operators.owl import (  # noqa: E402
     owl_oracle_sql as _owl_oracle_sql)
 from knowledgebase_processor_spark.operators.quotes import (  # noqa: E402
     quotes_oracle_sql as _quotes_oracle_sql)
+from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
+    robots_wildcards_oracle_sql as _robots_wild_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4297,6 +4299,38 @@ def _q230_quote_mining(spark, sf):
             .orderBy("src_doc", "quoting_doc"))
 
 
+_Q231_CRAWL_SQL = """
+    SELECT 'h' || (doc_id % 3) AS host, 'u' || doc_id AS url,
+           CASE doc_id % 5
+             WHEN 0 THEN '/a/x' || doc_id || '/private'
+             WHEN 1 THEN '/a/y/private/ok'
+             WHEN 2 THEN '/doc' || doc_id || '.pdf'
+             WHEN 3 THEN '/doc' || doc_id || '.pdfx'
+             ELSE '/open/' || doc_id END AS path
+    FROM documents"""
+
+_Q231_RULES = [(f"h{h}", "*", allow, path)
+               for h in range(3)
+               for allow, path in ((False, "/a/*/private"),
+                                   (True, "/a/*/private/ok$"),
+                                   (False, "/*.pdf$"))]
+
+
+def _q231_robots_wildcards(spark, sf):
+    # Wildcard robots matching (operators/urlrules.py::
+    # apply_robots_wildcards): '*' runs and '$' anchors per the
+    # published Google matcher, longest-PATTERN-wins, allow on ties;
+    # the regex compiler is a pure JVM expression.
+    from knowledgebase_processor_spark.operators.urlrules import (
+        apply_robots_wildcards)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    crawl = spark.sql(_Q231_CRAWL_SQL)
+    rules = spark.createDataFrame(
+        _Q231_RULES, "host string, agent string, allow boolean,"
+                     " path string")
+    return apply_robots_wildcards(crawl, rules).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4529,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_capture_recapture": _q228_capture_recapture,
         "q229_owl_closure": _q229_owl_closure,
         "q230_quote_mining": _q230_quote_mining,
+        "q231_robots_wildcards": _q231_robots_wildcards,
     }
 
 
@@ -8870,6 +8905,8 @@ def oracle_sql() -> dict[str, str]:
             symmetric=["adjacentTo"], transitive=["partOf"]),
         "q230_quote_mining": _quotes_oracle_sql(
             _Q230_DOCS_SQL, max_bucket=200, min_shared=2),
+        "q231_robots_wildcards": _robots_wild_oracle_sql(
+            _Q231_CRAWL_SQL, _Q231_RULES),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",

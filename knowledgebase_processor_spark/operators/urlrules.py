@@ -143,3 +143,103 @@ def apply_robots(crawled: DataFrame, rules: DataFrame,
         "host", "url",
         F.coalesce(F.col("__w.allow"), F.lit(True)).alias("allowed"),
         F.col("__w.rule_path").alias("matched_rule"))
+
+
+# --------------------------------------------------------------------------
+# Wildcard-aware robots matching: full parity with the published
+# Google matcher — '*' matches any char run, a trailing '$' anchors
+# the pattern at the path end, specificity = PATTERN length (the
+# spec's tie metric; prefix rules keep their old behavior exactly
+# since an escaped prefix is its own-length regex).  The plan shape
+# is identical to apply_robots; only the hit predicate changes from
+# startswith to a regexp built ONCE per rule row.
+
+def robots_pattern_regex(path: str) -> str:
+    """robots path pattern -> anchored regex, identical semantics in
+    Java regex and RE2 (escaped literals, '.*' runs, optional '$')."""
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.[]{}()+-?^$|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def apply_robots_wildcards(crawled: DataFrame, rules: DataFrame,
+                           agent: str = "*") -> DataFrame:
+    """Wildcard-aware variant of :func:`apply_robots`: same join /
+    struct-max shape, hit = regexp match of the compiled rule pattern,
+    specificity = raw pattern length (allow wins ties).
+    """
+    # pattern -> regex entirely JVM-side (no Python UDF): escape the
+    # regex metacharacters, turn '*' runs into '.*', re-anchor a
+    # trailing '$' (which the escape pass turned into '\$').  The
+    # batch test asserts this expression equals robots_pattern_regex
+    # character-for-character over a pattern matrix.
+    esc = F.regexp_replace(F.col("rule_path"),
+                           r"([\\.\[\]\{\}\(\)\+\-\?\^\$\|])",
+                           r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    rule_re = F.when(
+        F.col("rule_path").endswith("$"),
+        F.concat(F.lit("^"),
+                 F.expr("substring(__star, 1, length(__star) - 2)"),
+                 F.lit("$"))).otherwise(F.concat(F.lit("^"), star))
+    r = (rules.filter(F.col("agent") == agent)
+         .select("host", F.col("allow"),
+                 F.col("path").alias("rule_path"))
+         .withColumn("__star", star)
+         .withColumn("rule_re", rule_re)
+         .drop("__star"))
+    m = (crawled.join(r, "host", "left")
+         .withColumn("__hit",
+                     F.col("rule_path").isNotNull()
+                     & F.expr("path RLIKE rule_re")))
+    best = (m.groupBy("host", "url")
+            .agg(F.max(F.when(F.col("__hit"),
+                              F.struct(F.length("rule_path").alias("l"),
+                                       F.col("allow"),
+                                       F.col("rule_path"))))
+                 .alias("w")))
+    return best.select(
+        "host", "url",
+        F.coalesce(F.col("w.allow"), F.lit(True)).alias("allowed"),
+        F.col("w.rule_path").alias("matched_rule"))
+
+
+def robots_wildcards_oracle_sql(crawl_sql: str, rules_rows: list,
+                                agent: str = "*") -> str:
+    """DuckDB replay with the rule set as literals (the schema side is
+    tiny and known to the caller): same compiled regexes, same
+    struct-max via window."""
+    vals = ", ".join(
+        f"('{h}', '{a}', {str(bool(al)).lower()}, '{p}',"
+        f" '{robots_pattern_regex(p)}')"
+        for h, a, al, p in rules_rows if a == agent)
+    return f"""
+        WITH crawl AS ({crawl_sql}),
+        rules AS (SELECT * FROM (VALUES {vals})
+                  AS t(host, agent, allow, rule_path, rule_re)),
+        m AS (SELECT crawl.host, crawl.url, crawl.path,
+                     rules.allow, rules.rule_path,
+                     rules.rule_path IS NOT NULL
+                     AND regexp_matches(crawl.path, rules.rule_re)
+                         AS hit
+              FROM crawl LEFT JOIN rules ON rules.host = crawl.host),
+        ranked AS (SELECT host, url, allow, rule_path,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY host, url
+                              ORDER BY hit DESC, length(rule_path) DESC,
+                                       allow DESC, rule_path DESC) AS rk,
+                          hit
+                   FROM m)
+        SELECT host, url,
+               CASE WHEN hit THEN allow ELSE true END AS allowed,
+               CASE WHEN hit THEN rule_path ELSE NULL END
+                   AS matched_rule
+        FROM ranked WHERE rk = 1 ORDER BY url"""
