@@ -103,6 +103,10 @@ from knowledgebase_processor_spark.operators.quotes import (  # noqa: E402
     quotes_oracle_sql as _quotes_oracle_sql)
 from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
     robots_wildcards_oracle_sql as _robots_wild_oracle_sql)
+from knowledgebase_processor_spark.operators.slo import (  # noqa: E402
+    burn_oracle_sql as _burn_oracle_sql)
+from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
+    bloom_zonemap_oracle_sql as _bloom_zone_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
     covariance_oracle_sql as _covariance_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
@@ -4331,6 +4335,32 @@ def _q231_robots_wildcards(spark, sf):
     return apply_robots_wildcards(crawl, rules).orderBy("url")
 
 
+def _q232_burn_rate(spark, sf):
+    # Multi-window SLO burn-rate alerts (operators/slo.py): fetch
+    # errors vs budget in 10-min and 1-h windows, alert only when
+    # BOTH burn — the SRE-workbook recipe, float-free.
+    from knowledgebase_processor_spark.operators.slo import (
+        burn_rate_alerts)
+    ev = _t(spark, sf, "events").selectExpr(
+        "ts", "event_id % 13 = 0 AS is_err")
+    return (burn_rate_alerts(ev, "ts", "is_err", short_s=600,
+                             long_s=3600, budget_ppm=30000,
+                             burn_factor_ppm=2000000)
+            .orderBy("short_bucket"))
+
+
+def _q233_bloom_zonemap(spark, sf):
+    # Per-block Bloom equality pruning (operators/zonemap.py): the
+    # point-lookup complement to q202's min/max zones, over a
+    # high-cardinality scattered key.
+    from knowledgebase_processor_spark.operators.zonemap import (
+        bloom_zonemap_pruning)
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id", "'k' || CAST(doc_id % 997 AS STRING) AS v")
+    return bloom_zonemap_pruning(d, "doc_id", "doc_id", "v", "k13",
+                                 block_rows=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4564,6 +4594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_owl_closure": _q229_owl_closure,
         "q230_quote_mining": _q230_quote_mining,
         "q231_robots_wildcards": _q231_robots_wildcards,
+        "q232_burn_rate": _q232_burn_rate,
+        "q233_bloom_zonemap": _q233_bloom_zonemap,
     }
 
 
@@ -8907,6 +8939,13 @@ def oracle_sql() -> dict[str, str]:
             _Q230_DOCS_SQL, max_bucket=200, min_shared=2),
         "q231_robots_wildcards": _robots_wild_oracle_sql(
             _Q231_CRAWL_SQL, _Q231_RULES),
+        "q232_burn_rate": _burn_oracle_sql(
+            "events", "ts", "event_id % 13 = 0", short_s=600,
+            long_s=3600, budget_ppm=30000, burn_factor_ppm=2000000),
+        "q233_bloom_zonemap": _bloom_zone_oracle_sql(
+            "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
+            " AS v FROM documents)",
+            "doc_id", "doc_id", "v", "k13", block_rows=50),
         "q216_ewma_drift": _ewma_oracle_sql(
             "(SELECT user_id, ts, event_id, event_id % 1000 AS x"
             " FROM events)",
