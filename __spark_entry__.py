@@ -105,6 +105,10 @@ from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
     robots_wildcards_oracle_sql as _robots_wild_oracle_sql)
 from knowledgebase_processor_spark.operators.slo import (  # noqa: E402
     burn_oracle_sql as _burn_oracle_sql)
+from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
+    url_templates_oracle_sql as _url_templates_oracle_sql)
+from knowledgebase_processor_spark.operators.kanon import (  # noqa: E402
+    kanon_ladder_oracle_sql as _kanon_ladder_oracle_sql)
 from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
     bloom_zonemap_oracle_sql as _bloom_zone_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
@@ -4361,6 +4365,40 @@ def _q233_bloom_zonemap(spark, sf):
                                  block_rows=50)
 
 
+_Q234_PAGES_SQL = """
+    SELECT 'h' || (doc_id % 5) AS host,
+           CASE doc_id % 3
+             WHEN 0 THEN '/product/' || doc_id || '/view'
+             WHEN 1 THEN '/s/' || substr(md5('x' || doc_id), 1, 12)
+                         || '/p'
+             ELSE '/about' END AS path
+    FROM documents"""
+
+
+def _q234_url_templates(spark, sf):
+    # URL path-template census (operators/urlrules.py::url_templates):
+    # digit runs -> <n>, long hex ids -> <x>; names the URL-space
+    # generators the q179 trap gate only flags.
+    from knowledgebase_processor_spark.operators.urlrules import (
+        url_templates)
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return (url_templates(spark.sql(_Q234_PAGES_SQL))
+            .orderBy("host", "template"))
+
+
+def _q235_kanon_ladder(spark, sf):
+    # k-anonymity generalization ladder (operators/kanon.py): the
+    # repair view — which generalization level first satisfies k, at
+    # what suppression cost.
+    from knowledgebase_processor_spark.operators.kanon import (
+        kanon_generalization_ladder)
+    d = _t(spark, sf, "documents").selectExpr(
+        "source", "lang", "CAST(doc_id % 7 AS STRING) AS bucket")
+    return (kanon_generalization_ladder(
+        d, ["source", "lang", "bucket"], ks=[5, 50])
+        .orderBy("level"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4596,6 +4634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_robots_wildcards": _q231_robots_wildcards,
         "q232_burn_rate": _q232_burn_rate,
         "q233_bloom_zonemap": _q233_bloom_zonemap,
+        "q234_url_templates": _q234_url_templates,
+        "q235_kanon_ladder": _q235_kanon_ladder,
     }
 
 
@@ -8942,6 +8982,12 @@ def oracle_sql() -> dict[str, str]:
         "q232_burn_rate": _burn_oracle_sql(
             "events", "ts", "event_id % 13 = 0", short_s=600,
             long_s=3600, budget_ppm=30000, burn_factor_ppm=2000000),
+        "q234_url_templates": _url_templates_oracle_sql(
+            _Q234_PAGES_SQL),
+        "q235_kanon_ladder": _kanon_ladder_oracle_sql(
+            "documents",
+            ["source", "lang", "CAST(doc_id % 7 AS VARCHAR)"],
+            ks=[5, 50]),
         "q233_bloom_zonemap": _bloom_zone_oracle_sql(
             "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
             " AS v FROM documents)",

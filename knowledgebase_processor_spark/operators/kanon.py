@@ -119,3 +119,62 @@ def l_diversity_report(df: DataFrame, qi_cols: list[str],
     return out.withColumn(
         "risk_ppm",
         F.expr(f"rows_at_risk * {SCALE} DIV n_rows").cast("long"))
+
+
+def kanon_generalization_ladder(df: DataFrame, qi_cols: list,
+                                ks: list | None = None) -> DataFrame:
+    """Generalization ladder for k-anonymity (the REPAIR view the
+    q139 audit lacks: if the full quasi-identifier set fails k, which
+    suffix of the generalization lattice — dropping the most
+    identifying column per level — first satisfies it, and at what
+    row cost?).  Level 0 keeps all QI columns; level i drops the
+    LAST i columns of ``qi_cols`` (caller orders them most-
+    identifying-last); the final level is full suppression (one
+    group).
+
+    -> (level, n_qi_cols, n_groups, min_group, rows_below_k ... per k)
+    with one column ``below_k{k}`` per requested k.  One partial-agg
+    groupBy per level over the same frame — levels are few.
+    """
+    ks = ks or [5]
+    out = None
+    for level in range(len(qi_cols) + 1):
+        keep = qi_cols[: len(qi_cols) - level]
+        grouped = (df.groupBy(*keep) if keep else df.groupBy(F.lit(1)))
+        sizes = grouped.agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        agg = [F.lit(level).cast("long").alias("level"),
+               F.lit(len(keep)).cast("long").alias("n_qi_cols"),
+               F.count(F.lit(1)).cast("long").alias("n_groups"),
+               F.min("sz").cast("long").alias("min_group")]
+        for k in ks:
+            agg.append(F.sum(F.when(F.col("sz") < k, F.col("sz"))
+                             .otherwise(0)).cast("long")
+                       .alias(f"below_k{k}"))
+        row = sizes.agg(*agg[2:]).select(*[F.lit(level).cast("long")
+                                           .alias("level"),
+                                           F.lit(len(keep)).cast("long")
+                                           .alias("n_qi_cols"), "*"])
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def kanon_ladder_oracle_sql(table: str, qi_sqls: list,
+                            ks: list | None = None) -> str:
+    """DuckDB replay of :func:`kanon_generalization_ladder`."""
+    ks = ks or [5]
+    selects = []
+    for level in range(len(qi_sqls) + 1):
+        keep = qi_sqls[: len(qi_sqls) - level]
+        # no GROUP BY at the full-suppression level — 'GROUP BY 1' is
+        # an ordinal in DuckDB and binds to the aggregate
+        grp = f" GROUP BY {', '.join(keep)}" if keep else ""
+        below = ", ".join(
+            f"CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END)"
+            f" AS BIGINT) AS below_k{k}" for k in ks)
+        selects.append(f"""
+          SELECT CAST({level} AS BIGINT) AS level,
+                 CAST({len(keep)} AS BIGINT) AS n_qi_cols,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(MIN(sz) AS BIGINT) AS min_group, {below}
+          FROM (SELECT COUNT(*) AS sz FROM {table}{grp})""")
+    return (" UNION ALL ".join(selects)) + " ORDER BY level"

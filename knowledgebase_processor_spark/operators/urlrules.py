@@ -243,3 +243,43 @@ def robots_wildcards_oracle_sql(crawl_sql: str, rules_rows: list,
                CASE WHEN hit THEN rule_path ELSE NULL END
                    AS matched_rule
         FROM ranked WHERE rk = 1 ORDER BY url"""
+
+
+# --------------------------------------------------------------------------
+# URL path-template mining: generalize volatile path segments (digit
+# runs, hex ids, uuids) and census the resulting templates per host —
+# the constructive sibling of the q179 crawl-trap gate (that one
+# flags infinite URL spaces; this one NAMES the generators: a host
+# whose '/product/<n>/review/<n>' template carries 10^7 urls is a
+# database, not content, and the template table is what a crawl
+# budgeter allocates over).  Two regexp_replace passes + one groupBy;
+# the patterns are RE2-safe (no backtracking classes) and shared
+# verbatim with the q234 oracle.
+
+URL_TPL_HEX_RE = "[0-9a-f]{8,}"   # long hex ids / uuids (pre-split)
+URL_TPL_NUM_RE = "[0-9]+"
+
+
+def url_templates(pages: DataFrame, host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """-> (host, template, n_urls) with digit runs -> '<n>' and long
+    hex runs -> '<x>' (hex first, so hex ids don't shred into digit
+    fragments)."""
+    tpl = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(path_col)),
+                         URL_TPL_HEX_RE, "<x>"),
+        URL_TPL_NUM_RE, "<n>")
+    return (pages.groupBy(F.col(host_col).alias("host"),
+                          tpl.alias("template"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_urls")))
+
+
+def url_templates_oracle_sql(pages_sql: str) -> str:
+    return f"""
+        WITH p AS ({pages_sql})
+        SELECT host,
+               regexp_replace(regexp_replace(lower(path),
+                   '{URL_TPL_HEX_RE}', '<x>', 'g'),
+                   '{URL_TPL_NUM_RE}', '<n>', 'g') AS template,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM p GROUP BY 1, 2 ORDER BY host, template"""
