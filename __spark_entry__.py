@@ -109,6 +109,9 @@ from knowledgebase_processor_spark.operators.urlrules import (  # noqa: E402
     url_templates_oracle_sql as _url_templates_oracle_sql)
 from knowledgebase_processor_spark.operators.kanon import (  # noqa: E402
     kanon_ladder_oracle_sql as _kanon_ladder_oracle_sql)
+from knowledgebase_processor_spark.operators.sharding import (  # noqa: E402
+    migration_oracle_sql as _migration_oracle_sql,
+    salting_oracle_sql as _salting_oracle_sql)
 from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
     bloom_zonemap_oracle_sql as _bloom_zone_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
@@ -4399,6 +4402,31 @@ def _q235_kanon_ladder(spark, sf):
         .orderBy("level"))
 
 
+def _q236_consistent_hashing(spark, sf):
+    # Consistent-hash vs mod-hash migration cost (operators/
+    # sharding.py): growing 8 -> 9 shards, the ring moves ~1/9 of
+    # keys, mod-hash ~8/9 — the re-shard bill, measured.
+    from knowledgebase_processor_spark.operators.sharding import (
+        migration_cost)
+    d = _t(spark, sf, "documents").selectExpr(
+        "'h' || CAST(doc_id % 499 AS STRING) AS host")
+    return migration_cost(d, "host", n_from=8, n_to=9, vnodes=16)
+
+
+def _q237_salting_sim(spark, sf):
+    # Salting payoff simulation (operators/sharding.py): the q226
+    # hot-host distribution under 16 reducers, plain vs salt=8 —
+    # the measured speedup kg_job's coref_salt buys.
+    from knowledgebase_processor_spark.operators.sharding import (
+        salting_simulation)
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
+        " ELSE doc_id % 40 END AS STRING) AS host")
+    return salting_simulation(d, "host", "doc_id", n_reducers=16,
+                              salt=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4636,6 +4664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_bloom_zonemap": _q233_bloom_zonemap,
         "q234_url_templates": _q234_url_templates,
         "q235_kanon_ladder": _q235_kanon_ladder,
+        "q236_consistent_hashing": _q236_consistent_hashing,
+        "q237_salting_sim": _q237_salting_sim,
     }
 
 
@@ -8988,6 +9018,14 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             ["source", "lang", "CAST(doc_id % 7 AS VARCHAR)"],
             ks=[5, 50]),
+        "q236_consistent_hashing": _migration_oracle_sql(
+            "documents", "'h' || CAST(doc_id % 499 AS VARCHAR)",
+            n_from=8, n_to=9, vnodes=16),
+        "q237_salting_sim": _salting_oracle_sql(
+            "documents",
+            "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
+            " ELSE doc_id % 40 END AS VARCHAR)",
+            "doc_id", n_reducers=16, salt=8),
         "q233_bloom_zonemap": _bloom_zone_oracle_sql(
             "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
             " AS v FROM documents)",
