@@ -112,6 +112,8 @@ from knowledgebase_processor_spark.operators.kanon import (  # noqa: E402
 from knowledgebase_processor_spark.operators.sharding import (  # noqa: E402
     migration_oracle_sql as _migration_oracle_sql,
     salting_oracle_sql as _salting_oracle_sql)
+from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
+    char_entropy_oracle_sql as _char_entropy_oracle_sql)
 from knowledgebase_processor_spark.operators.zonemap import (  # noqa: E402
     bloom_zonemap_oracle_sql as _bloom_zone_oracle_sql)
 from knowledgebase_processor_spark.operators.covariance import (  # noqa: E402
@@ -4427,6 +4429,16 @@ def _q237_salting_sim(spark, sf):
                               salt=8)
 
 
+def _q238_char_entropy(spark, sf):
+    # Character-entropy gibberish gate (operators/textstats.py): the
+    # portable compression-ratio cousin — nano-quantized Shannon bits
+    # per char, exactly replayable.
+    from knowledgebase_processor_spark.operators.textstats import (
+        char_entropy_report)
+    return (char_entropy_report(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4666,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_kanon_ladder": _q235_kanon_ladder,
         "q236_consistent_hashing": _q236_consistent_hashing,
         "q237_salting_sim": _q237_salting_sim,
+        "q238_char_entropy": _q238_char_entropy,
     }
 
 
@@ -9026,6 +9039,7 @@ def oracle_sql() -> dict[str, str]:
             "'h' || CAST(CASE WHEN doc_id % 7 = 0 THEN 0"
             " ELSE doc_id % 40 END AS VARCHAR)",
             "doc_id", n_reducers=16, salt=8),
+        "q238_char_entropy": _char_entropy_oracle_sql("documents"),
         "q233_bloom_zonemap": _bloom_zone_oracle_sql(
             "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
             " AS v FROM documents)",

@@ -180,3 +180,79 @@ def script_mix_oracle_sql(table: str = "documents") -> str:
                CAST(latin * 1000000 // nullif(n_chars - ws, 0)
                     AS BIGINT) AS latin_ppm
         FROM agg ORDER BY lang"""
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality gate: per-document Shannon entropy of the
+# character distribution — the portable cousin of the classic
+# compression-ratio gibberish detector (zlib isn't replayable across
+# engines; char entropy is EXACTLY replayable and ranks the same
+# pathologies: 'aaaa...' repetition ~0 bits, keyboard mash / base64
+# blobs near the alphabet ceiling, natural language in between).
+# Per-char contributions are nano-quantized BIGINTs summed as
+# integers (order-proof); one explode + two partial-agg groupBys.
+
+ENTROPY_TERM_NANO_SQL = (
+    "CAST(round(-1000000000.0 * (CAST(c AS DOUBLE) / n)"
+    " * ln(CAST(c AS DOUBLE) / n) / ln(2.0)) AS BIGINT)")
+
+
+def char_entropy_report(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_chars, n_distinct, entropy_nano): Shannon bits
+    per char, nano-quantized; empty/null docs report 0."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    chars = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(F.split(t, "")).alias("ch"))
+             .filter(F.col("ch") != ""))
+    counts = (chars.groupBy("doc_id", "ch")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_doc = (counts.groupBy("doc_id")
+               .agg(F.sum("c").cast("long").alias("n")))
+    terms = (counts.join(per_doc, "doc_id")
+             .select("doc_id", F.expr(ENTROPY_TERM_NANO_SQL)
+                     .alias("e")))
+    ent = (terms.groupBy("doc_id")
+           .agg(F.sum("e").cast("long").alias("entropy_nano")))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base
+            .join(per_doc, "doc_id", "left")
+            .join(counts.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_distinct")), "doc_id", "left")
+            .join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_chars"),
+                    F.coalesce("n_distinct", F.lit(0)).cast("long")
+                    .alias("n_distinct"),
+                    F.coalesce("entropy_nano", F.lit(0)).cast("long")
+                    .alias("entropy_nano")))
+
+
+def char_entropy_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay: same split-to-chars, same nano terms."""
+    return f"""
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(COALESCE(text, ''), ''))
+                     AS ch
+          FROM {table}),
+        counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+        per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct
+                    FROM counts GROUP BY doc_id),
+        ent AS (SELECT counts.doc_id,
+                       CAST(SUM({ENTROPY_TERM_NANO_SQL}) AS BIGINT)
+                           AS entropy_nano
+                FROM counts JOIN per_doc USING (doc_id)
+                GROUP BY counts.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_chars,
+               CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(entropy_nano, 0) AS BIGINT)
+                   AS entropy_nano
+        FROM {table} d
+        LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+        LEFT JOIN ent ON ent.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
