@@ -42,7 +42,8 @@ from knowledgebase_processor_spark.operators.postings import (  # noqa: E402
 from knowledgebase_processor_spark.operators.novelty import (  # noqa: E402
     novelty_oracle_sql as _novelty_oracle_sql)
 from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
-    RHO_PPM_SQL as _RHO_PPM_SQL)
+    RHO_PPM_SQL as _RHO_PPM_SQL,
+    theil_oracle_sql as _theil_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     FLESCH_SQL as _FLESCH_SQL)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
@@ -4439,6 +4440,16 @@ def _q238_char_entropy(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q239_theil(spark, sf):
+    # Theil inequality decomposition (operators/corrstats.py): the
+    # decomposable complement to q174's Gini — is the token-budget
+    # imbalance BETWEEN sources or WITHIN them?
+    from knowledgebase_processor_spark.operators.corrstats import (
+        theil_decomposition)
+    d = _t(spark, sf, "documents")
+    return theil_decomposition(d, "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4679,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_consistent_hashing": _q236_consistent_hashing,
         "q237_salting_sim": _q237_salting_sim,
         "q238_char_entropy": _q238_char_entropy,
+        "q239_theil": _q239_theil,
     }
 
 
@@ -9040,6 +9052,8 @@ def oracle_sql() -> dict[str, str]:
             " ELSE doc_id % 40 END AS VARCHAR)",
             "doc_id", n_reducers=16, salt=8),
         "q238_char_entropy": _char_entropy_oracle_sql("documents"),
+        "q239_theil": _theil_oracle_sql("documents", "source",
+                                        "n_chars"),
         "q233_bloom_zonemap": _bloom_zone_oracle_sql(
             "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
             " AS v FROM documents)",

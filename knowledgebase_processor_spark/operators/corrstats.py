@@ -72,3 +72,82 @@ def gini_by_group(df: DataFrame, group_col: str, id_col: str,
                 "CAST(CASE WHEN total = 0 THEN 0 ELSE "
                 "(2 * __ix - (n + 1) * total) * 1000000 "
                 "DIV (n * total) END AS BIGINT) AS gini_ppm"))
+
+
+# --------------------------------------------------------------------------
+# Theil index with between/within decomposition (the q174 Gini tells
+# you HOW unequal the token budget is; Theil — the entropy-based
+# inequality measure — additionally tells you WHERE: T = T_between +
+# sum_g s_g T_within_g exactly, so a corpus card can say 'the
+# imbalance is across sources, not inside them' and the rebalancer
+# (q42 downsampler, q134 quota) knows which knob to turn.  Gini does
+# not decompose; Theil is the standard choice because it does).
+#
+# Exactness: per-row and per-group contributions are nano-quantized
+# BIGINTs summed as integers (the entropy/chi-square discipline);
+# the single ln per term is shared SQL text.  Zero-weight rows drop
+# (lim x->0 x ln x = 0).
+
+THEIL_BETWEEN_NANO_SQL = (
+    "CAST(round(1000000000.0 * (CAST(sg AS DOUBLE) / s_tot)"
+    " * ln((CAST(sg AS DOUBLE) * n_tot) / (CAST(s_tot AS DOUBLE)"
+    " * ng))) AS BIGINT)")
+THEIL_WITHIN_NANO_SQL = (
+    "CAST(round(1000000000.0 * (CAST(x AS DOUBLE) / s_tot)"
+    " * ln((CAST(x AS DOUBLE) * ng) / CAST(sg AS DOUBLE)))"
+    " AS BIGINT)")
+
+
+def theil_decomposition(df: DataFrame, group_col: str,
+                        weight_col: str) -> DataFrame:
+    """-> one row (n, n_groups, between_nano, within_nano,
+    total_nano): Theil-T of the non-negative integer weight over
+    rows, split into between-group and within-group components
+    (total = between + within by construction)."""
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(weight_col).cast("long").alias("x")) \
+        .filter(F.col("x") > 0)
+    groups = (base.groupBy("g")
+              .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+                   F.sum("x").cast("long").alias("sg")))
+    totals = groups.agg(F.sum("ng").cast("long").alias("n_tot"),
+                        F.sum("sg").cast("long").alias("s_tot"),
+                        F.count(F.lit(1)).cast("long")
+                        .alias("n_groups"))
+    gt = groups.crossJoin(F.broadcast(totals))
+    between = gt.agg(F.sum(F.expr(THEIL_BETWEEN_NANO_SQL))
+                     .cast("long").alias("between_nano"))
+    within = (base.join(F.broadcast(gt), "g")
+              .agg(F.sum(F.expr(THEIL_WITHIN_NANO_SQL)).cast("long")
+                   .alias("within_nano")))
+    return (totals.crossJoin(F.broadcast(between))
+            .crossJoin(F.broadcast(within))
+            .selectExpr("n_tot AS n", "n_groups", "between_nano",
+                        "within_nano",
+                        "between_nano + within_nano AS total_nano"))
+
+
+def theil_oracle_sql(table: str, group_sql: str,
+                     weight_sql: str) -> str:
+    return f"""
+        WITH base AS (SELECT {group_sql} AS g,
+                             CAST({weight_sql} AS BIGINT) AS x
+                      FROM {table}
+                      WHERE CAST({weight_sql} AS BIGINT) > 0),
+        groups AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                          CAST(SUM(x) AS BIGINT) AS sg
+                   FROM base GROUP BY g),
+        totals AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_tot,
+                          CAST(SUM(sg) AS BIGINT) AS s_tot,
+                          CAST(COUNT(*) AS BIGINT) AS n_groups
+                   FROM groups),
+        gt AS (SELECT * FROM groups CROSS JOIN totals),
+        b AS (SELECT CAST(SUM({THEIL_BETWEEN_NANO_SQL}) AS BIGINT)
+                         AS between_nano FROM gt),
+        w AS (SELECT CAST(SUM({THEIL_WITHIN_NANO_SQL}) AS BIGINT)
+                         AS within_nano
+              FROM base JOIN gt USING (g))
+        SELECT n_tot AS n, n_groups, between_nano, within_nano,
+               CAST(between_nano + within_nano AS BIGINT)
+                   AS total_nano
+        FROM totals CROSS JOIN b CROSS JOIN w"""
