@@ -272,12 +272,19 @@ def _q01_pricing_summary(spark, sf):
 
 
 def _q02_top_customers(spark, sf):
-    # O2 top-k (orderBy+limit) over a join (J5-shape).
+    # O2 top-k (orderBy+limit) over a join (J5-shape).  Aggregate BEFORE
+    # joining: the fact side collapses from |orders| rows to |custkey|
+    # groups (map-side combinable) before the customer dimension is
+    # joined, so at 100x scale the join input is the small aggregate,
+    # not the raw fact table.  Decimal sums are order-independent, so
+    # the rewrite is value-identical to join-then-aggregate.
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
-    return (o.join(c, o.o_custkey == c.c_custkey)
-            .groupBy("c_custkey", "c_name")
-            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
-                 F.count("*").alias("n_orders"))
+    agg = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("revenue"),
+                F.count("*").alias("n_orders")))
+    return (agg.join(c, agg.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "revenue", "n_orders")
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
             .limit(10))
 
@@ -673,14 +680,23 @@ def _q37_media_features(spark, sf):
     d = (_t(spark, sf, "documents").select("doc_id", "text")
          .orderBy("doc_id").limit(8))
     m = media_from_documents(d)
+    # The embedding array is projected to a micro-quantized integer CSV
+    # string: the driver's canonicalizer sorts a pandas frame across all
+    # columns, so every output column must be a hashable scalar (round-2
+    # q37 lesson — ArrayType columns crash pandas sort_values).
+    emb_csv = F.concat_ws(
+        ",", F.expr(
+            "transform(embedding,"
+            " e -> CAST(CAST(round(e * 1e6) AS BIGINT) AS STRING))")
+    ).alias("embedding_micro_csv")
     imgs = image_features(m).select(
         "media_id", F.lit("image").alias("kind"), "format",
         F.col("width").alias("dim1"), F.col("height").alias("dim2"),
-        "embedding", "embedding_kind")
+        emb_csv, "embedding_kind")
     auds = audio_features(m).select(
         "media_id", F.lit("audio").alias("kind"), "format",
         F.col("sample_rate").alias("dim1"),
-        F.col("channels").alias("dim2"), "embedding", "embedding_kind")
+        F.col("channels").alias("dim2"), emb_csv, "embedding_kind")
     return imgs.unionByName(auds).orderBy("media_id")
 
 
@@ -1962,7 +1978,13 @@ def _q102_jl_projection(spark, sf):
         jl_matrix, project)
     v = _t(spark, sf, "embeddings", spread=True)
     mat = jl_matrix(_JL_IN_DIM, _JL_OUT_DIM, seed=_JL_SEED)
-    return project(v, mat).orderBy("vec_id")
+    # posexplode to (vec_id, dim, value): scalar columns only (the
+    # driver's canonicalizer cannot sort array cells — q37 lesson) while
+    # keeping each projected component a full-precision DOUBLE.
+    return (project(v, mat)
+            .select("vec_id", F.posexplode("projected")
+                    .alias("dim", "value"))
+            .orderBy("vec_id", "dim"))
 
 
 def _q102_oracle_sql() -> str:
@@ -1980,9 +2002,11 @@ def _q102_oracle_sql() -> str:
     return f"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-              FROM embeddings)
-            SELECT vec_id, [{dims}] AS projected
-            FROM v ORDER BY vec_id"""
+              FROM embeddings),
+            p AS (SELECT vec_id, [{dims}] AS projected FROM v)
+            SELECT vec_id, CAST(i - 1 AS INT) AS dim, projected[i] AS value
+            FROM p, generate_series(1, {_JL_OUT_DIM}) AS s(i)
+            ORDER BY vec_id, dim"""
 
 
 def _q103_int8_quantize(spark, sf):
@@ -1993,7 +2017,13 @@ def _q103_int8_quantize(spark, sf):
     from knowledgebase_processor_spark.operators.quantize import (
         quantize_int8)
     v = _t(spark, sf, "embeddings", spread=True)
-    return quantize_int8(v).orderBy("vec_id")
+    # codes are exact ints, so a CSV projection loses nothing and keeps
+    # every output column driver-sortable (q37 lesson).
+    return (quantize_int8(v)
+            .withColumn("codes_csv", F.concat_ws(",", F.expr(
+                "transform(codes, c -> CAST(c AS STRING))")))
+            .drop("codes")
+            .orderBy("vec_id"))
 
 
 def _q104_scd2_history(spark, sf):
@@ -5234,7 +5264,13 @@ def oracle_sql() -> dict[str, str]:
               ('near', 24)
             ) AS t(reason, n_docs) ORDER BY reason""",
         "q37_media_features": """
-            SELECT * FROM (VALUES
+            SELECT media_id, kind, format, dim1, dim2,
+                   array_to_string(
+                     list_transform(embedding,
+                       e -> CAST(CAST(round(e * 1e6) AS BIGINT) AS VARCHAR)),
+                     ',') AS embedding_micro_csv,
+                   embedding_kind
+            FROM (VALUES
               ('0#aud', 'audio', 'wav', CAST(8000 AS BIGINT), CAST(1 AS BIGINT),
                [0.630323, 0.491935, 0.632519, 0.5, 0.63333, 0.5, 0.630368, 0.491935, 0.629983, 0.508065, 0.632076, 0.5, 0.634163, 0.5, 0.627102, 0.508065]::DOUBLE[], 'pcm'),
               ('0#img', 'image', 'png', 8, 8,
@@ -5268,7 +5304,7 @@ def oracle_sql() -> dict[str, str]:
               ('7#img', 'image', 'png', 8, 8,
                [0.538725, 0.538725, 0.538725, 0.130756, 0.484477, 0.592974, 0.484477, 0.592974]::DOUBLE[], 'pixels')
             ) AS t(media_id, kind, format, dim1, dim2, embedding, embedding_kind)
-            ORDER BY media_id""",
+            ORDER BY media_id""",  # noqa: E501 — pinned media oracle
         "q38_dedup_incremental": """
             SELECT 're:' || CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(1.0 AS DOUBLE) AS est_jaccard
@@ -7003,7 +7039,10 @@ def oracle_sql() -> dict[str, str]:
                             ELSE GREATEST(-127, LEAST(127,
                                  CAST(FLOOR(x / scale) AS INT))) END) AS codes
               FROM s)
-            SELECT vec_id, CAST(len(e) AS INT) AS n_dims, scale, codes,
+            SELECT vec_id, CAST(len(e) AS INT) AS n_dims, scale,
+                   array_to_string(
+                     list_transform(codes, c -> CAST(c AS VARCHAR)),
+                     ',') AS codes_csv,
                    CAST(list_sum(codes) AS BIGINT) AS sum_codes,
                    CASE WHEN len(e) = 0 THEN 0.0
                         ELSE list_reduce(
@@ -8940,13 +8979,20 @@ def oracle_sql() -> dict[str, str]:
         # the general composition is Tarjan-differential-tested.
         "q210_bowtie": """
             WITH nodes AS (SELECT DISTINCT doc_id // 20 AS k
-                           FROM documents)
+                           FROM documents),
+            mx AS (SELECT MAX(k) AS mk FROM nodes)
             SELECT CAST(k AS BIGINT) AS node,
-                   CASE WHEN k <= 2 THEN 'in'
-                        WHEN k <= 7 THEN 'core'
-                        WHEN k <= 9 THEN 'out'
-                        ELSE 'other' END AS region
-            FROM nodes ORDER BY node""",
+                   CASE WHEN mx.mk >= 7 THEN
+                          CASE WHEN k <= 2 THEN 'in'
+                               WHEN k <= 7 THEN 'core'
+                               WHEN k <= 9 THEN 'out'
+                               ELSE 'other' END
+                        -- ring truncated: every SCC is a singleton, the
+                        -- min-rep tie-break picks node 0 as core and the
+                        -- surviving chain prefix is its OUT set
+                        WHEN k = 0 THEN 'core'
+                        ELSE 'out' END AS region
+            FROM nodes CROSS JOIN mx ORDER BY node""",
         "q211_keyness": _keyness_oracle_sql(
             "SELECT text FROM documents WHERE lang = 'en'",
             "SELECT text FROM documents WHERE lang <> 'en'",
@@ -8958,16 +9004,23 @@ def oracle_sql() -> dict[str, str]:
         # the general composition is differential-tested.
         "q214_bowtie_full": """
             WITH nodes AS (SELECT DISTINCT doc_id // 10 AS k
-                           FROM documents)
+                           FROM documents),
+            mx AS (SELECT MAX(k) AS mk FROM nodes)
             SELECT CAST(k AS BIGINT) AS node,
-                   CASE WHEN k >= 15 THEN 'disconnected'
-                        WHEN k <= 2 THEN 'in'
-                        WHEN k <= 7 THEN 'core'
-                        WHEN k <= 9 THEN 'out'
-                        WHEN k = 10 THEN 'tube'
-                        WHEN k <= 12 THEN 'tendril'
-                        ELSE 'disconnected' END AS region
-            FROM nodes ORDER BY node""",
+                   CASE WHEN mx.mk >= 7 THEN
+                          CASE WHEN k >= 15 THEN 'disconnected'
+                               WHEN k <= 2 THEN 'in'
+                               WHEN k <= 7 THEN 'core'
+                               WHEN k <= 9 THEN 'out'
+                               WHEN k = 10 THEN 'tube'
+                               WHEN k <= 12 THEN 'tendril'
+                               ELSE 'disconnected' END
+                        -- ring truncated: singleton SCCs, min-rep core
+                        -- node 0, chain prefix = OUT (no in/tube nodes
+                        -- exist below k=7, so no refinement applies)
+                        WHEN k = 0 THEN 'core'
+                        ELSE 'out' END AS region
+            FROM nodes CROSS JOIN mx ORDER BY node""",
         # q215: VALUES pinned from the pure-Python Gonzalez reference
         # over the sf0.01 embeddings (ORACLE_SF001_PINNED).
         "q215_kcenter": """

@@ -35,9 +35,12 @@ def neyman_allocation(df: DataFrame, stratum_col: str, metric_col: str,
                       budget: int) -> DataFrame:
     """-> (stratum, n_h, weight_micro, alloc): integer label budget
     per stratum by Neyman allocation with largest-remainder rounding;
-    sum(alloc) == budget when budget <= n_strata * max-unit spread;
-    all-zero-weight corpora degrade to one label per stratum in
-    tie-break order (remainders all zero)."""
+    sum(alloc) == budget always: the post-rounding leftover is dealt
+    round-robin as (leftover DIV n_strata) each plus one more to the
+    first (leftover % n_strata) strata in tie-break order — for normal
+    Hamilton rounding leftover < n_strata so this is the classic
+    largest-remainder rule, and on degenerate corpora (all-zero
+    weights, budget >> n_strata) the whole budget still lands."""
     x = F.col(metric_col).cast("long")
     strata = (df.groupBy(F.col(stratum_col).alias("stratum"))
               .agg(F.count(F.lit(1)).cast("long").alias("n_h"),
@@ -58,10 +61,11 @@ def neyman_allocation(df: DataFrame, stratum_col: str, metric_col: str,
     rank_w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
     alloc = (sized.withColumn("leftover", F.expr(
         f"CAST({budget} AS BIGINT) - sum(base) OVER ()"))
+        .withColumn("n_strata", F.expr("count(*) OVER ()"))
         .withColumn("rk", F.row_number().over(rank_w))
         .withColumn("alloc", F.expr(
-            "CAST(base"
-            " + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)"
+            "CAST(base + leftover DIV n_strata"
+            " + (CASE WHEN rk <= leftover % n_strata THEN 1 ELSE 0 END)"
             " AS BIGINT)")))
     return alloc.select("stratum", "n_h", "weight_micro", "alloc")
 
@@ -93,11 +97,13 @@ def neyman_oracle_sql(table: str, stratum_sql: str, metric_sql: str,
         ranked AS (SELECT *,
                           CAST({budget} AS BIGINT)
                           - SUM(base) OVER () AS leftover,
+                          COUNT(*) OVER () AS n_strata,
                           ROW_NUMBER() OVER (ORDER BY rem DESC,
                                              stratum) AS rk
                    FROM based)
         SELECT stratum AS {stratum_name}, n_h, weight_micro,
-               CAST(base
-                    + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+               CAST(base + leftover // n_strata
+                    + (CASE WHEN rk <= leftover % n_strata
+                       THEN 1 ELSE 0 END)
                     AS BIGINT) AS alloc
         FROM ranked ORDER BY stratum"""

@@ -76,7 +76,10 @@ def bloom_words(bloom_df: DataFrame, m_bits: int = 4096) -> list[int]:
     """Densify the sparse filter to a word list (driver-side; the filter
     is m/32 rows — a one-time few-KB collect, the broadcast step)."""
     words = [0] * (m_bits // WORD_BITS)
-    for r in bloom_df.collect():
+    rows = bloom_df.collect()
+    # size contract: one row per distinct word_idx, i.e. <= m/32 rows
+    assert len(rows) <= m_bits // WORD_BITS
+    for r in rows:
         words[int(r["word_idx"])] = int(r["word"])
     return words
 

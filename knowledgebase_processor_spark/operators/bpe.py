@@ -88,8 +88,26 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, num_merges: int = 100,
-              text_col: str = "text") -> list[tuple[str, str]]:
-    hist = word_histogram(docs, text_col).collect()
+              text_col: str = "text", min_count: int = 1,
+              max_words: int = 1_000_000) -> list[tuple[str, str]]:
+    """Truncation contract: the collected histogram is bounded by
+    ``max_words`` rows — words below ``min_count`` are dropped, then the
+    top-``max_words`` by (count desc, word asc) survive via a
+    TakeOrdered (``orderBy().limit()``), so the driver never holds more
+    than ``max_words`` (word, count) rows no matter the corpus size.
+    At web scale the distinct-word space is dominated by a long tail of
+    URLs/typos/hashes that carries negligible pair mass; training on the
+    truncated histogram is the published behavior of HF-tokenizers and
+    SentencePiece (both cap/threshold the word table before the merge
+    loop).  At the shipped test scales the defaults keep every word, so
+    merges are unchanged.
+    """
+    hist = (word_histogram(docs, text_col)
+            .filter(F.col("c") >= int(min_count))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(int(max_words))
+            .collect())
+    assert len(hist) <= max_words  # driver-side bound is structural
     return train_on_histogram({r["w"]: r["c"] for r in hist}, num_merges)
 
 

@@ -46,6 +46,8 @@ def compaction_plan(files: DataFrame, target_bytes: int,
                .localCheckpoint()
     counts = {r["__pid"]: r["b"] for r in
               cum.groupBy("__pid").agg(F.sum("bytes").alias("b")).collect()}
+    # size contract: one row per range-partition id, never file-count-sized
+    assert len(counts) <= n
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

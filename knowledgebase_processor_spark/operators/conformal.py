@@ -55,14 +55,15 @@ def conformal_report(cal: DataFrame, test: DataFrame, score_col: str,
                      alpha_ppm: int = 100000) -> DataFrame:
     """-> one row (n_cal, k, q_hat, n_test, n_covered, coverage_ppm):
     calibrate on ``cal``, measure empirical coverage on ``test`` —
-    the guarantee says coverage_ppm ≳ 1e6 - alpha_ppm."""
+    the guarantee says coverage_ppm ≳ 1e6 - alpha_ppm.  An empty
+    ``cal`` or ``test`` frame yields ZERO rows (grouping on the
+    threshold keys, not a global agg) — the same contract as
+    :func:`conformal_oracle_sql`'s GROUP BY."""
     thr = conformal_threshold(cal, score_col, alpha_ppm)
     t = test.select(F.col(score_col).cast("long").alias("s"))
     cov = (t.crossJoin(F.broadcast(thr))
-           .agg(F.first("n_cal").alias("n_cal"),
-                F.first("k").alias("k"),
-                F.first("q_hat").alias("q_hat"),
-                F.count(F.lit(1)).cast("long").alias("n_test"),
+           .groupBy("n_cal", "k", "q_hat")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
                 F.sum(F.when(F.col("s") <= F.col("q_hat"), 1)
                       .otherwise(0)).cast("long").alias("n_covered")))
     return cov.withColumn(

@@ -46,7 +46,13 @@ def _stage_sql(s: int, n: int, x: str = "x", y: str = "y",
 def hilbert_sql(table_sql: str, id_sql: str, x_sql: str, y_sql: str,
                 order: int = ORDER_DEFAULT) -> str:
     """The full portable query text: -> (id, x, y, hilbert) rows.
-    ``x_sql``/``y_sql`` must already be in [0, 2^order)."""
+    ``x_sql``/``y_sql`` must already be in [0, 2^order).
+
+    ``id_sql`` MUST be unique per row of ``table_sql``: the final
+    stage re-joins the (id, x, y) echo back to the folded CTE chain on
+    ``id`` alone, so a duplicated id silently multiplies rows
+    (id-uniqueness is the caller's contract; q197 uses unique doc_id).
+    """
     n = 1 << order
     ctes = [f"h0 AS (SELECT {id_sql} AS id, {x_sql} AS x,"
             f" {y_sql} AS y, 0 AS d FROM {table_sql})"]

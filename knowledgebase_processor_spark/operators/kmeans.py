@@ -76,6 +76,10 @@ def update_centroids(assigned: DataFrame, centroids: list[list[int]],
             .groupBy("cluster", "d")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect())
+    # size contract: the grouped frame is at most k x n_dims rows
+    # (cluster ids come from `centroids`), never corpus-sized
+    assert len(rows) <= len(centroids) * max(
+        (len(c) for c in centroids), default=0)
     new = [list(c) for c in centroids]
     sizes: dict[int, int] = {}
     for r in rows:

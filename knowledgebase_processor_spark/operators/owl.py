@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, functions as F
 OWL = "http://www.w3.org/2002/07/owl#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 OWL_INVERSE = OWL + "inverseOf"
+# driver-side cap on the collected schema frame (ontologies are KBs,
+# not corpora — even DBpedia's is ~10^4 axioms)
+_MAX_SCHEMA_AXIOMS = 1_000_000
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
 
@@ -32,8 +35,15 @@ def owl_property_closure(instance: DataFrame, schema: DataFrame,
                          max_rounds: int = 20) -> DataFrame:
     """-> (subj, pred, obj) DERIVED triples (asserted ones excluded):
     inverseOf both directions, symmetric flips, transitive closure.
-    ``schema`` rows: (subj, pred, obj) axioms."""
-    sch = [(r.subj, r.pred, r.obj) for r in schema.collect()]
+    ``schema`` rows: (subj, pred, obj) axioms.  The schema side is a
+    broadcast-sized ontology (axioms about PROPERTIES, not instances)
+    — collected to the driver under an explicit cap so an instance
+    frame passed by mistake fails fast instead of OOMing."""
+    sch_rows = schema.limit(_MAX_SCHEMA_AXIOMS + 1).collect()
+    assert len(sch_rows) <= _MAX_SCHEMA_AXIOMS, (
+        "owl_property_closure: schema frame exceeds "
+        f"{_MAX_SCHEMA_AXIOMS} axioms — was an instance frame passed?")
+    sch = [(r.subj, r.pred, r.obj) for r in sch_rows]
     inv_pairs = [(s, o) for s, p, o in sch if p == OWL_INVERSE]
     symmetric = {s for s, p, o in sch
                  if p == RDF_TYPE and o == OWL_SYMMETRIC}

@@ -49,6 +49,8 @@ def pq_train(vecs: DataFrame, dim: int, m: int = 8, k: int = 16,
     rows = (vecs.select(F.col(vec_col).alias("v"))
             .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
             .limit(sample).collect())
+    # size contract: TakeOrdered bounds the driver frame to `sample`
+    assert len(rows) <= sample
     data = np.array([[float(x) for x in r["v"]] for r in rows])
     sub = dim // m
     books: list[list[list[float]]] = []

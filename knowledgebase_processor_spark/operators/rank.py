@@ -56,6 +56,8 @@ def global_rank(df: DataFrame, order_cols: list[str],
     counts = {r["__pid"]: r["c"] for r in
               ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
                     .collect()}
+    # size contract: one row per range-partition id, never corpus-sized
+    assert len(counts) <= n
     if not counts:  # empty input: no offsets to inline
         return ranked.drop("__pid", "__lr") \
                      .withColumn(rank_col, F.lit(0).cast("bigint"))

@@ -5,7 +5,16 @@ tables, then compare row count + column names + order-insensitive value
 hash (columns sorted by name, rows sorted, floats rounded) — the same
 protocol the round driver records in CORRECTNESS_r{N}.json.
 
-Usage: python scripts/oracle_check.py [sf_dir]   (default sf0.01)
+The driver's canonicalizer loads both result sets into pandas and
+sorts across ALL columns, so any array/map/struct output column crashes
+it (`TypeError: unhashable type: 'list'` — the round-2 q37 failure).
+Every compared query is therefore also shape-gated here: a non-scalar
+column in the Spark result schema is a FAIL even if values match.
+
+Usage: python scripts/oracle_check.py [sf_dir] [only_csv]
+       python scripts/oracle_check.py --shapes [sf_dir]
+           schema-only sweep of EVERY query (builds each DataFrame
+           lazily, no execution): flags non-driver-sortable columns.
 """
 
 from __future__ import annotations
@@ -48,14 +57,50 @@ def _hash(rows: list[dict], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def _bad_shape_cols(schema) -> list[str]:
+    """Columns the driver's pandas canonicalizer cannot sort/hash."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+
+
+def _shapes_sweep(sf: str) -> None:
+    """Build every queries() DataFrame (lazy — no job runs) and flag any
+    whose output schema contains a non-driver-sortable column."""
+    import __spark_entry__ as entry
+    from knowledgebase_processor_spark.pipeline import session
+
+    spark = session("shape-check", cpus=4, shuffle_partitions=4)
+    bad = []
+    try:
+        for name, fn in entry.queries().items():
+            try:
+                cols = _bad_shape_cols(fn(spark, sf).schema)
+            except Exception as exc:  # build error is itself a failure
+                bad.append((name, f"build error: {exc}"))
+                continue
+            if cols:
+                bad.append((name, f"non-scalar cols: {cols}"))
+        for name, why in bad:
+            print(f"{name:<34} SHAPE-FAIL  {why}")
+        print(f"\n{'ALL SHAPES OK' if not bad else f'{len(bad)} SHAPE FAILURES'}")
+    finally:
+        spark.stop()
+    sys.exit(1 if bad else 0)
+
+
 def main() -> None:
     import duckdb
 
     import __spark_entry__ as entry
     from knowledgebase_processor_spark.pipeline import session
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--shapes"]
+    if "--shapes" in sys.argv[1:]:
+        _shapes_sweep(argv[0] if argv else "/root/testdata/sf0.01")
+        return
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1].split(",")) if len(argv) > 1 else None
     qs, oracles = entry.queries(), entry.oracle_sql()
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
@@ -77,6 +122,12 @@ def main() -> None:
                 print(f"{name:<34} skipped (oracle pinned to sf0.01)")
                 continue
             sdf = fn(spark, sf)
+            shape_bad = _bad_shape_cols(sdf.schema)
+            if shape_bad:
+                print(f"{name:<34} FAIL  non-driver-sortable cols: "
+                      f"{shape_bad}")
+                failures.append(name)
+                continue
             srows = [r.asDict() for r in sdf.collect()]
             scols = sdf.columns
             if name not in oracles:

@@ -62,3 +62,23 @@ def test_encode_deterministic_across_batch_order(spark):
     merges = train_on_histogram(FREQS, 8)
     rows = bpe_encode(docs, merges).collect()
     assert len({tuple(r["tokens"]) for r in rows}) == 1
+
+
+def test_train_histogram_is_bounded(spark):
+    # heavy-tail corpus: 3 head words + 50 singleton "URL-ish" tail words.
+    tail = " ".join(f"u{i:03d}x" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, "low low low newest newest widest"), (2, tail)],
+        "doc_id long, text string")
+    # min_count drops the entire singleton tail (and 'widest')
+    merges = bpe_train(docs, num_merges=3, min_count=2)
+    assert merges == train_on_histogram({"low": 3, "newest": 2}, 3)
+    # max_words caps the collected frame to the top-k by (c desc, w asc):
+    # with k=2 only {low, newest} survive — identical merges
+    assert bpe_train(docs, num_merges=3, max_words=2) == merges
+    # defaults keep every word: unchanged vs the unbounded histogram
+    full = {r["w"]: r["c"]
+            for r in __import__("knowledgebase_processor_spark.operators.bpe",
+                                fromlist=["word_histogram"])
+            .word_histogram(docs).collect()}
+    assert bpe_train(docs, num_merges=3) == train_on_histogram(full, 3)

@@ -97,6 +97,19 @@ def test_conformal_threshold_with_ties(spark):
     assert (r.k, r.q_hat) == (6, 5)
 
 
+def test_conformal_empty_cal_returns_zero_rows(spark):
+    # ADVICE round-2: Spark and the oracle must agree on an empty
+    # calibration (or test) frame -> ZERO rows, not one row of NULLs.
+    from knowledgebase_processor_spark.operators.conformal import (
+        conformal_report)
+    empty = spark.createDataFrame([], "s long")
+    some = spark.createDataFrame([(i,) for i in range(20)], "s long")
+    assert conformal_report(empty, some, "s").count() == 0
+    assert conformal_report(some, empty, "s").count() == 0
+    # n=20 -> k = ceil(21*0.9) = 19 <= n: a real threshold exists
+    assert conformal_report(some, some, "s").count() == 1
+
+
 def test_conformal_coverage_guarantee_on_exchangeable_split(spark):
     # identical distributions in cal and test: coverage ~ 0.9
     df = spark.range(0, 2000).selectExpr("id", "(id * 37) % 1000 AS s")

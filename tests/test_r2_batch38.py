@@ -79,6 +79,18 @@ def test_neyman_all_zero_variance_degrades_gracefully(spark):
     assert all(r.weight_micro == 0 for r in out)
 
 
+def test_neyman_zero_weight_big_budget_round_robin(spark):
+    # ADVICE round-2: budget >> n_strata with all-zero weights must
+    # still hand out the FULL budget (modular round-robin leftover).
+    df = spark.createDataFrame([("a", 5), ("b", 5), ("c", 5)],
+                               "s string, x long")
+    out = {r.stratum: r.alloc
+           for r in neyman_allocation(df, "s", "x", budget=11).collect()}
+    assert sum(out.values()) == 11
+    # 11 = 3*3 + 2 extra to the first two strata in tie-break order
+    assert out == {"a": 4, "b": 4, "c": 3}
+
+
 # --------------------------------------------------------------- WordPiece ----
 
 def test_wordpiece_word_greedy_longest_match():
