@@ -46,6 +46,8 @@ from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
     theil_oracle_sql as _theil_oracle_sql)
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     FLESCH_SQL as _FLESCH_SQL)
+from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
+    backoff_lm_oracle_sql as _nglm_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
     chi2_oracle_sql as _chi2_oracle_sql,
@@ -4480,6 +4482,57 @@ def _q239_theil(spark, sf):
     return theil_decomposition(d, "source", "n_chars")
 
 
+def _q240_video_container_meta(spark, sf):
+    # Container-level video metadata as a first-class query
+    # (operators/multimodal.py video_container_features): REAL RIFF-AVI
+    # and ISO-BMFF moov header parses — duration/fps/frames/dimensions/
+    # codec fourcc — with meta_kind='headers' proving the stub path was
+    # never taken.  MJPEG AVIs come from media_from_documents; MP4 moov
+    # trees are synthesized per doc with closed-form parameters
+    # (fps/frames/dims derived from doc_id), so the oracle is plain SQL
+    # over `documents` — no pinned VALUES.
+    from knowledgebase_processor_spark.operators.multimodal import (
+        MEDIA, encode_mp4_stub, media_from_documents,
+        video_container_features)
+
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .orderBy("doc_id").limit(6))
+    avi = media_from_documents(d).filter(F.col("kind") == "video")
+
+    def gen_mp4(batches):
+        import pandas as pd
+        codecs = [b"avc1", b"hvc1", b"av01"]
+        for batch in batches:
+            out = []
+            for rec in batch.itertuples(index=False):
+                i = int(rec.doc_id)
+                fps = [24, 25, 30][i % 3]
+                n = 48 + (i % 5) * 12
+                w, h = 320 + (i % 4) * 80, 180 + (i % 4) * 45
+                out.append({"media_id": f"{i}#mp4", "kind": "video",
+                            "payload": encode_mp4_stub(
+                                w, h, float(fps), n, codecs[i % 3]),
+                            "mime": "video/mp4", "meta_width": w,
+                            "meta_height": h, "meta_duration_s": None})
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
+
+    mp4 = d.mapInPandas(gen_mp4, schema=MEDIA)
+    return (video_container_features(avi.unionByName(mp4))
+            .orderBy("media_id"))
+
+
+def _q241_backoff_lm(spark, sf):
+    # Trained stupid-backoff trigram LM perplexity (operators/nglm.py):
+    # the REAL CCNet-style filtering signal — train on the doc_id%5!=0
+    # hash split, score the held-out split with the Brants et al. 2007
+    # backoff ladder, per-token nano-quantized so the per-doc sum is an
+    # exact integer on both engines.
+    from knowledgebase_processor_spark.operators.nglm import (
+        backoff_lm_report)
+    return (backoff_lm_report(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4721,6 +4774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_salting_sim": _q237_salting_sim,
         "q238_char_entropy": _q238_char_entropy,
         "q239_theil": _q239_theil,
+        "q240_video_container_meta": _q240_video_container_meta,
+        "q241_backoff_lm": _q241_backoff_lm,
     }
 
 
@@ -9107,6 +9162,41 @@ def oracle_sql() -> dict[str, str]:
         "q238_char_entropy": _char_entropy_oracle_sql("documents"),
         "q239_theil": _theil_oracle_sql("documents", "source",
                                         "n_chars"),
+        "q241_backoff_lm": _nglm_oracle("documents"),
+        # q240: the media payloads are synthesized with closed-form
+        # parameters per doc_id (see _q240_video_container_meta), so the
+        # expected container metadata is plain SQL over `documents` —
+        # the header parse is verified against an independent closed
+        # form, not against itself.
+        "q240_video_container_meta": """
+            WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id
+                       LIMIT 6)
+            SELECT * FROM (
+              SELECT CAST(doc_id AS VARCHAR) || '#vid' AS media_id,
+                     'avi' AS container, 'MJPG' AS codec,
+                     CAST(2.0 AS DOUBLE) AS fps,
+                     CAST(6 AS BIGINT) AS n_frames,
+                     CAST(8 AS BIGINT) AS width,
+                     CAST(8 AS BIGINT) AS height,
+                     CAST(3.0 AS DOUBLE) AS duration_s,
+                     'headers' AS meta_kind
+              FROM d
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR) || '#mp4', 'mp4',
+                     CASE doc_id % 3 WHEN 0 THEN 'avc1'
+                          WHEN 1 THEN 'hvc1' ELSE 'av01' END,
+                     CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25
+                          ELSE 30 END AS DOUBLE),
+                     CAST(48 + (doc_id % 5) * 12 AS BIGINT),
+                     CAST(320 + (doc_id % 4) * 80 AS BIGINT),
+                     CAST(180 + (doc_id % 4) * 45 AS BIGINT),
+                     ROUND((48 + (doc_id % 5) * 12)
+                           / CAST(CASE doc_id % 3 WHEN 0 THEN 24
+                                  WHEN 1 THEN 25 ELSE 30 END AS DOUBLE),
+                           6),
+                     'headers'
+              FROM d
+            ) ORDER BY media_id""",
         "q233_bloom_zonemap": _bloom_zone_oracle_sql(
             "(SELECT doc_id, 'k' || CAST(doc_id % 997 AS VARCHAR)"
             " AS v FROM documents)",

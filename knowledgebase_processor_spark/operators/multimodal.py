@@ -906,7 +906,12 @@ def frame_sample(media: DataFrame, every_s: float = 1.0,
                             "frame_kind": kind,
                         })
                 else:
-                    dur = float(rec.meta_duration_s or 0.0)
+                    # No decodable frames, but an ISO-BMFF moov still
+                    # carries the REAL duration — prefer it over the
+                    # catalog metadata so stub framing tracks the file.
+                    mp4 = decode_mp4_meta(bytes(payload))
+                    dur = (mp4[0] if mp4 is not None
+                           else float(rec.meta_duration_s or 0.0))
                     n = min(max(1, int(dur / every_s)), max_frames)
                     for i in range(n):
                         out.append({
@@ -953,3 +958,239 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES.fields])
 
     return narrowed.mapInPandas(run, schema=AUDIO_FEATURES)
+
+
+# --- MP4 / ISO-BMFF container: REAL header parse -----------------------------
+# Frame DECODE for MP4 video (H.26x/AV1) still needs pyav (disclosed stub),
+# but the CONTAINER metadata — duration, fps, dimensions, codec fourcc —
+# lives in plain big-endian `struct` boxes (ISO/IEC 14496-12): moov/mvhd
+# for presentation duration, trak/tkhd for display width/height (16.16
+# fixed point), mdia/mdhd for the media timescale, stbl/stsd for the
+# sample-entry fourcc, and stbl/stts for the sample count.  Parsing them
+# needs no codec work, so `video_container_features` reports REAL
+# properties even where frames cannot be decoded.
+
+
+def _bmff_walk(b: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box in
+    [pos, end); tolerant of truncation/garbage (stops instead of raising
+    or spinning — a zero/negative size ends the walk)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        four = b[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                      # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:                    # box runs to end of file
+            size = end - pos
+        if size < body - pos:              # corrupt: would not advance
+            return
+        stop = min(pos + size, end)
+        yield four, body, stop
+        pos += size
+
+
+def decode_mp4_meta(payload: bytes
+                    ) -> tuple[float, float, int, int, int, str] | None:
+    """(duration_s, fps, n_frames, width, height, codec) from an
+    ISO-BMFF (MP4/MOV) ``moov`` header, or None if the bytes are not a
+    parseable BMFF file with a video track.  Pure stdlib ``struct`` —
+    no codec work, no media libraries.
+
+    fps is derived as n_frames / track-duration (mdhd timescale), the
+    same figure ffprobe reports for constant-rate streams; width/height
+    are tkhd's 16.16 fixed-point display size.
+    """
+    b = payload or b""
+    if len(b) < 16:
+        return None
+    boxes = dict()
+    has_ftyp = False
+    for four, s, e in _bmff_walk(b, 0, len(b)):
+        if four == b"ftyp":
+            has_ftyp = True
+        boxes.setdefault(four, (s, e))
+    if not has_ftyp or b"moov" not in boxes:
+        return None
+    moov_s, moov_e = boxes[b"moov"]
+
+    def _fullbox(body_s: int) -> tuple[int, int]:
+        """(version, first-field offset) of a FullBox body."""
+        return b[body_s], body_s + 4
+
+    dur_s = 0.0
+    best = None                    # (dur, fps, n, w, h, codec) of video trak
+    for four, s, e in _bmff_walk(b, moov_s, moov_e):
+        if four == b"mvhd" and e - s >= 20:
+            ver, p = _fullbox(s)
+            if ver == 1 and e - s >= 28:
+                ts, = struct.unpack_from(">I", b, p + 16)
+                dur, = struct.unpack_from(">Q", b, p + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", b, p + 8)
+            if ts > 0:
+                dur_s = dur / ts
+        elif four == b"trak":
+            w = h = 0
+            md_ts, md_dur, n_frames = 0, 0, 0
+            codec, is_video = "", False
+            for t2, s2, e2 in _bmff_walk(b, s, e):
+                if t2 == b"tkhd" and e2 - s2 >= 84:
+                    ver, p = _fullbox(s2)
+                    off = p + (84 if ver == 1 else 72)   # matrix end
+                    if off + 8 <= e2:
+                        wf, hf = struct.unpack_from(">II", b, off)
+                        w, h = wf >> 16, hf >> 16
+                elif t2 == b"mdia":
+                    for t3, s3, e3 in _bmff_walk(b, s2, e2):
+                        if t3 == b"mdhd" and e3 - s3 >= 20:
+                            ver, p = _fullbox(s3)
+                            if ver == 1 and e3 - s3 >= 28:
+                                md_ts, = struct.unpack_from(">I", b, p + 16)
+                                md_dur, = struct.unpack_from(">Q", b, p + 20)
+                            else:
+                                md_ts, md_dur = struct.unpack_from(
+                                    ">II", b, p + 8)
+                        elif t3 == b"hdlr" and e3 - s3 >= 12:
+                            is_video |= b[s3 + 8:s3 + 12] == b"vide"
+                        elif t3 == b"minf":
+                            for t4, s4, e4 in _bmff_walk(b, s3, e3):
+                                if t4 != b"stbl":
+                                    continue
+                                for t5, s5, e5 in _bmff_walk(b, s4, e4):
+                                    if t5 == b"stsd" and e5 - s5 >= 16:
+                                        codec = b[s5 + 12:s5 + 16].decode(
+                                            "ascii", "replace").strip()
+                                    elif t5 == b"stts" and e5 - s5 >= 8:
+                                        cnt, = struct.unpack_from(
+                                            ">I", b, s5 + 4)
+                                        p5 = s5 + 8
+                                        for _ in range(cnt):
+                                            if p5 + 8 > e5:
+                                                break
+                                            c, = struct.unpack_from(
+                                                ">I", b, p5)
+                                            n_frames += c
+                                            p5 += 8
+            if is_video and w > 0 and h > 0:
+                tdur = (md_dur / md_ts) if md_ts > 0 else dur_s
+                fps = (n_frames / tdur) if tdur > 0 else 0.0
+                best = (tdur or dur_s, fps, n_frames, w, h, codec)
+    if best is None:
+        return None
+    return best
+
+
+def encode_mp4_stub(width: int, height: int, fps: float, n_frames: int,
+                    codec: bytes = b"avc1") -> bytes:
+    """Minimal structurally-valid ISO-BMFF writer: ftyp + moov
+    (mvhd/trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd, stts))))) + empty
+    mdat.  The moov boxes carry REAL metadata that any BMFF parser
+    (including ``decode_mp4_meta`` and ffprobe's box walk) reads; there
+    is no sample payload — this is the header-only inverse fixture for
+    the container-metadata path."""
+    def box(four: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + four + body
+
+    ts = 90_000                       # MPEG convention; exact for 24/25/30/60
+    sdelta = max(1, int(round(ts / fps))) if fps > 0 else ts
+    dur = sdelta * n_frames
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(b"mvhd", struct.pack(">B3x4I", 0, 0, 0, ts, dur)
+               + struct.pack(">i2h2xQ", 0x00010000, 0x0100, 0, 0)
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(">B3s5I", 0, b"\x00\x00\x07", 0, 0, 1,
+                                    0, dur)
+               + struct.pack(">2I2h2h", 0, 0, 0, 0, 0, 0)
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x4I2H", 0, 0, 0, ts, dur,
+                                    0x55C4, 0))
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00\x00\x00\x00\x00vide"
+               + b"\x00" * 12 + b"VideoHandler\x00")
+    entry = box(codec[:4].ljust(4, b"\x00"),
+                b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                + struct.pack(">2H", width, height)
+                + struct.pack(">2I", 0x00480000, 0x00480000)
+                + struct.pack(">I", 0) + struct.pack(">H", 1)
+                + b"\x00" * 32 + struct.pack(">Hh", 0x18, -1))
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xI", 0, 1)
+               + struct.pack(">II", n_frames, sdelta))
+    stbl = box(b"stbl", stsd + stts
+               + box(b"stsc", struct.pack(">B3xI", 0, 0))
+               + box(b"stsz", struct.pack(">B3x2I", 0, 0, 0))
+               + box(b"stco", struct.pack(">B3xI", 0, 0)))
+    minf = box(b"minf",
+               box(b"vmhd", struct.pack(">B3s4H", 0, b"\x00\x00\x01",
+                                        0, 0, 0, 0))
+               + box(b"dinf", box(b"dref", struct.pack(">B3xI", 0, 1)
+                     + box(b"url ", b"\x00\x00\x00\x01")))
+               + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"")
+
+
+VIDEO_CONTAINER_FEATURES = StructType([
+    StructField("media_id", StringType()),
+    StructField("container", StringType()),   # avi | mp4 | unknown
+    StructField("codec", StringType()),
+    StructField("fps", DoubleType()),
+    StructField("n_frames", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("meta_kind", StringType()),   # headers | opaque
+])
+
+
+def video_container_features(media: DataFrame) -> DataFrame:
+    """media(kind='video') -> one row of REAL container-level properties
+    per payload: RIFF AVI headers (``decode_avi_meta``'s walk) or
+    ISO-BMFF moov boxes (``decode_mp4_meta``).  ``meta_kind='headers'``
+    marks a real parse; unparseable payloads keep their catalog
+    metadata with ``meta_kind='opaque'`` (no fabricated numbers).  One
+    Arrow-batched ``mapInPandas`` pass, no shuffle."""
+    narrowed = media.filter(media.kind == "video") \
+                    .select("media_id", "payload", "meta_duration_s")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for rec in batch.itertuples(index=False):
+                payload = bytes(rec.payload or b"")
+                avi = decode_avi_meta(payload)
+                row = {"media_id": rec.media_id, "container": "unknown",
+                       "codec": None, "fps": None, "n_frames": None,
+                       "width": None, "height": None,
+                       "duration_s": rec.meta_duration_s,
+                       "meta_kind": "opaque"}
+                if avi is not None:
+                    fps, n, w, h = avi
+                    row.update(container="avi", codec="MJPG",
+                               fps=round(fps, 6), n_frames=n, width=w,
+                               height=h, duration_s=round(n / fps, 6),
+                               meta_kind="headers")
+                else:
+                    mp4 = decode_mp4_meta(payload)
+                    if mp4 is not None:
+                        dur, fps, n, w, h, codec = mp4
+                        row.update(container="mp4", codec=codec or None,
+                                   fps=round(fps, 6), n_frames=n,
+                                   width=w, height=h,
+                                   duration_s=round(dur, 6),
+                                   meta_kind="headers")
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in
+                              VIDEO_CONTAINER_FEATURES.fields])
+
+    return narrowed.mapInPandas(run, schema=VIDEO_CONTAINER_FEATURES)

@@ -1,0 +1,228 @@
+"""Trained stupid-backoff trigram LM perplexity scoring (beyond-
+reference; CCNet-style corpus filtering, SURVEY.md §2 round-3 surface).
+
+CCNet/RedPajama/Dolma score web pages with a KenLM n-gram model and
+drop the high-perplexity tail.  ``lm_score.py`` (q59) already ships the
+count-ratio "LM-lite" signal; this module is the REAL thing with the
+published scoring rule: a trigram model with stupid backoff (Brants et
+al. 2007, "Large Language Models in Machine Translation" — the scheme
+built FOR MapReduce-scale counts), trained on one hash-split of the
+corpus and scored on the held-out split.
+
+Scoring rule (highest available order, alpha per backoff step):
+
+    S(w | p2 p1) = c3(p2 p1 w) / c2(p2 p1)          if c3 > 0
+                 = alpha * S(w | p1)                 otherwise
+    S(w | p1)    = c2(p1 w) / c1(p1)                 if c2 > 0
+                 = alpha * S(w)                      otherwise
+    S(w)         = c1(w) / N                         if c1 > 0
+                 = alpha / N                         otherwise (OOV:
+                   one phantom count, so the score stays a probability
+                   -shaped ratio and log() is defined)
+
+Position 0 starts at the unigram order, position 1 at the bigram order
+(no penalty until a backoff actually happens).  alpha = 0.4 (the
+published constant).
+
+Exactness contract: all counts are exact BIGINTs from the shared
+portable tokenizer; the ONE float step per token (the CASE ladder +
+log10) is SQL text shared verbatim with the DuckDB oracle
+(:func:`backoff_score_sql`), nano-quantized per token BEFORE the
+per-document sum — so the sum is an exact integer in any execution
+order on both engines (the q238 char-entropy discipline).
+
+Scale shape: the three count tables are plain partial-aggregatable
+``groupBy(ngram).count()`` frames; scoring is five hash joins of the
+held-out token stream against them, each on a single string key.  Head
+tokens ("the", "of") make the unigram probe side skewed — AQE skew-join
+splits those partitions at runtime (enabled in pipeline.session), and
+every join is a plain equi-join so the planner is free to choose
+broadcast when a count table fits (a trained LM pruned to the usual
+few-million-n-gram vocabulary broadcasts; a full web-corpus table
+shuffles — both correct).  No Python rows, no collect of anything
+unbounded; N rides along as a 1-row broadcast cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import portable_words
+
+ALPHA = "0.4"
+
+# The per-token score ladder over exact integer counts (NULL counts are
+# pre-coalesced to 0).  Shared VERBATIM with the DuckDB oracle; the only
+# floats are the final divisions and the alpha products.
+BACKOFF_SCORE_SQL = (
+    "CASE WHEN pos >= 2 AND c3 > 0 THEN c3 / CAST(c2ctx AS DOUBLE) "
+    f"WHEN pos >= 1 AND c2 > 0 THEN (CASE WHEN pos >= 2 THEN {ALPHA} "
+    "ELSE 1.0 END) * c2 / CAST(c1prev AS DOUBLE) "
+    f"WHEN c1 > 0 THEN (CASE WHEN pos >= 2 THEN {ALPHA} * {ALPHA} "
+    f"WHEN pos = 1 THEN {ALPHA} ELSE 1.0 END) * c1 "
+    "/ CAST(n_train AS DOUBLE) "
+    f"ELSE (CASE WHEN pos >= 2 THEN {ALPHA} * {ALPHA} * {ALPHA} "
+    f"WHEN pos = 1 THEN {ALPHA} * {ALPHA} ELSE {ALPHA} END) "
+    "/ CAST(n_train AS DOUBLE) END")
+
+# -log10(score), nano-quantized per token (exact-integer summable).
+TOKEN_NLL_NANO_SQL = (
+    f"CAST(round(1e9 * (-log10({BACKOFF_SCORE_SQL}))) AS BIGINT)")
+
+
+def _ngram_counts(toks: DataFrame, n: int) -> DataFrame:
+    """(gram, c) counts of space-joined n-grams over the `ws` array
+    column — map-side partial agg, one shuffle on the gram string."""
+    if n == 1:
+        gram = F.explode("ws").alias("gram")
+    else:
+        parts = ", ".join(f"ws[i + {k}]" for k in range(n))
+        gram = F.explode(F.expr(
+            f"transform(sequence(0, size(ws) - {n}), "
+            f"i -> concat_ws(' ', {parts}))")).alias("gram")
+    return (toks.filter(F.size("ws") >= n).select(gram)
+            .groupBy("gram").count().withColumnRenamed("count", "c"))
+
+
+def backoff_lm_report(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      train_mod: int = 5) -> DataFrame:
+    """Train on ``doc_id % train_mod != 0``, score the held-out rest.
+
+    -> (doc_id, n_tokens, nll_nano, avg_nll_micro) per held-out doc:
+    nll_nano = exact integer sum of per-token nano-quantized
+    -log10(stupid-backoff score); avg_nll_micro = micro-quantized mean
+    (NULL for token-less docs).  Lower = more fluent under the trained
+    model — the CCNet filtering signal.
+    """
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       portable_words(F.coalesce(F.col(text_col),
+                                                 F.lit(""))).alias("ws"))
+    train = base.filter(F.col("doc_id") % train_mod != 0)
+    held = base.filter(F.col("doc_id") % train_mod == 0)
+
+    uni = _ngram_counts(train, 1)
+    bi = _ngram_counts(train, 2)
+    tri = _ngram_counts(train, 3)
+    n_train = train.select(
+        F.coalesce(F.sum(F.size("ws")), F.lit(0)).cast("long")
+        .alias("n_train"))                     # 1 row -> broadcast below
+
+    pos_rows = held.select(
+        "doc_id",
+        F.posexplode_outer("ws").alias("pos", "w"),
+        F.col("ws").alias("_ws"),
+    ).select(
+        "doc_id", "pos", "w",
+        F.expr("CASE WHEN pos >= 1 THEN _ws[pos - 1] END").alias("p1"),
+        F.expr("CASE WHEN pos >= 2 THEN _ws[pos - 2] END").alias("p2"),
+    )
+
+    j = (pos_rows
+         .join(F.broadcast(n_train))
+         .join(tri.select(F.col("gram").alias("_g3"),
+                          F.col("c").alias("_c3")),
+               F.concat_ws(" ", "p2", "p1", "w") == F.col("_g3"), "left")
+         .join(bi.select(F.col("gram").alias("_g2c"),
+                         F.col("c").alias("_c2ctx")),
+               F.concat_ws(" ", "p2", "p1") == F.col("_g2c"), "left")
+         .join(bi.select(F.col("gram").alias("_g2"),
+                         F.col("c").alias("_c2")),
+               F.concat_ws(" ", "p1", "w") == F.col("_g2"), "left")
+         .join(uni.select(F.col("gram").alias("_g1p"),
+                          F.col("c").alias("_c1prev")),
+               F.col("p1") == F.col("_g1p"), "left")
+         .join(uni.select(F.col("gram").alias("_g1"),
+                          F.col("c").alias("_c1")),
+               F.col("w") == F.col("_g1"), "left")
+         .select(
+             "doc_id", "pos", "n_train",
+             F.coalesce("_c3", F.lit(0)).alias("c3"),
+             F.coalesce("_c2ctx", F.lit(0)).alias("c2ctx"),
+             F.coalesce("_c2", F.lit(0)).alias("c2"),
+             F.coalesce("_c1prev", F.lit(0)).alias("c1prev"),
+             F.coalesce("_c1", F.lit(0)).alias("c1")))
+
+    scored = j.withColumn(
+        "tok_nano",
+        F.when(F.col("pos").isNull(), None)      # empty doc placeholder
+        .otherwise(F.expr(TOKEN_NLL_NANO_SQL)))
+
+    agg = scored.groupBy("doc_id").agg(
+        F.count("tok_nano").cast("long").alias("n_tokens"),
+        F.sum("tok_nano").alias("nll_nano"))
+    return agg.selectExpr(
+        "doc_id", "n_tokens", "nll_nano",
+        "CASE WHEN n_tokens = 0 THEN NULL "
+        "ELSE CAST(round(nll_nano / (1000.0 * n_tokens)) AS BIGINT) END"
+        " AS avg_nll_micro")
+
+
+def backoff_lm_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
+    """DuckDB replay: identical tokenizer, identical count definitions,
+    and the IDENTICAL score ladder SQL text (BACKOFF_SCORE_SQL) —
+    per-token nano quantization makes the per-doc sum an exact integer
+    on both engines."""
+    ws = (r"list_filter(string_split_regex(lower(trim(text)),"
+          r" '[ \t\n\r\f]+'), w -> w <> '')")
+    return f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
+          FROM {docs_sql}),
+        train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
+        held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+        n_tr AS (SELECT COALESCE(SUM(len(ws)), 0) AS n_train FROM train),
+        uni AS (
+          SELECT w AS gram, COUNT(*) AS c
+          FROM (SELECT UNNEST(ws) AS w FROM train) GROUP BY w),
+        bi AS (
+          SELECT g AS gram, COUNT(*) AS c FROM (
+            SELECT UNNEST(CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END) AS g FROM train) GROUP BY g),
+        tri AS (
+          SELECT g AS gram, COUNT(*) AS c FROM (
+            SELECT UNNEST(CASE WHEN len(ws) >= 3
+              THEN list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE [] END) AS g FROM train) GROUP BY g),
+        pos_rows AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                                       i -> i - 1)) AS pos,
+                 UNNEST(ws) AS w,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i >= 2 THEN ws[i-1] END)) AS p1,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i >= 3 THEN ws[i-2] END)) AS p2
+          FROM held),
+        joined AS (
+          SELECT r.doc_id, r.pos, n_tr.n_train,
+                 COALESCE(t3.c, 0) AS c3,
+                 COALESCE(b2c.c, 0) AS c2ctx,
+                 COALESCE(b2.c, 0) AS c2,
+                 COALESCE(u1p.c, 0) AS c1prev,
+                 COALESCE(u1.c, 0) AS c1
+          FROM pos_rows r
+          CROSS JOIN n_tr
+          LEFT JOIN tri t3
+            ON concat_ws(' ', r.p2, r.p1, r.w) = t3.gram
+          LEFT JOIN bi b2c ON concat_ws(' ', r.p2, r.p1) = b2c.gram
+          LEFT JOIN bi b2 ON concat_ws(' ', r.p1, r.w) = b2.gram
+          LEFT JOIN uni u1p ON r.p1 = u1p.gram
+          LEFT JOIN uni u1 ON r.w = u1.gram),
+        scored AS (
+          SELECT doc_id, {TOKEN_NLL_NANO_SQL} AS tok_nano FROM joined),
+        agg AS (
+          SELECT h.doc_id,
+                 COUNT(s.tok_nano) AS n_tokens,
+                 SUM(s.tok_nano) AS nll_nano
+          FROM held h LEFT JOIN scored s USING (doc_id)
+          GROUP BY h.doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(nll_nano AS BIGINT) AS nll_nano,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE CAST(round(nll_nano / (1000.0 * n_tokens))
+                         AS BIGINT) END AS avg_nll_micro
+        FROM agg ORDER BY doc_id"""

