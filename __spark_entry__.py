@@ -2934,7 +2934,7 @@ def _q151_margin_mine(spark, sf):
     e = _t(spark, sf, "embeddings")
     src = e.filter(F.col("vec_id") % 2 == 0)
     tgt = e.filter(F.col("vec_id") % 2 == 1)
-    return margin_mine(src, tgt, k=4,
+    return margin_mine(src, tgt, k=4, dim=64,
                        min_margin_ppm=1_000_000).orderBy("src_id")
 
 
@@ -2946,7 +2946,7 @@ def _q152_hubness(spark, sf):
     e = _t(spark, sf, "embeddings")
     src = e.filter(F.col("vec_id") % 2 == 0)
     tgt = e.filter(F.col("vec_id") % 2 == 1)
-    return hubness_report(src, tgt, k=4).orderBy("tgt_id")
+    return hubness_report(src, tgt, k=4, dim=64).orderBy("tgt_id")
 
 
 def _q153_mojibake(spark, sf):

@@ -31,10 +31,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import cosine_sim
+from .similarity import cosine_sim, cosine_sim_flat
 
 
 def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                dim: int | None = None,
                 min_margin_ppm: int = 1_000_000,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -46,10 +47,13 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                    F.col(vec_col).cast("array<double>").alias("__sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"),
                    F.col(vec_col).cast("array<double>").alias("__tv"))
+    # dim known -> flat codegen cosine (identical float path); else the
+    # generic interpreted fold
+    _cos = (cosine_sim_flat("__sv", "__tv", dim) if dim
+            else cosine_sim(F.col("__sv"), F.col("__tv")))
     pairs = (s.crossJoin(t)
              .select("src_id", "tgt_id",
-                     F.round(F.round(cosine_sim(F.col("__sv"),
-                                                F.col("__tv")), 6)
+                     F.round(F.round(_cos, 6)
                              * 1_000_000, 0).cast("long").alias("c_micro")))
 
     w_s = Window.partitionBy("src_id") \
@@ -82,6 +86,7 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
 
 
 def hubness_report(src: DataFrame, tgt: DataFrame, k: int = 4,
+                   dim: int | None = None,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """k-occurrence hubness diagnostic (Radovanovic et al. 2010): per
@@ -96,10 +101,13 @@ def hubness_report(src: DataFrame, tgt: DataFrame, k: int = 4,
                    F.col(vec_col).cast("array<double>").alias("__sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"),
                    F.col(vec_col).cast("array<double>").alias("__tv"))
+    # dim known -> flat codegen cosine (identical float path); else the
+    # generic interpreted fold
+    _cos = (cosine_sim_flat("__sv", "__tv", dim) if dim
+            else cosine_sim(F.col("__sv"), F.col("__tv")))
     pairs = (s.crossJoin(t)
              .select("src_id", "tgt_id",
-                     F.round(F.round(cosine_sim(F.col("__sv"),
-                                                F.col("__tv")), 6)
+                     F.round(F.round(_cos, 6)
                              * 1_000_000, 0).cast("long").alias("c_micro")))
     w_s = Window.partitionBy("src_id") \
         .orderBy(F.col("c_micro").desc(), F.col("tgt_id"))

@@ -379,20 +379,23 @@ def embedding_near_dups_lsh(vecs: DataFrame, dim: int,
     near-identical sketch regions) stays bounded.  O(n * tables) bucket
     rows, pair formation grouped per bucket — never a cross product.
     """
-    from .similarity import cosine_sim, lsh_bucket_expr, _hyperplanes
+    from .similarity import cosine_sim_flat, lsh_bucket_expr, _hyperplanes
 
     norm = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    banded = norm.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            lsh_bucket_expr(F.col("v"), _hyperplanes(dim, bits, seed + t))
-            for t in range(tables)])).alias("band", "bucket"))
+    banded = (norm
+              .withColumn("_vd", F.col("v").cast("array<double>"))
+              .select("doc_id",
+                      F.posexplode(F.array(*[
+                          lsh_bucket_expr("_vd",
+                                          _hyperplanes(dim, bits, seed + t))
+                          for t in range(tables)])).alias("band", "bucket")))
     pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
     cand = (pairs.select(F.col("p.doc_a").alias("vec_a"),
                          F.col("p.doc_b").alias("vec_b")).distinct())
     va = norm.select(F.col("doc_id").alias("vec_a"), F.col("v").alias("va"))
     vb = norm.select(F.col("doc_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    # flat codegen cosine (identical float path to the HOF fold)
+    sim = cosine_sim_flat("va", "vb", dim)
     return (cand.join(va, "vec_a").join(vb, "vec_b")
             .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))

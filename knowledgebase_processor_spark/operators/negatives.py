@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import cosine_lsh_buckets, cosine_sim
+from .similarity import cosine_lsh_buckets, cosine_sim, cosine_sim_flat
 
 
 def hard_negatives(vecs: DataFrame, dim: int, k: int = 3, bits: int = 4,
@@ -56,11 +56,14 @@ def hard_negatives(vecs: DataFrame, dim: int, k: int = 3, bits: int = 4,
     pairs = (side_a.join(side_b, "bucket")
              .filter((F.col("anchor_id") != F.col("neg_id"))
                      & (F.col("anchor_label") != F.col("neg_label"))))
-    scored = pairs.select(
-        "anchor_id", "neg_id", "anchor_label", "neg_label",
-        F.round(cosine_sim(F.col("va").cast("array<double>"),
-                           F.col("vb").cast("array<double>")), 6)
-        .alias("cosine"))
+    # flat codegen cosine over the pre-cast double arrays — identical
+    # float path to the interpreted zip_with form it replaces
+    scored = (pairs
+              .withColumn("_vad", F.col("va").cast("array<double>"))
+              .withColumn("_vbd", F.col("vb").cast("array<double>"))
+              .select("anchor_id", "neg_id", "anchor_label", "neg_label",
+                      F.round(cosine_sim_flat("_vad", "_vbd", dim), 6)
+                      .alias("cosine")))
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"),
                                                 F.asc("neg_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -36,13 +36,78 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(l2norm(a) * l2norm(b), F.lit(1e-12))
 
 
+# --- flat (whole-stage-codegen) dot products -------------------------------
+# The zip_with/aggregate forms above are generic over unknown dims but
+# evaluate INTERPRETED, one lambda frame per element — at 64 dims x 8
+# centroids x N vectors that is the dominant cost of every ANN/near-dup
+# plan (same lesson as dedup._expand_bucket_pairs).  When the dimension
+# is known (every caller passes `dim`), the identical arithmetic can be
+# a flat left-associated `+` chain that Janino compiles into straight
+# multiply-adds.  Exactness: the flat chain performs the SAME IEEE ops
+# in the SAME order as the fold (x0*y0 + x1*y1 + ...; the fold's 0.0+p0
+# seed equals p0), literals render via repr -> strtod (correctly
+# rounded), and try_element_at past the array end yields NULL exactly
+# like zip_with's padding — so results are bit-identical and every
+# value-hash oracle below stays green.
+
+def _flat_dot_lit_sql(vec_sql: str, coeffs: list[float]) -> str:
+    return "(" + " + ".join(
+        f"try_element_at({vec_sql}, {i + 1})"
+        f" * CAST('{float(c)!r}' AS DOUBLE)"
+        for i, c in enumerate(coeffs)) + ")"
+
+
+def _flat_dot_cols_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    # each product CASTs to double BEFORE the + chain: on float arrays
+    # the HOF fold multiplies in float but accumulates in double (acc is
+    # 0.0d), and the flat chain must do the same to stay bit-identical
+    # (on double arrays the cast is a no-op)
+    return "(" + " + ".join(
+        f"CAST(try_element_at({a_sql}, {i + 1})"
+        f" * try_element_at({b_sql}, {i + 1}) AS DOUBLE)"
+        for i in range(dim)) + ")"
+
+
+def _flat_sq_sql(vec_sql: str, dim: int) -> str:
+    return _flat_dot_cols_sql(vec_sql, vec_sql, dim)
+
+
+def _py_l2norm(v: list[float]) -> float:
+    """Python fold in index order == the Spark fold (both are doubles)."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc ** 0.5
+
+
+def cosine_sim_lit(vec_sql: str, query_vec: list[float]) -> Column:
+    """cosine_sim(vec, lit(query)) as one flat codegen expression; the
+    query's norm folds at plan-build time (identical float path)."""
+    d = len(query_vec)
+    nq = _py_l2norm([float(x) for x in query_vec])
+    return (F.expr(_flat_dot_lit_sql(vec_sql, query_vec))
+            / F.greatest(F.sqrt(F.expr(_flat_sq_sql(vec_sql, d)))
+                         * F.lit(nq), F.lit(1e-12)))
+
+
+def cosine_sim_flat(a_sql: str, b_sql: str, dim: int) -> Column:
+    """cosine_sim between two array columns of known dim, flat codegen."""
+    return (F.expr(_flat_dot_cols_sql(a_sql, b_sql, dim))
+            / F.greatest(F.sqrt(F.expr(_flat_sq_sql(a_sql, dim)))
+                         * F.sqrt(F.expr(_flat_sq_sql(b_sql, dim))),
+                         F.lit(1e-12)))
+
+
 def cosine_topk(vecs: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector."""
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    # project the double-cast array ONCE, then index it flat (indexing
+    # the raw float column would multiply in float precision)
     return (vecs.select(F.col(id_col).alias("vec_id"),
-                        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), 6)
-                        .alias("cosine"))
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+            .select("vec_id",
+                    F.round(cosine_sim_lit("_v", query_vec), 6)
+                    .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
 
@@ -52,13 +117,22 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit sketch: bucket id from the signs of <v, plane_i>."""
+def lsh_bucket_expr(vec: "Column | str",
+                    planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bucket id from the signs of <v, plane_i>.
+
+    Pass a STRING (an expression naming an ``array<double>`` column) to
+    take the flat codegen dot path; a Column keeps the generic
+    interpreted form (unknown dim / uncast input)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        # one list-literal call per plane, not dim F.lit round-trips
-        p = F.lit([float(x) for x in plane]).cast("array<double>")
-        bit = F.when(dot(vec.cast("array<double>"), p) >= 0,
+        if isinstance(vec, str):
+            d = F.expr(_flat_dot_lit_sql(vec, plane))
+        else:
+            # one list-literal call per plane, not dim F.lit round-trips
+            p = F.lit([float(x) for x in plane]).cast("array<double>")
+            d = dot(vec.cast("array<double>"), p)
+        bit = F.when(d >= 0,
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
@@ -68,8 +142,11 @@ def cosine_lsh_buckets(vecs: DataFrame, dim: int, bits: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        seed: int = 42) -> DataFrame:
     planes = _hyperplanes(dim, bits, seed)
-    return vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-                       lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    return (vecs.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"),
+                        F.col(vec_col).cast("array<double>").alias("_vd"))
+            .select("vec_id", "v",
+                    lsh_bucket_expr("_vd", planes).alias("bucket")))
 
 
 def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
@@ -94,7 +171,6 @@ def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
 
     planes = _hyperplanes(dim, bits, seed)
     bucketed = cosine_lsh_buckets(vecs, dim, bits, id_col, vec_col, seed)
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     # bucket + margins depend only on the literal vector + seeded planes:
     # plain python, no Spark job, and no crash on an empty corpus
     qbucket = 0
@@ -126,7 +202,9 @@ def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,
                                       subset[:-1] + (last + 1,)))
     return (bucketed.filter(F.col("bucket").isin(probe_buckets))
             .select("vec_id",
-                    F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)
+                    F.col("v").cast("array<double>").alias("_v"))
+            .select("vec_id",
+                    F.round(cosine_sim_lit("_v", query_vec), 6)
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
@@ -148,18 +226,37 @@ def ivf_centroids(vecs: DataFrame, dim: int, k_cells: int = 16,
 
 def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid cell id per vector, as a pure column expression."""
-    v = F.col(vec_col).cast("array<double>")
-    best_cell, best_sim = F.lit(-1), F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        # one list-literal call per centroid, not dim F.lit round-trips
-        cc = F.lit([float(x) for x in c]).cast("array<double>")
-        sim = cosine_sim(v, cc)
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-                       best_cell.alias("cell"))
+    """Nearest-centroid cell id per vector, as a pure column expression.
+
+    Each centroid similarity is one flat codegen dot (literal
+    coefficients, centroid norm folded at plan time); the vector's own
+    norm is projected once and shared by all K comparisons instead of
+    being re-folded K times through interpreted lambdas."""
+    staged = vecs.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("_vd"))
+    if not centroids:
+        return staged.select("vec_id", "v",
+                             F.lit(-1).cast("int").alias("cell"))
+    dim = max(len(c) for c in centroids)
+    staged = staged.withColumn(
+        "_nv", F.sqrt(F.expr(_flat_sq_sql("_vd", dim))))
+    # argmax via array_max over (sim, -i) structs: every sim expression
+    # appears exactly ONCE in the plan.  (A when-chain argmax embeds
+    # best_sim_{k-1} twice per step — a 2^K expression-tree blowup that
+    # stalls the optimizer once the sims are wide flat dots.)  Struct
+    # ordering compares sim first; on exact ties max(-i) picks the
+    # SMALLEST index, the same winner as the strictly-greater chain.
+    structs = [
+        F.struct(
+            (F.expr(_flat_dot_lit_sql("_vd", c))
+             / F.greatest(F.col("_nv") * F.lit(_py_l2norm(c)),
+                          F.lit(1e-12))).alias("s"),
+            F.lit(-i).alias("ni"))
+        for i, c in enumerate(centroids)]
+    best = F.array_max(F.array(*structs))
+    return staged.select("vec_id", "v",
+                         (-best["ni"]).cast("int").alias("cell"))
 
 
 def ivf_topk(vecs: DataFrame, query_vec: list[float],
@@ -185,10 +282,11 @@ def ivf_topk(vecs: DataFrame, query_vec: list[float],
                     key=lambda i: -_cos(query_vec, centroids[i]))
     probe_cells = ranked[:max(1, nprobe)]
     assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     return (assigned.filter(F.col("cell").isin(probe_cells))
             .select("vec_id",
-                    F.round(cosine_sim(F.col("v").cast("array<double>"), q), 6)
+                    F.col("v").cast("array<double>").alias("_v"))
+            .select("vec_id",
+                    F.round(cosine_sim_lit("_v", query_vec), 6)
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
