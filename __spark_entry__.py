@@ -1366,7 +1366,7 @@ def _q71_semdedup(spark, sf):
                                   lambda x: x * F.lit(2.0))
                       .alias("embedding")))
     salted = emb.unionByName(exact).unionByName(scaled)
-    return (semdedup(salted, k=4, iters=3, threshold=0.95)
+    return (semdedup(salted, k=4, iters=3, threshold=0.95, dim=64)
             .select("vec_id", "cluster", "keep")
             .orderBy("vec_id"))
 

@@ -45,11 +45,18 @@ def quantize(vec_col) -> "F.Column":
                        .cast("bigint"))
 
 
-def _sq_dist(qv, centroid: list[int]) -> "F.Column":
-    lits = F.array(*[F.lit(int(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(qv, lits, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+def _sq_dist(qv_sql: str, centroid: list[int]) -> "F.Column":
+    """Exact squared L2 to a literal centroid as one flat codegen
+    multiply-add chain (the zip_with/aggregate fold it replaces ran
+    interpreted per element; over exact BIGINTs the flat sum is
+    trivially identical — integer addition has no ordering concerns,
+    and try_element_at past the end yields the same NULL as the fold's
+    padding)."""
+    terms = " + ".join(
+        f"(try_element_at({qv_sql}, {i + 1}) - ({int(v)}L))"
+        f" * (try_element_at({qv_sql}, {i + 1}) - ({int(v)}L))"
+        for i, v in enumerate(centroid))
+    return F.expr(f"({terms})")
 
 
 def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
@@ -60,7 +67,7 @@ def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
     minimum)."""
     q = vecs.select(F.col(id_col).alias("vec_id"),
                     quantize(F.col(vec_col)).alias("qv"))
-    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    dists = F.array(*[_sq_dist("qv", c) for c in centroids])
     return q.select(
         "vec_id", "qv",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int")

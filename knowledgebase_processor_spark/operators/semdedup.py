@@ -46,10 +46,19 @@ def _int_dot(a, b) -> "F.Column":
                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
+def _int_dot_flat(a_sql: str, b_sql: str, dim: int) -> "F.Column":
+    """Same exact BIGINT dot as one flat codegen chain (integer sums
+    have no ordering concerns; NULL semantics match the fold)."""
+    return F.expr("(" + " + ".join(
+        f"try_element_at({a_sql}, {i + 1}) * try_element_at({b_sql}, {i + 1})"
+        for i in range(dim)) + ")")
+
+
 def semdedup(vecs: DataFrame, k: int = 4, iters: int = 3,
              threshold: float = 0.95, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             max_cluster: int | None = None) -> DataFrame:
+             max_cluster: int | None = None,
+             dim: int | None = None) -> DataFrame:
     """-> (vec_id, cluster, keep, capped).
 
     ``keep`` is False iff some lower-id vector in the same cluster has
@@ -60,9 +69,9 @@ def semdedup(vecs: DataFrame, k: int = 4, iters: int = 3,
     no-silent-caps flag.
     """
     assigned, _centroids = kmeans(vecs, k, iters, id_col, vec_col)
-    m = assigned.select(
-        "vec_id", "cluster", "qv",
-        _int_dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    _nrm = (_int_dot_flat("qv", "qv", dim) if dim
+            else _int_dot(F.col("qv"), F.col("qv")))
+    m = assigned.select("vec_id", "cluster", "qv", _nrm.alias("nrm"))
 
     if max_cluster is not None:
         sizes = m.groupBy("cluster").agg(F.count("*").alias("_cn"))
@@ -82,7 +91,8 @@ def semdedup(vecs: DataFrame, k: int = 4, iters: int = 3,
                         F.col("qv").alias("qb"),
                         F.col("nrm").alias("nb"))
     t2 = float(threshold) * float(threshold)
-    dot = _int_dot(F.col("qa"), F.col("qb"))
+    dot = (_int_dot_flat("qa", "qb", dim) if dim
+           else _int_dot(F.col("qa"), F.col("qb")))
     dropped = (a.join(b, "cluster")
                .filter(F.col("id_a") < F.col("id_b"))
                .withColumn("_dot", dot)
