@@ -47,7 +47,8 @@ from knowledgebase_processor_spark.operators.corrstats import (  # noqa: E402
 from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     FLESCH_SQL as _FLESCH_SQL)
 from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
-    backoff_lm_oracle_sql as _nglm_oracle)
+    backoff_lm_oracle_sql as _nglm_oracle,
+    ppl_buckets_oracle_sql as _ppl_buckets_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
     chi2_oracle_sql as _chi2_oracle_sql,
@@ -4533,6 +4534,16 @@ def _q241_backoff_lm(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q242_ppl_buckets(spark, sf):
+    # CCNet head/middle/tail perplexity split (operators/nglm.py
+    # ppl_buckets): per-language ntiles of the trained backoff-LM
+    # perplexity — bucket 1 is the slice CCNet keeps outright.  Exact
+    # integers only; the oracle nests the full LM replay as a CTE.
+    from knowledgebase_processor_spark.operators.nglm import ppl_buckets
+    return (ppl_buckets(_t(spark, sf, "documents"))
+            .orderBy("lang", "bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -4776,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_theil": _q239_theil,
         "q240_video_container_meta": _q240_video_container_meta,
         "q241_backoff_lm": _q241_backoff_lm,
+        "q242_ppl_buckets": _q242_ppl_buckets,
     }
 
 
@@ -9163,6 +9175,7 @@ def oracle_sql() -> dict[str, str]:
         "q239_theil": _theil_oracle_sql("documents", "source",
                                         "n_chars"),
         "q241_backoff_lm": _nglm_oracle("documents"),
+        "q242_ppl_buckets": _ppl_buckets_oracle("documents"),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

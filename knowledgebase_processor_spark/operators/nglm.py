@@ -226,3 +226,59 @@ def backoff_lm_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
                     ELSE CAST(round(nll_nano / (1000.0 * n_tokens))
                          AS BIGINT) END AS avg_nll_micro
         FROM agg ORDER BY doc_id"""
+
+
+def ppl_buckets(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", lang_col: str = "lang",
+                train_mod: int = 5, buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, rank the held-out
+    documents by trained-LM perplexity (avg_nll_micro, doc_id
+    tiebreak) and cut into ``buckets`` ntiles — bucket 1 = "head"
+    (most fluent), the slice CCNet keeps outright.
+
+    -> (lang, bucket, n_docs, min_nll_micro, max_nll_micro,
+    sum_nll_micro): exact integers only, so the report replays
+    engine-identically.  Plan: the LM report's joins, one window rank
+    per language (spillable sort, partitioned by lang), one partial-agg
+    groupBy.  Token-less documents are excluded (no perplexity).
+    """
+    from pyspark.sql import Window
+
+    rep = backoff_lm_report(docs, id_col, text_col, train_mod)
+    langs = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.col(lang_col).alias("lang"))
+    j = rep.filter(F.col("n_tokens") > 0).join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll_micro", "doc_id")
+    return (j.withColumn("bucket", F.ntile(buckets).over(w))
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("avg_nll_micro").alias("min_nll_micro"),
+                 F.max("avg_nll_micro").alias("max_nll_micro"),
+                 F.sum("avg_nll_micro").alias("sum_nll_micro")))
+
+
+def ppl_buckets_oracle_sql(docs_sql: str, train_mod: int = 5,
+                           buckets: int = 3) -> str:
+    """DuckDB replay: the LM-report oracle as a CTE, identical NTILE
+    ordering (avg_nll_micro, doc_id), exact-integer aggregates."""
+    rep = backoff_lm_oracle_sql(docs_sql, train_mod)
+    return f"""
+        WITH rep AS ({rep}),
+        j AS (
+          SELECT r.doc_id, r.avg_nll_micro, d.lang
+          FROM rep r JOIN {docs_sql} d
+            ON r.doc_id = CAST(d.doc_id AS BIGINT)
+          WHERE r.n_tokens > 0),
+        b AS (
+          SELECT lang,
+                 NTILE({buckets}) OVER (PARTITION BY lang
+                   ORDER BY avg_nll_micro, doc_id) AS bucket,
+                 avg_nll_micro
+          FROM j)
+        SELECT lang, CAST(bucket AS INT) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(avg_nll_micro) AS min_nll_micro,
+               MAX(avg_nll_micro) AS max_nll_micro,
+               SUM(avg_nll_micro) AS sum_nll_micro
+        FROM b GROUP BY lang, bucket
+        ORDER BY lang, bucket"""

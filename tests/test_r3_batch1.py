@@ -77,3 +77,26 @@ def test_backoff_lm_fluency_ranking(spark):
                                  "doc_id long, text string")
     rows = {r["doc_id"]: r for r in backoff_lm_report(docs).collect()}
     assert rows[0]["avg_nll_micro"] < rows[5]["avg_nll_micro"]
+
+
+def test_ppl_buckets(spark):
+    """Per-language ntiles over the LM report: fluent training-like
+    pages land in bucket 1 (head), noise pages in the top bucket
+    (tail); counts balance per NTILE semantics."""
+    from knowledgebase_processor_spark.operators.nglm import ppl_buckets
+
+    fluent = "the quick brown fox jumps over the lazy dog again"
+    noise = "zw qx vv kj pq mn zz yy xx ww"
+    docs = spark.createDataFrame(
+        [(i, fluent, "en") for i in range(1, 30) if i % 5 != 0]
+        + [(0, fluent, "en"), (5, fluent, "en"), (10, noise, "en"),
+           (15, fluent, "en"), (20, noise, "en"), (25, fluent, "en")],
+        "doc_id long, text string, lang string")
+    rows = ppl_buckets(docs, buckets=3).collect()
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert sum(r["n_docs"] for r in rows) == 6
+    assert set(by_bucket) == {1, 2, 3}
+    # NTILE(3) over 6 rows -> 2 docs per bucket; the two noise docs
+    # must rank in the tail bucket
+    assert all(r["n_docs"] == 2 for r in rows)
+    assert by_bucket[3]["min_nll_micro"] > by_bucket[1]["max_nll_micro"]
