@@ -48,6 +48,7 @@ from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
     FLESCH_SQL as _FLESCH_SQL)
 from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
     backoff_lm_oracle_sql as _nglm_oracle,
+    kneser_ney_oracle_sql as _kn_oracle,
     ppl_buckets_oracle_sql as _ppl_buckets_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
@@ -4534,6 +4535,17 @@ def _q241_backoff_lm(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q243_kneser_ney(spark, sf):
+    # Interpolated Kneser-Ney perplexity (operators/nglm.py): the
+    # KenLM-standard smoother beside q241's stupid backoff — fixed
+    # D=0.75, add-one-smoothed continuation probabilities so OOV stays
+    # log-defined, per-token nano quantization.
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney_report)
+    return (kneser_ney_report(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
 def _q242_ppl_buckets(spark, sf):
     # CCNet head/middle/tail perplexity split (operators/nglm.py
     # ppl_buckets): per-language ntiles of the trained backoff-LM
@@ -4788,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_video_container_meta": _q240_video_container_meta,
         "q241_backoff_lm": _q241_backoff_lm,
         "q242_ppl_buckets": _q242_ppl_buckets,
+        "q243_kneser_ney": _q243_kneser_ney,
     }
 
 
@@ -9176,6 +9189,7 @@ def oracle_sql() -> dict[str, str]:
                                         "n_chars"),
         "q241_backoff_lm": _nglm_oracle("documents"),
         "q242_ppl_buckets": _ppl_buckets_oracle("documents"),
+        "q243_kneser_ney": _kn_oracle("documents"),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

@@ -282,3 +282,161 @@ def ppl_buckets_oracle_sql(docs_sql: str, train_mod: int = 5,
                SUM(avg_nll_micro) AS sum_nll_micro
         FROM b GROUP BY lang, bucket
         ORDER BY lang, bucket"""
+
+
+# --- interpolated Kneser-Ney (the KenLM-standard smoother) -----------------
+# Bigram interpolated KN with fixed discount D=0.75 (Chen & Goodman 1999
+# eq. 18; KenLM's default family).  Continuation probabilities are
+# add-one smoothed over (distinct-bigram-types + vocab) so the score is
+# strictly positive on OOV tokens and log() is always defined:
+#
+#   Pcont(w)  = (N1+(.w) + 1) / (T + V)
+#   P(w | p)  = (max(c(pw) - D, 0) + D * N1+(p.) * Pcont(w)) / c(p)
+#               when c(p) > 0;  Pcont(w) at position 0 / unseen context.
+#
+# All counts exact BIGINTs; the ONE float ladder is SQL text shared
+# verbatim with the DuckDB oracle and nano-quantized per token.
+
+KN_D = "0.75"
+
+KN_SCORE_SQL = (
+    # the discount branch needs n1p_prev > 0 as well: a context word
+    # seen ONLY document-finally has c(p) > 0 but zero continuations,
+    # and with c(pw) = 0 the interpolated mass would be exactly 0
+    # (log-undefined); such positions take the continuation floor.
+    # c(pw) > 0 implies n1p_prev >= 1, so no discount mass is lost.
+    f"CASE WHEN pos >= 1 AND c1prev > 0 AND n1p_prev > 0 THEN "
+    f"(GREATEST(c2 - {KN_D}, 0.0) + ({KN_D} * n1p_prev) "
+    f"* ((n1p_w + 1) / CAST(t_big + v_uni AS DOUBLE))) "
+    f"/ CAST(c1prev AS DOUBLE) "
+    f"ELSE (n1p_w + 1) / CAST(t_big + v_uni AS DOUBLE) END")
+
+KN_TOKEN_NANO_SQL = (
+    f"CAST(round(1e9 * (-log10({KN_SCORE_SQL}))) AS BIGINT)")
+
+
+def kneser_ney_report(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      train_mod: int = 5) -> DataFrame:
+    """Interpolated-KN twin of :func:`backoff_lm_report`: same
+    train/held-out hash split, same output shape (doc_id, n_tokens,
+    nll_nano, avg_nll_micro).  Scale shape: the continuation-count
+    tables N1+(p.) / N1+(.w) are one extra partial-agg groupBy each
+    over the (already bounded) bigram count table — everything else is
+    the same equi-join stream as the backoff scorer."""
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       portable_words(F.coalesce(F.col(text_col),
+                                                 F.lit(""))).alias("ws"))
+    train = base.filter(F.col("doc_id") % train_mod != 0)
+    held = base.filter(F.col("doc_id") % train_mod == 0)
+
+    uni = _ngram_counts(train, 1)
+    bi = _ngram_counts(train, 2)
+    # continuation tables: distinct-bigram types by left / right word
+    split = bi.select(
+        F.split("gram", " ").getItem(0).alias("wl"),
+        F.split("gram", " ").getItem(1).alias("wr"))
+    n1p_prev = split.groupBy("wl").agg(F.count("*").alias("n1p_prev"))
+    n1p_w = split.groupBy("wr").agg(F.count("*").alias("n1p_w"))
+    scalars = (bi.agg(F.count("*").cast("long").alias("t_big"))
+               .crossJoin(uni.agg(F.count("*").cast("long")
+                                  .alias("v_uni"))))
+
+    pos_rows = held.select(
+        "doc_id",
+        F.posexplode_outer("ws").alias("pos", "w"),
+        F.col("ws").alias("_ws"),
+    ).select("doc_id", "pos", "w",
+             F.expr("CASE WHEN pos >= 1 THEN _ws[pos - 1] END")
+             .alias("p1"))
+
+    j = (pos_rows
+         .join(F.broadcast(scalars))
+         .join(bi.select(F.col("gram").alias("_g2"),
+                         F.col("c").alias("_c2")),
+               F.concat_ws(" ", "p1", "w") == F.col("_g2"), "left")
+         .join(uni.select(F.col("gram").alias("_g1p"),
+                          F.col("c").alias("_c1prev")),
+               F.col("p1") == F.col("_g1p"), "left")
+         .join(n1p_prev, F.col("p1") == F.col("wl"), "left")
+         .join(n1p_w, F.col("w") == F.col("wr"), "left")
+         .select("doc_id", "pos", "t_big", "v_uni",
+                 F.coalesce("_c2", F.lit(0)).alias("c2"),
+                 F.coalesce("_c1prev", F.lit(0)).alias("c1prev"),
+                 F.coalesce("n1p_prev", F.lit(0)).alias("n1p_prev"),
+                 F.coalesce("n1p_w", F.lit(0)).alias("n1p_w")))
+
+    scored = j.withColumn(
+        "tok_nano",
+        F.when(F.col("pos").isNull(), None)
+        .otherwise(F.expr(KN_TOKEN_NANO_SQL)))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("tok_nano").cast("long").alias("n_tokens"),
+        F.sum("tok_nano").alias("nll_nano"))
+    return agg.selectExpr(
+        "doc_id", "n_tokens", "nll_nano",
+        "CASE WHEN n_tokens = 0 THEN NULL "
+        "ELSE CAST(round(nll_nano / (1000.0 * n_tokens)) AS BIGINT) END"
+        " AS avg_nll_micro")
+
+
+def kneser_ney_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
+    """DuckDB replay with the IDENTICAL KN ladder SQL text."""
+    ws = (r"list_filter(string_split_regex(lower(trim(text)),"
+          r" '[ \t\n\r\f]+'), w -> w <> '')")
+    return f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
+          FROM {docs_sql}),
+        train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
+        held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+        uni AS (
+          SELECT w AS gram, COUNT(*) AS c
+          FROM (SELECT UNNEST(ws) AS w FROM train) GROUP BY w),
+        bi AS (
+          SELECT g AS gram, COUNT(*) AS c FROM (
+            SELECT UNNEST(CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END) AS g FROM train) GROUP BY g),
+        sp AS (
+          SELECT string_split(gram, ' ')[1] AS wl,
+                 string_split(gram, ' ')[2] AS wr FROM bi),
+        n1p_prev AS (SELECT wl, COUNT(*) AS n1p_prev FROM sp GROUP BY wl),
+        n1p_w AS (SELECT wr, COUNT(*) AS n1p_w FROM sp GROUP BY wr),
+        sc AS (SELECT (SELECT COUNT(*) FROM bi) AS t_big,
+                      (SELECT COUNT(*) FROM uni) AS v_uni),
+        pos_rows AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                                       i -> i - 1)) AS pos,
+                 UNNEST(ws) AS w,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i >= 2 THEN ws[i-1] END)) AS p1
+          FROM held),
+        joined AS (
+          SELECT r.doc_id, r.pos, sc.t_big, sc.v_uni,
+                 COALESCE(b2.c, 0) AS c2,
+                 COALESCE(u1.c, 0) AS c1prev,
+                 COALESCE(np.n1p_prev, 0) AS n1p_prev,
+                 COALESCE(nw.n1p_w, 0) AS n1p_w
+          FROM pos_rows r
+          CROSS JOIN sc
+          LEFT JOIN bi b2 ON concat_ws(' ', r.p1, r.w) = b2.gram
+          LEFT JOIN uni u1 ON r.p1 = u1.gram
+          LEFT JOIN n1p_prev np ON r.p1 = np.wl
+          LEFT JOIN n1p_w nw ON r.w = nw.wr),
+        scored AS (
+          SELECT doc_id, {KN_TOKEN_NANO_SQL} AS tok_nano FROM joined),
+        agg AS (
+          SELECT h.doc_id,
+                 COUNT(s.tok_nano) AS n_tokens,
+                 SUM(s.tok_nano) AS nll_nano
+          FROM held h LEFT JOIN scored s USING (doc_id)
+          GROUP BY h.doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(nll_nano AS BIGINT) AS nll_nano,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE CAST(round(nll_nano / (1000.0 * n_tokens))
+                         AS BIGINT) END AS avg_nll_micro
+        FROM agg ORDER BY doc_id"""

@@ -100,3 +100,40 @@ def test_ppl_buckets(spark):
     # must rank in the tail bucket
     assert all(r["n_docs"] == 2 for r in rows)
     assert by_bucket[3]["min_nll_micro"] > by_bucket[1]["max_nll_micro"]
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Interpolated-KN rungs by hand.  Train "a b", "b c":
+    uni a:1 b:2 c:1 (V=3); bi "a b":1 "b c":1 (T=2); N1+(a.)=1,
+    N1+(b.)=1; N1+(.b)=1, N1+(.c)=1.  T+V = 5."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney_report)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (0, "a b z"), (5, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in kneser_ney_report(docs).collect()}
+    import math
+    def nano(p):
+        return round(1e9 * -math.log10(p))
+    # pos0 'a': continuation floor (N1+(.a)=0) -> (0+1)/5
+    # pos1 'b': seen bigram: (max(1-.75,0) + .75*1*((1+1)/5)) / c(a)=1
+    # pos2 'z': unseen after b: (0 + .75*1*((0+1)/5)) / c(b)=2
+    expect = (nano(1 / 5)
+              + nano((0.25 + 0.75 * (2 / 5)) / 1.0)
+              + nano((0.75 * (1 / 5)) / 2.0))
+    assert rows[0]["n_tokens"] == 3 and rows[0]["nll_nano"] == expect
+    assert rows[5]["n_tokens"] == 0 and rows[5]["nll_nano"] is None
+
+
+def test_kneser_ney_final_only_context(spark):
+    """The log(0) edge the sf0.01 oracle caught: a context word seen
+    ONLY document-finally (c(p)>0, zero continuations) must take the
+    continuation floor, not emit probability 0."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney_report)
+    # train: "x q" -> q seen only finally; held: "q z" exercises
+    # pos1 with c1prev=c(q)=1, n1p_prev=0
+    docs = spark.createDataFrame(
+        [(1, "x q"), (0, "q z")], "doc_id long, text string")
+    r = {x["doc_id"]: x for x in kneser_ney_report(docs).collect()}[0]
+    assert r["n_tokens"] == 2 and r["nll_nano"] is not None
