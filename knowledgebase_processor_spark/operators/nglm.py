@@ -84,6 +84,12 @@ def _ngram_counts(toks: DataFrame, n: int) -> DataFrame:
             .groupBy("gram").count().withColumnRenamed("count", "c"))
 
 
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       portable_words(F.coalesce(F.col(text_col),
+                                                 F.lit(""))).alias("ws"))
+
+
 def backoff_lm_report(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       train_mod: int = 5) -> DataFrame:
@@ -95,12 +101,26 @@ def backoff_lm_report(docs: DataFrame, id_col: str = "doc_id",
     (NULL for token-less docs).  Lower = more fluent under the trained
     model — the CCNet filtering signal.
     """
-    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       portable_words(F.coalesce(F.col(text_col),
-                                                 F.lit(""))).alias("ws"))
+    base = _tokens(docs, id_col, text_col)
     train = base.filter(F.col("doc_id") % train_mod != 0)
     held = base.filter(F.col("doc_id") % train_mod == 0)
+    return backoff_lm_score_tokens(train, held)
 
+
+def backoff_lm_score(train_docs: DataFrame, score_docs: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Train the backoff LM on ALL of ``train_docs`` and score ALL of
+    ``score_docs`` — the deployment shape (model corpus and scored
+    corpus are different frames; the stream screen uses this)."""
+    return backoff_lm_score_tokens(
+        _tokens(train_docs, id_col, text_col),
+        _tokens(score_docs, id_col, text_col))
+
+
+def backoff_lm_score_tokens(train: DataFrame,
+                            held: DataFrame) -> DataFrame:
+    """Core scorer over pre-tokenized (doc_id, ws) frames."""
     uni = _ngram_counts(train, 1)
     bi = _ngram_counts(train, 2)
     tri = _ngram_counts(train, 3)
