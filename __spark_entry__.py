@@ -631,14 +631,17 @@ def _q31_simhash_portable(spark, sf):
 
 
 def _q32_ann_ivf(spark, sf):
-    # ANN scale path (rows-only: centroid sampling is engine-internal):
-    # IVF cell assignment + nprobe probing, exact rescoring inside cells.
+    # ANN scale path: IVF with a REAL k-means-trained coarse quantizer
+    # (exact fixed-point Lloyd's, bit-reproducible under any
+    # partitioning), nprobe probing, exact rescoring inside cells.  The
+    # k-means seed and the query vector share ONE bounded collect; the
+    # trained centroids are deterministic, so the DuckDB oracle replays
+    # cell assignment / probe ranking / rescoring from the pinned
+    # centroid literals (_Q32_CENTROID_VALUES).
     from knowledgebase_processor_spark.operators.similarity import (
-        ivf_centroids, ivf_topk)
+        ivf_topk, ivf_train)
     v = _t(spark, sf, "embeddings", spread=True)
-    first = v.orderBy("vec_id").first()
-    q = [float(x) for x in first.embedding]
-    cents = ivf_centroids(v, dim=len(q), k_cells=8)
+    cents, q = ivf_train(v, k_cells=8, iters=2)
     return ivf_topk(v, q, cents, k=10, nprobe=2)
 
 
@@ -4824,21 +4827,23 @@ _QUALITY = (
 
 
 
-# q32's oracle needs the engine-sampled IVF centroids as literals (the
-# seeded xxhash64 sampling is not SQL-expressible, but its OUTPUT on the
-# fixed sf0.01 embeddings table is deterministic — extracted once and
-# pinned here; see ORACLE_SF001_PINNED).  DuckDB then replicates cell
-# assignment, probe ranking, and rescoring with the same left-fold
-# summation order as the Spark column expressions.
+# q32's oracle needs the k-means-trained IVF centroids as literals (the
+# iterative fixed-point Lloyd's trainer is not single-query-SQL-
+# expressible, but it is bit-exact under any partitioning, so its OUTPUT
+# on the fixed sf0.01 embeddings table is deterministic — extracted once
+# via similarity.ivf_train(k_cells=8, iters=2) and pinned here; see
+# ORACLE_SF001_PINNED).  DuckDB then replicates cell assignment, probe
+# ranking, and rescoring with the same left-fold summation order as the
+# Spark column expressions.
 _Q32_CENTROID_VALUES = """\
-              (0, [0.0754503384232521, 0.09419266134500504, -0.06564699858427048, -0.11731939017772675, -0.2103220820426941, -0.02775951288640499, 0.06328524649143219, 0.02424367144703865, -0.02429385297000408, 0.13783062994480133, 0.17799466848373413, -0.0931270569562912, -0.10396683216094971, -0.005409106612205505, -0.07051610946655273, 0.19749252498149872, 0.14258888363838196, 0.0960536003112793, 0.12834356725215912, -0.0361388698220253, -0.04776456952095032, 0.10172321647405624, 0.0807778537273407, 0.3604643940925598, -0.018006889149546623, -0.06686379760503769, 0.049845121800899506, -0.00041186538874171674, 0.14369937777519226, 0.011197458952665329, 0.2941312789916992, -0.003736350918188691, 0.14637281000614166, 0.32945966720581055, 0.08869896084070206, 0.030713792890310287, 0.10977037250995636, -0.0649942085146904, -0.12151563912630081, 0.1321040242910385, -0.0914735496044159, 0.16951434314250946, -0.018004247918725014, -0.14465342462062836, 0.09539160877466202, 0.06190213933587074, 0.11483341455459595, 0.12499288469552994, 0.07411952316761017, 0.05054671689867973, -0.13185225427150726, -0.2401932328939438, 0.08567051589488983, -0.08647097647190094, -0.15770401060581207, 0.01357154082506895, -0.07687149196863174, -0.08783015608787537, -0.11124595999717712, 0.11780742555856705, 0.16902638971805573, -0.05087028443813324, 0.07654304802417755, -0.0688801109790802]::DOUBLE[]),
-              (1, [-0.13726019859313965, 0.06859798729419708, 0.04165762662887573, -0.21318136155605316, 0.13560500741004944, 0.23991292715072632, 0.16755594313144684, 0.02993670292198658, 0.11536946892738342, 0.08214633166790009, -0.17865444719791412, 0.11466674506664276, -0.18736928701400757, -0.07311703264713287, -0.12086453288793564, 0.0005554824601858854, -0.162364661693573, 0.202480286359787, -0.058497972786426544, -0.050991784781217575, 0.08925971388816833, -0.07963361591100693, 0.1455719769001007, -0.2186051309108734, -0.1337958425283432, -0.044195506721735, 0.03966949135065079, -0.10679522156715393, 0.11937423795461655, 0.038964249193668365, 0.18421395123004913, -0.01705959439277649, 0.11196673661470413, 0.07724130898714066, -0.16403257846832275, 0.14110994338989258, -0.08845140039920807, 0.25660160183906555, -0.013495598919689655, 0.10172493010759354, -0.0681794136762619, -0.05862080678343773, 0.06563332676887512, 0.1343272477388382, 0.16497135162353516, -0.03889006748795509, 0.20142580568790436, -0.005993464030325413, 0.10794222354888916, -0.16245324909687042, 0.10575684159994125, -0.1244787648320198, -0.11086756736040115, -0.010557140223681927, 0.042967915534973145, 0.1196078285574913, 0.19980449974536896, -0.06208480894565582, -0.09676209837198257, 0.09451322257518768, 0.07428186386823654, -0.0442013293504715, -0.06203453242778778, 0.22069883346557617]),
-              (2, [-0.08233782649040222, -0.11815283447504044, -0.006240792106837034, -0.013484959490597248, -0.03460196405649185, -0.28786006569862366, 0.3120688498020172, 0.06182345002889633, -0.21465492248535156, 0.04091758653521538, -0.07039625942707062, 0.004782651551067829, 0.08376885950565338, -0.17018385231494904, 0.005571891088038683, -0.029951518401503563, -0.03740779682993889, -0.13100336492061615, 0.09892262518405914, 0.07002986967563629, 0.24678847193717957, 0.1159096211194992, 0.23994848132133484, -0.08160796761512756, -0.12538909912109375, 0.08153574913740158, 0.17104722559452057, -0.06445878744125366, 0.04379314184188843, -0.20180188119411469, -0.053501781076192856, -0.0004567842115648091, 0.05855605751276016, -0.09369952231645584, 0.0645514503121376, -0.08073458075523376, -0.006414919160306454, -0.048636842519044876, 0.028308315202593803, 0.048806022852659225, 0.25058820843696594, -0.11066994816064835, -0.015289125964045525, -0.0459652878344059, 0.15189442038536072, -0.016558879986405373, 0.06650492548942566, 0.11628024280071259, 0.1432027369737625, 0.07609372586011887, 0.06430911272764206, 0.0001298859278904274, 0.05496704950928688, 0.1434675008058548, 0.11310216039419174, -0.08502692729234695, 0.07758935540914536, 0.061447273939847946, 0.25566452741622925, 0.2680054306983948, 0.18310244381427765, 0.07739771157503128, -0.15261073410511017, 0.002020095707848668]),
-              (3, [0.15541283786296844, 0.09687108546495438, -0.18619310855865479, 0.14320723712444305, -0.013748371042311192, 0.1902998983860016, -0.00497719831764698, 0.1317361742258072, 0.12146987020969391, -0.06999234110116959, 0.20843087136745453, 0.037860769778490067, 0.08918502181768417, -0.05116381123661995, 0.15744784474372864, -0.24934685230255127, 0.0040852162055671215, 0.0875801146030426, -0.033276788890361786, 0.0765935406088829, -0.08611302077770233, 0.09137559682130814, -0.13267286121845245, -0.05911567807197571, -0.0798833891749382, -0.05537585914134979, -0.10985992103815079, 0.16694341599941254, 0.030041804537177086, -0.048213329166173935, 0.09462805092334747, 0.011866823770105839, 0.25927260518074036, -0.019871488213539124, -0.2024131715297699, 0.13794615864753723, 0.013528106734156609, -0.2070663571357727, 0.1539875864982605, -0.24118970334529877, -0.09300201386213303, -0.16932013630867004, -0.05712174251675606, 0.25345534086227417, 0.16012834012508392, 0.06748969852924347, -0.24033676087856293, 0.023560527712106705, -0.19619864225387573, -0.1082836166024208, 0.024421675130724907, 0.026389658451080322, 0.03216858580708504, 0.14560407400131226, 0.05447354167699814, 0.043306879699230194, 0.10464701801538467, -0.07080428302288055, 0.04533618688583374, 0.15375980734825134, 0.011152262799441814, 0.008036536164581776, 0.10288629680871964, -0.07269125431776047]),
-              (4, [0.022451350465416908, -0.11807950586080551, -0.10105432569980621, -0.07772175222635269, -0.020632173866033554, 0.1724664270877838, -0.024609338492155075, 0.12213931977748871, 0.050935808569192886, -0.19364860653877258, -0.15031935274600983, 0.0938192754983902, 0.09520841389894485, 0.14343470335006714, -0.04332686588168144, 0.19037863612174988, -0.1636110097169876, 0.02009543776512146, -0.18387186527252197, -0.07051629573106766, -0.11949291080236435, -0.04045305401086807, -0.11424946039915085, 0.024917004629969597, -0.025051653385162354, -0.14939959347248077, 0.05758737772703171, -0.10268563032150269, -0.07261580228805542, -0.07689978182315826, 0.061075471341609955, 0.19167032837867737, 0.09214286506175995, -0.10548973828554153, -0.10097454488277435, 0.12414977699518204, -0.05241825431585312, 0.2578524649143219, -0.0789506658911705, 0.03160468861460686, -0.185468390583992, 0.150930255651474, -0.09807070344686508, 0.08555185049772263, -0.26320552825927734, -0.05168217420578003, 0.17268022894859314, 0.17790184915065765, -0.020587768405675888, -0.1455649733543396, 0.27118590474128723, 0.16279692947864532, 0.058881599456071854, 0.17074929177761078, -0.06296061724424362, -0.08347153663635254, 0.08954261243343353, 0.017307071015238762, 0.20565097033977509, 0.08461907505989075, 0.07931647449731827, -0.1646026074886322, 0.032023657113313675, 0.11717933416366577]),
-              (5, [0.09100360423326492, -0.28822386264801025, -0.05402462184429169, -0.014864343218505383, -0.04248567670583725, 0.019408905878663063, 0.21536438167095184, 0.04885191470384598, -0.05285777524113655, 0.28168001770973206, 0.09617612510919571, 0.05686764419078827, -0.06668395549058914, -0.01596781238913536, 0.11704234778881073, -0.19164736568927765, 0.0312926210463047, 0.028533387929201126, 0.2187695950269699, 0.0668174996972084, 0.045764219015836716, -0.10252231359481812, -0.06785862147808075, 0.11334086954593658, -0.035346806049346924, 0.059311047196388245, 0.12062107026576996, 0.041775111109018326, -0.13573846220970154, 0.11244920641183853, 0.019327109679579735, 0.08575376123189926, 0.287762314081192, -0.14321400225162506, 0.02022729068994522, -0.1674967110157013, -0.023769397288560867, 0.1821197271347046, 0.08003223687410355, 0.05667908862233162, 0.12396128475666046, -0.06813937425613403, 0.01659080572426319, 0.028953799977898598, 0.11666379868984222, -0.1688796430826187, 0.2274404764175415, -0.2701265513896942, -0.1389743834733963, -0.2020651400089264, 0.09209642559289932, 0.037846166640520096, -0.045220330357551575, -0.09709256887435913, 0.15597286820411682, -0.11284169554710388, 0.05661795660853386, 0.0653795450925827, -0.0410991907119751, -0.0420040562748909, 0.05632980540394783, 0.10277754068374634, 0.22981275618076324, 0.04017625004053116]),
-              (6, [-0.00020490022143349051, -0.1540915071964264, 0.038741931319236755, 0.060101550072431564, 0.014993463642895222, 0.19322238862514496, 0.1150100976228714, -0.09174414724111557, 0.051664188504219055, -0.01199275255203247, 0.1101711317896843, -0.11080501973628998, 0.0574953593313694, 0.11489946395158768, -0.1409047394990921, -0.188886359333992, 0.09254693984985352, 0.1455385684967041, 0.05314302071928978, -0.1034039556980133, -0.025570562109351158, -0.15693017840385437, 0.4222942590713501, -0.19439469277858734, -0.2785075008869171, -0.030570974573493004, -0.12491831928491592, 0.10773856192827225, 0.024284599348902702, 0.09824611991643906, -0.17457878589630127, 0.25559186935424805, 0.11069847643375397, 0.04969414696097374, 0.09037106484174728, 0.010354983620345592, 0.06359152495861053, -0.0906161293387413, 0.07636624574661255, 0.06139883026480675, 0.11902876943349838, -0.036539819091558456, 0.12842793762683868, 0.14776568114757538, 0.07102864235639572, -0.03418279066681862, -0.03177716210484505, -0.0009198452462442219, -0.1093539446592331, 0.1460648626089096, -0.1670628935098648, 0.11280082911252975, -0.09466613829135895, 0.02941320277750492, 0.028353886678814888, -0.169806107878685, -0.09697887301445007, 0.15235699713230133, 0.01838148757815361, 0.09907668828964233, -0.036696791648864746, 0.0988757312297821, -0.10966693609952927, 0.17612674832344055]),
-              (7, [0.2532672882080078, -0.034195560961961746, 0.15409405529499054, -0.04206995666027069, -0.06612168997526169, -0.016288595274090767, 0.008838837035000324, -0.002087501809000969, 0.08548540621995926, 0.10905612260103226, 0.0005050049512647092, -0.0744815394282341, 0.19332361221313477, 0.16046902537345886, -0.03810712322592735, -0.06871046870946884, 0.060448382049798965, 0.21880953013896942, -0.0767257884144783, -0.02458479255437851, -0.06657051295042038, -0.11724324524402618, -0.21167811751365662, -0.17314837872982025, 0.004684095270931721, -0.027684375643730164, 0.2840202748775482, -0.018405376002192497, -0.011520475149154663, -0.22522805631160736, -0.09116920828819275, -0.04964740574359894, -0.065663643181324, -0.06748871505260468, -0.053930848836898804, 0.280910462141037, -0.07915925979614258, -0.13912232220172882, 0.3040419816970825, -0.18241237103939056, 0.02785472199320793, 0.12257321178913116, -0.043732304126024246, -0.20635536313056946, 0.034349918365478516, -0.1343199610710144, -0.15163744986057281, -0.071645088493824, -0.1258695423603058, -0.043345432728528976, -0.19765789806842804, -0.1103982925415039, 0.03966229036450386, -0.10814601927995682, 0.045631155371665955, -0.05356727913022041, -0.11394452303647995, 0.04182560741901398, -0.16275964677333832, -0.01687600277364254, 0.060441870242357254, 0.11024648696184158, -0.13635633885860443, -0.05666535347700119])"""
+              (0, [0.020034, -0.012505, 0.030319, -0.088118, 0.015348, -0.016212, -0.012288, 0.016444, 0.051428, -0.027683, -0.010419, -0.004767, -0.02982, -0.002681, -0.008232, -0.002268, 0.047997, 0.041824, 0.024358, 0.033886, -0.064721, 0.017317, -0.005148, -0.019169, 0.00716, 0.086027, 0.076044, -0.007555, -0.022195, 0.059923, -0.008636, 0.062609, 0.002798, -0.046513, 0.010859, -0.051308, -0.014586, 0.003809, 0.013636, 0.014613, 0.001253, 0.004359, -0.000798, 0.003126, 0.008097, 0.027144, 0.028815, -0.052631, 0.01733, -0.038185, -0.001296, 0.012909, 0.014783, -0.054684, 0.033718, 0.001266, -0.023479, 0.002556, -0.047703, -0.034368, -0.016287, 0.034105, 0.040763, -0.053431]::DOUBLE[]),
+              (1, [-0.021759, -0.014104, 0.001762, -0.000394, 0.000365, 0.024051, -0.087696, -0.008771, 0.003008, 0.006248, -0.052996, 0.045472, 0.060256, -0.065653, 0.033051, 0.005196, -0.001382, -0.011468, 0.031385, -0.049573, 0.018922, 0.029583, 0.008976, -0.036235, 0.03423, 0.059074, -0.013399, -0.024728, -0.015094, 0.020859, -0.024648, 0.005744, -0.00756, -0.000764, 0.009148, 0.002356, -0.041991, 0.000663, 0.014971, -0.067814, -0.001742, -0.039907, 0.029788, 0.015642, 0.022429, 0.013163, -0.026876, -0.006343, -0.056859, -0.08588, -0.00944, 0.002373, -0.001856, 0.010647, -0.018756, 0.043531, 0.041629, 0.001077, 0.03578, 0.011965, -0.026882, -0.001344, -0.044506, -0.019927]),
+              (2, [0.000219, 0.002168, -0.038384, 0.042969, 0.042501, -0.005611, -0.009015, 0.013802, -0.001651, -0.069981, -0.018202, -0.014762, -0.058061, 0.049804, 0.005493, 0.023158, -0.029096, 0.041495, -0.015207, -0.024984, 0.008489, -0.004902, 0.056891, -0.0095, 6.4e-05, -0.03667, -0.001679, 0.001313, 0.018793, 0.013237, -0.018869, -0.073114, 0.015737, 0.0038, 0.00985, 0.00272, 0.01722, 0.061235, 0.047691, 0.046298, -0.002966, -0.009394, 0.028815, 0.011214, -0.015215, -0.010762, -0.016182, -0.011064, 0.049502, 0.035253, 0.044866, -0.054551, -0.013383, -0.038746, 0.046948, 0.012687, 0.019532, -0.011915, 0.004926, 0.042465, 0.039467, 0.002814, 0.011356, 0.016241]),
+              (3, [-0.030276, 0.040681, -0.008747, -0.005157, -0.007769, 0.021679, 0.025732, -5.6e-05, -0.037067, 0.004399, -0.006375, 0.032515, 0.011459, 0.092248, 0.01294, -0.004453, -0.042849, -0.048645, 0.015473, 0.033472, 0.006987, -0.002728, -0.022712, 0.018312, -0.015637, 0.025606, -0.01977, -0.021295, -0.057359, -0.038724, -0.00267, -0.010581, 0.075324, -0.006328, -0.002392, -0.017602, 0.00837, -0.027085, -0.026854, -0.028225, -0.001976, -0.029493, -0.067968, -0.026629, 0.002646, 0.005687, -0.017414, -0.035587, 0.063163, -0.046107, 0.00237, -0.012864, 0.01217, 0.024468, -0.041495, -0.037605, 0.014641, -0.00464, 0.02373, -0.040176, 0.027104, -0.001253, -0.002241, -0.05009]),
+              (4, [0.022523, 0.002197, 0.059936, -0.020315, -0.041133, -0.073572, 0.0406, 0.003334, 0.011543, 0.014662, 0.020117, -0.052822, 0.026452, -0.051237, 0.022807, -0.026341, 0.040544, 0.018217, 0.007275, 0.02312, -0.010599, 0.031346, -0.02047, 0.017667, -0.028403, -0.002051, 0.028395, -0.00441, 0.031432, -0.05114, 0.028766, -0.025049, 0.018647, 0.01457, 0.024687, -0.057324, 0.010664, -0.07349, -0.02773, 0.003496, 0.029064, -0.000966, -0.013226, 0.005319, -0.024364, 0.003793, -0.040177, 0.06184, -0.043183, -0.006087, -0.011568, 0.000461, 0.019704, 0.011112, 0.084068, -0.01982, 0.00717, -0.027892, 0.023044, -0.010628, -0.054107, -0.002692, 0.038548, 0.008964]),
+              (5, [-0.022949, -0.020157, 0.03337, -0.001097, 0.049725, -0.01478, -0.05114, 0.054957, -0.018196, 0.017715, 0.031382, -0.01674, 0.008507, 0.009781, -0.024206, -0.004257, 0.010213, -0.044086, -0.012552, 0.032849, 0.009756, -0.016353, 0.027351, -0.014392, 0.02804, 0.029504, -0.022458, 0.01758, 0.008238, 0.016799, 0.013971, -0.0349, 0.001156, 8.3e-05, 0.006014, 0.040898, 0.01159, 0.058802, -0.028194, 0.012188, -0.04921, 0.051529, 4e-05, 0.023052, -0.070248, -0.048274, 0.010604, -0.024436, -0.011674, 0.020033, 0.041827, 0.03738, 0.003963, 0.034524, -0.032677, -0.068116, 0.023637, -0.033629, 0.011283, 9.7e-05, -0.00184, 0.03761, -0.034118, 0.027092]),
+              (6, [-0.023734, -0.034704, -0.003629, -0.022655, 0.028016, 0.071394, -0.025005, -0.050437, -3.2e-05, 0.054053, 0.05056, 0.011082, 0.01379, 0.038294, -0.015783, 0.037467, 0.023461, 0.04968, -0.047121, -0.040494, 0.004592, -0.021571, -0.010741, -0.048333, -0.042185, -0.013212, -0.007526, 0.048429, 0.031636, -0.043878, -0.00521, 0.005648, -0.009576, -0.035058, -0.018584, 0.047229, 0.018813, -0.010799, -0.004574, -0.004851, 0.045357, -0.046891, -0.002064, -0.018625, 0.00255, 0.013358, 0.031673, 0.044816, 0.003707, 0.0177, -0.031206, 0.008291, 0.039377, -0.012867, 0.018561, 0.032732, -0.054924, 0.047189, -0.025856, -0.026285, 0.01505, -0.008109, -0.003965, 0.019116]),
+              (7, [0.089154, 0.006173, -0.035165, 0.044405, -0.024037, 0.032829, -0.009487, 0.045031, -0.01464, -0.018699, 0.026918, 0.017466, -0.060018, -0.071214, -0.019206, 0.010397, -0.012944, 0.012717, 0.005394, 0.009139, -0.018444, -0.000732, -0.006814, 0.036397, -0.001415, -0.038996, -0.030605, 0.065224, -0.006698, 0.030763, 0.06411, 0.032977, -0.026784, 0.017321, 0.00917, 0.011629, -0.057798, -0.045255, 0.008275, 0.018871, -0.025996, -0.025925, 0.028156, -0.017303, -0.009026, 0.038183, 0.016516, 0.072534, -0.05528, 0.010962, 0.035245, -0.012948, -0.013836, -0.018597, -0.027907, 0.012606, 0.010604, 0.0028, -0.067177, -0.014524, 0.0025, -0.022256, 0.005098, -0.067083])"""
 
 
 # Shared CTE prefix for the Gopher quality/repetition oracles (q39/q40):

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 MICRO = 1_000_000.0
@@ -45,33 +46,59 @@ def quantize(vec_col) -> "F.Column":
                        .cast("bigint"))
 
 
-def _sq_dist(qv_sql: str, centroid: list[int]) -> "F.Column":
-    """Exact squared L2 to a literal centroid as one flat codegen
-    multiply-add chain (the zip_with/aggregate fold it replaces ran
-    interpreted per element; over exact BIGINTs the flat sum is
-    trivially identical — integer addition has no ordering concerns,
-    and try_element_at past the end yields the same NULL as the fold's
-    padding)."""
-    terms = " + ".join(
-        f"(try_element_at({qv_sql}, {i + 1}) - ({int(v)}L))"
-        f" * (try_element_at({qv_sql}, {i + 1}) - ({int(v)}L))"
-        for i, v in enumerate(centroid))
-    return F.expr(f"({terms})")
-
-
 def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """-> (vec_id, qv, cluster): nearest centroid by exact squared L2,
-    ties to the lowest cluster index (array_position finds the FIRST
-    minimum)."""
+    ties to the lowest cluster index (``np.argmin`` picks the FIRST
+    minimum, same winner as the ``array_position(array_min)`` chain this
+    replaces).
+
+    The distance argmin runs as an Arrow-batched numpy kernel over the
+    exact micro-unit int64s: a k-way argmin of flat per-dimension
+    expression chains is k*dim terms inside one whole-stage-codegen
+    method, which trips Janino's 64 KB limit at k=32 x dim=64 and
+    silently degrades the stage to interpreted execution (same pathology
+    as similarity.ivf_assign, fixed the same way).  Integer arithmetic
+    is associative, so the kernel is bit-identical to the expression
+    form by construction — the q69 all-iterations DuckDB replay stays
+    the witness.  Rows whose vector is NULL or shorter than the centroid
+    dim keep the NULL cluster the old NULL-propagating chain produced.
+    """
     q = vecs.select(F.col(id_col).alias("vec_id"),
                     quantize(F.col(vec_col)).alias("qv"))
-    dists = F.array(*[_sq_dist("qv", c) for c in centroids])
-    return q.select(
-        "vec_id", "qv",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        .alias("cluster"))
+    if not centroids:
+        return q.select("vec_id", "qv",
+                        F.lit(None).cast("int").alias("cluster"))
+    dim = max(len(c) for c in centroids)
+    C = [[int(v) for v in c] + [0] * (dim - len(c)) for c in centroids]
+
+    @F.pandas_udf("int")
+    def _cluster_of(col: pd.Series) -> pd.Series:
+        import numpy as np
+        out = pd.array([None] * len(col), dtype="Int32")
+        ok = [i for i, x in enumerate(col)
+              if x is not None and len(x) >= dim
+              and not any(e is None for e in x[:dim])]
+        if not ok:
+            return pd.Series(out)
+        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.int64)
+                      for i in ok])                  # n x dim
+        best = None
+        bestk = np.zeros(len(ok), dtype=np.int32)
+        for ki in range(len(C)):                     # k passes, n x dim each
+            diff = V - np.asarray(C[ki], dtype=np.int64)
+            dist = (diff * diff).sum(axis=1)         # exact int64
+            if best is None:
+                best = dist
+            else:
+                upd = dist < best                    # first minimum wins
+                best = np.where(upd, dist, best)
+                bestk = np.where(upd, ki, bestk).astype(np.int32)
+        out[ok] = bestk
+        return pd.Series(out)
+
+    return q.select("vec_id", "qv", _cluster_of("qv").alias("cluster"))
 
 
 def update_centroids(assigned: DataFrame, centroids: list[list[int]],

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -224,14 +225,70 @@ def ivf_centroids(vecs: DataFrame, dim: int, k_cells: int = 16,
     return [list(map(float, v)) for v in sample]
 
 
+def ivf_train(vecs: DataFrame, k_cells: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> tuple[list[list[float]], list[float]]:
+    """REAL k-means coarse quantizer (Lloyd's, exact fixed-point — see
+    ``operators/kmeans.py``) replacing the one-pass random sample.
+
+    Returns ``(centroids, first_vec)``: the trained float centroids
+    (micro-unit ints / 1e6, so bit-reproducible under any partitioning)
+    plus the raw embedding of the smallest-id row.  The k-means seed and
+    that first vector come out of ONE bounded collect (k_cells rows), so
+    a caller using the first row as its query vector — the q32 pattern —
+    runs no separate lookup job.  Per iteration: one codegen projection
+    (assign) + one map-side-combinable groupBy reduced to k*dim rows.
+    """
+    from .kmeans import assign_clusters, quantize, update_centroids
+
+    init = (vecs.orderBy(id_col).limit(k_cells)
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("v"),
+                    quantize(F.col(vec_col)).alias("qv"))
+            .collect())
+    assert len(init) <= k_cells  # bounded: LIMIT k_cells
+    if not init:
+        return [], []
+    first_vec = [float(x) for x in init[0]["v"]]
+    centroids = [[int(x) for x in r["qv"]] for r in init]
+    dim = max(len(c) for c in centroids)
+    rnd = random.Random(42)
+    while len(centroids) < k_cells:  # tiny corpus: pad deterministically
+        centroids.append([int(rnd.gauss(0, 1) * 1e6) for _ in range(dim)])
+    for _ in range(iters):
+        assigned = assign_clusters(vecs, centroids, id_col, vec_col)
+        centroids, _sizes = update_centroids(assigned, centroids)
+    return [[v / 1e6 for v in c] for c in centroids], first_vec
+
+
 def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid cell id per vector, as a pure column expression.
+    """Nearest-centroid cell id per vector via an Arrow-batched numpy
+    kernel that replays the engine's left-fold summation EXACTLY.
 
-    Each centroid similarity is one flat codegen dot (literal
-    coefficients, centroid norm folded at plan time); the vector's own
-    norm is projected once and shared by all K comparisons instead of
-    being re-folded K times through interpreted lambdas."""
+    Why not a column expression: a K-way argmax over flat dot chains is
+    K*dim product terms inside ONE whole-stage-codegen ``doConsume``
+    method — codegen cannot split expressions bound to local variables,
+    so Janino's 64 KB method limit trips already at K=8 x dim=64 (the
+    q32 config) and Spark silently re-runs the stage INTERPRETED, and at
+    K=64 x dim=256 Janino compilation itself OOMs the driver.  The
+    vectorized kernel compiles in O(1), scales to any K*dim, and is an
+    order of magnitude faster per batch than the interpreted fallback.
+
+    Bit-exactness contract (what the q32 DuckDB oracle replays): every
+    accumulation is an in-index-order left fold over float64 —
+    ``acc = (acc + v[i]*c[i])`` — identical IEEE ops in identical order
+    to both the flat codegen chains used elsewhere in this module and
+    DuckDB's ``list_reduce``.  The numpy loop folds one dimension at a
+    time across the whole batch (vectorized over rows, ordered over
+    dims), so results are bit-identical to the expression form.
+
+    Semantics: ties argmax to the SMALLEST centroid index (strictly-
+    greater update); NULL vectors and vectors shorter than the centroid
+    dim keep the -1 'no cell' sentinel (they would otherwise silently
+    join cell 0's candidate set); longer vectors use their first ``dim``
+    elements, exactly like ``try_element_at`` chains.
+    """
     staged = vecs.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         F.col(vec_col).cast("array<double>").alias("_vd"))
@@ -239,24 +296,39 @@ def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
         return staged.select("vec_id", "v",
                              F.lit(-1).cast("int").alias("cell"))
     dim = max(len(c) for c in centroids)
-    staged = staged.withColumn(
-        "_nv", F.sqrt(F.expr(_flat_sq_sql("_vd", dim))))
-    # argmax via array_max over (sim, -i) structs: every sim expression
-    # appears exactly ONCE in the plan.  (A when-chain argmax embeds
-    # best_sim_{k-1} twice per step — a 2^K expression-tree blowup that
-    # stalls the optimizer once the sims are wide flat dots.)  Struct
-    # ordering compares sim first; on exact ties max(-i) picks the
-    # SMALLEST index, the same winner as the strictly-greater chain.
-    structs = [
-        F.struct(
-            (F.expr(_flat_dot_lit_sql("_vd", c))
-             / F.greatest(F.col("_nv") * F.lit(_py_l2norm(c)),
-                          F.lit(1e-12))).alias("s"),
-            F.lit(-i).alias("ni"))
-        for i, c in enumerate(centroids)]
-    best = F.array_max(F.array(*structs))
-    return staged.select("vec_id", "v",
-                         (-best["ni"]).cast("int").alias("cell"))
+    cents = [[float(x) for x in c] + [0.0] * (dim - len(c))
+             for c in centroids]
+    cnorms = [_py_l2norm(c) for c in centroids]
+
+    @F.pandas_udf("int")
+    def _cell_of(col: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.full(len(col), -1, dtype=np.int32)
+        ok = [i for i, x in enumerate(col)
+              if x is not None and len(x) >= dim
+              and not any(e is None for e in x[:dim])]
+        if not ok:
+            return pd.Series(out)
+        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.float64)
+                      for i in ok])
+        acc = np.zeros(len(ok))
+        for d in range(dim):              # left fold, one dim at a time
+            acc = acc + V[:, d] * V[:, d]
+        nv = np.sqrt(acc)
+        best_sim = np.full(len(ok), -np.inf)
+        best_cell = np.zeros(len(ok), dtype=np.int32)
+        for k, c in enumerate(cents):
+            acc = np.zeros(len(ok))
+            for d in range(dim):
+                acc = acc + V[:, d] * c[d]
+            sim = acc / np.maximum(nv * cnorms[k], 1e-12)
+            upd = sim > best_sim          # ties keep the smaller index
+            best_sim = np.where(upd, sim, best_sim)
+            best_cell = np.where(upd, k, best_cell)
+        out[ok] = best_cell
+        return pd.Series(out)
+
+    return staged.select("vec_id", "v", _cell_of("_vd").alias("cell"))
 
 
 def ivf_topk(vecs: DataFrame, query_vec: list[float],
@@ -282,7 +354,18 @@ def ivf_topk(vecs: DataFrame, query_vec: list[float],
                     key=lambda i: -_cos(query_vec, centroids[i]))
     probe_cells = ranked[:max(1, nprobe)]
     assigned = ivf_assign(vecs, centroids, id_col, vec_col)
-    return (assigned.filter(F.col("cell").isin(probe_cells))
+    # Probe-cell restriction as a BROADCAST SEMI-JOIN, not a filter:
+    # `filter(cell.isin(...))` gets pushed through the projection by
+    # substituting the alias, inlining the full K-way argmax into one
+    # fused filter predicate — a single codegen method that trips
+    # Janino's 64 KB limit once K*dim grows (interpreted fallback).
+    # A join key is an attribute reference, never substituted, so the
+    # argmax stays in its own projection (whose codegen splits into
+    # many small methods) and the probe restriction is a broadcast
+    # hash lookup on the tiny cell list.
+    probe_df = vecs.sparkSession.createDataFrame(
+        [(int(c),) for c in probe_cells], "cell int")
+    return (assigned.join(F.broadcast(probe_df), "cell", "left_semi")
             .select("vec_id",
                     F.col("v").cast("array<double>").alias("_v"))
             .select("vec_id",

@@ -1,0 +1,92 @@
+"""Round-4 batch 1: IVF hardening.
+
+* NULL / wrong-length embeddings keep the -1 'no cell' sentinel in
+  ``ivf_assign`` (round-3 ADVICE: the array_max argmax rewrite made
+  all-NULL sims compare equal and silently assigned cell 0).
+* The probe-cell restriction is a broadcast semi-join, so the K-way
+  argmax projection never gets inlined into a fused filter predicate —
+  verified by compiling a K=64 x dim=256 plan with codegen fallback
+  DISABLED (Janino's 64 KB method limit used to trip here and Spark
+  silently ran the stage interpreted).
+* ``ivf_train`` — the real k-means coarse quantizer — is bit-identical
+  under different partitionings and its exhaustive probe reproduces the
+  brute-force top-k exactly.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgebase_processor_spark.operators.similarity import (
+    cosine_topk, ivf_assign, ivf_topk, ivf_train)
+
+
+def test_ivf_assign_null_sentinel(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, None), (2, [0.5]), (3, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(vecs, cents).collect()}
+    assert got[0] == 0 and got[3] == 1
+    # NULL vector and too-short vector both keep the 'no cell' sentinel
+    assert got[1] == -1 and got[2] == -1
+    # ...and therefore never enter any probe cell's candidate set
+    ids = {r["vec_id"]
+           for r in ivf_topk(vecs, [1.0, 0.0], cents, k=10, nprobe=2).collect()}
+    assert ids == {0, 3}
+
+
+def test_ivf_wide_plan_compiles_without_fallback(spark):
+    """K=64 centroids x dim=256: the full pipeline must stay inside
+    whole-stage codegen.  With spark.sql.codegen.fallback=false a Janino
+    64 KB method overflow raises instead of silently interpreting."""
+    rnd = random.Random(7)
+    dim, k_cells = 256, 64
+    cents = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(k_cells)]
+    vecs = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    q = [rnd.gauss(0, 1) for _ in range(dim)]
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = ivf_topk(vecs, q, cents, k=5, nprobe=4).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert len(rows) <= 5
+    # sanity: the probe restriction is a join, not a pushed-down filter
+    plan = ivf_assign(vecs, cents).join(
+        F.broadcast(spark.createDataFrame([(0,)], "cell int")),
+        "cell", "left_semi")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_train_deterministic_and_exact_when_exhaustive(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents_a, q_a = ivf_train(vecs, k_cells=8, iters=2)
+    cents_b, q_b = ivf_train(vecs.repartition(13), k_cells=8, iters=2)
+    # fixed-point k-means: bit-identical under any partitioning
+    assert cents_a == cents_b and q_a == q_b
+    assert len(cents_a) == 8 and all(len(c) == len(q_a) for c in cents_a)
+    exact = [(r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, q_a, k=10).collect()]
+    exhaustive = [(r.vec_id, r.cosine)
+                  for r in ivf_topk(vecs, q_a, cents_a, k=10,
+                                    nprobe=len(cents_a)).collect()]
+    assert exhaustive == exact
+    # recall monotone in nprobe with the trained quantizer
+    exact_ids = {i for i, _ in exact}
+    prev = -1.0
+    for nprobe in (1, 2, 4, 8):
+        got = {r.vec_id for r in
+               ivf_topk(vecs, q_a, cents_a, k=10, nprobe=nprobe).collect()}
+        recall = len(got & exact_ids) / len(exact_ids)
+        assert recall >= prev
+        prev = recall
+
+
+def test_ivf_train_empty_corpus(spark):
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents, q = ivf_train(vecs, k_cells=4, iters=1)
+    assert cents == [] and q == []
