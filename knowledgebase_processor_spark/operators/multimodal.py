@@ -1075,10 +1075,16 @@ def decode_mp4_meta(payload: bytes
                                                 ">I", b, p5)
                                             n_frames += c
                                             p5 += 8
-            if is_video and w > 0 and h > 0:
+            if is_video and w > 0 and h > 0 and best is None:
+                # FIRST video trak wins on multi-track files (ffprobe
+                # reports the first stream; keep reassigning and the
+                # LAST would win).  An explicit md_ts test keeps a
+                # legitimate zero track duration instead of silently
+                # substituting the movie duration via `or` truthiness.
                 tdur = (md_dur / md_ts) if md_ts > 0 else dur_s
                 fps = (n_frames / tdur) if tdur > 0 else 0.0
-                best = (tdur or dur_s, fps, n_frames, w, h, codec)
+                best = (tdur if md_ts > 0 else dur_s,
+                        fps, n_frames, w, h, codec)
     if best is None:
         return None
     return best

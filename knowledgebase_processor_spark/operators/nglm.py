@@ -54,16 +54,21 @@ ALPHA = "0.4"
 # The per-token score ladder over exact integer counts (NULL counts are
 # pre-coalesced to 0).  Shared VERBATIM with the DuckDB oracle; the only
 # floats are the final divisions and the alpha products.
+# GREATEST(n_train, 1): on a degenerate corpus where the training split
+# is empty, Spark's Divide-by-zero returns NULL while DuckDB float
+# division yields inf — the guard keeps both engines defined and
+# identical (the OOV rung then scores against a 1-token phantom corpus,
+# a constant that cancels in any ranking).
 BACKOFF_SCORE_SQL = (
     "CASE WHEN pos >= 2 AND c3 > 0 THEN c3 / CAST(c2ctx AS DOUBLE) "
     f"WHEN pos >= 1 AND c2 > 0 THEN (CASE WHEN pos >= 2 THEN {ALPHA} "
     "ELSE 1.0 END) * c2 / CAST(c1prev AS DOUBLE) "
     f"WHEN c1 > 0 THEN (CASE WHEN pos >= 2 THEN {ALPHA} * {ALPHA} "
     f"WHEN pos = 1 THEN {ALPHA} ELSE 1.0 END) * c1 "
-    "/ CAST(n_train AS DOUBLE) "
+    "/ CAST(GREATEST(n_train, 1) AS DOUBLE) "
     f"ELSE (CASE WHEN pos >= 2 THEN {ALPHA} * {ALPHA} * {ALPHA} "
     f"WHEN pos = 1 THEN {ALPHA} * {ALPHA} ELSE {ALPHA} END) "
-    "/ CAST(n_train AS DOUBLE) END")
+    "/ CAST(GREATEST(n_train, 1) AS DOUBLE) END")
 
 # -log10(score), nano-quantized per token (exact-integer summable).
 TOKEN_NLL_NANO_SQL = (
@@ -325,11 +330,14 @@ KN_SCORE_SQL = (
     # and with c(pw) = 0 the interpolated mass would be exactly 0
     # (log-undefined); such positions take the continuation floor.
     # c(pw) > 0 implies n1p_prev >= 1, so no discount mass is lost.
+    # GREATEST(t_big + v_uni, 1): empty training split — keeps Spark
+    # (NULL on /0) and DuckDB (inf on /0.0) identical; see
+    # BACKOFF_SCORE_SQL's n_train guard.
     f"CASE WHEN pos >= 1 AND c1prev > 0 AND n1p_prev > 0 THEN "
     f"(GREATEST(c2 - {KN_D}, 0.0) + ({KN_D} * n1p_prev) "
-    f"* ((n1p_w + 1) / CAST(t_big + v_uni AS DOUBLE))) "
+    f"* ((n1p_w + 1) / CAST(GREATEST(t_big + v_uni, 1) AS DOUBLE))) "
     f"/ CAST(c1prev AS DOUBLE) "
-    f"ELSE (n1p_w + 1) / CAST(t_big + v_uni AS DOUBLE) END")
+    f"ELSE (n1p_w + 1) / CAST(GREATEST(t_big + v_uni, 1) AS DOUBLE) END")
 
 KN_TOKEN_NANO_SQL = (
     f"CAST(round(1e9 * (-log10({KN_SCORE_SQL}))) AS BIGINT)")

@@ -90,3 +90,25 @@ def test_ivf_train_empty_corpus(spark):
     vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     cents, q = ivf_train(vecs, k_cells=4, iters=1)
     assert cents == [] and q == []
+
+
+def test_lm_empty_training_split_stays_defined(spark):
+    """All doc_ids % train_mod == 0 -> the training split is EMPTY.
+    The GREATEST(n_train, 1) / GREATEST(t_big + v_uni, 1) guards keep
+    the shared ladder SQL defined (Spark would return NULL on /0 while
+    DuckDB float division yields inf — engine divergence)."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        backoff_lm_report, kneser_ney_report)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (5, "delta epsilon")],
+        "doc_id long, text string")
+    bo = backoff_lm_report(docs, train_mod=5).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in bo] == [0, 5]
+    # every token takes the OOV rung against the phantom 1-token corpus:
+    # score = ladder_alpha / 1, finite and non-NULL
+    assert all(r["nll_nano"] is not None and r["nll_nano"] > 0 for r in bo)
+    kn = kneser_ney_report(docs, train_mod=5).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kn] == [0, 5]
+    # KN's continuation floor on the phantom corpus is (0+1)/1 = 1.0,
+    # so nll is exactly 0 — defined (non-NULL), not divergent
+    assert all(r["nll_nano"] == 0 and r["avg_nll_micro"] == 0 for r in kn)

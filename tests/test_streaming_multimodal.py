@@ -632,7 +632,41 @@ def test_mp4_header_roundtrip():
     assert decode_mp4_meta(encode_mp4_stub(640, 360, 25.0, 250)[:40]) is None
     forged = bytearray(encode_mp4_stub(64, 64, 10.0, 5))
     forged[0:4] = (2 ** 31).to_bytes(4, "big")     # ftyp claims 2 GiB
-    assert decode_mp4_meta(bytes(forged)) is None or True  # must not hang
+    # the forged size walks past the buffer end: no hang, no parse
+    assert decode_mp4_meta(bytes(forged)) is None
+
+    # multi-track file: the FIRST video trak's metadata wins (ffprobe
+    # convention), not the last-scanned one
+    one = encode_mp4_stub(640, 360, 25.0, 250, b"avc1")
+    two = encode_mp4_stub(1280, 720, 30.0, 60, b"av01")
+    # splice trak #2 of file two into file one's moov: rebuild moov with
+    # both traks (mvhd + trak1 + trak2), fixing the box length
+    import struct as _s
+
+    def _moov(buf):
+        i = 0
+        while i + 8 <= len(buf):
+            ln, = _s.unpack_from(">I", buf, i)
+            if buf[i + 4:i + 8] == b"moov":
+                return i, ln
+            i += max(ln, 8)
+        raise AssertionError("no moov")
+
+    o1, l1 = _moov(one)
+    o2, l2 = _moov(two)
+    trak2 = None
+    j = o2 + 8
+    while j + 8 <= o2 + l2:
+        ln, = _s.unpack_from(">I", two, j)
+        if two[j + 4:j + 8] == b"trak":
+            trak2 = two[j:j + ln]
+            break
+        j += max(ln, 8)
+    assert trak2 is not None
+    moov_body = one[o1 + 8:o1 + l1] + trak2
+    spliced = (one[:o1] + _s.pack(">I", 8 + len(moov_body)) + b"moov"
+               + moov_body + one[o1 + l1:])
+    assert decode_mp4_meta(spliced) == (10.0, 25.0, 250, 640, 360, "avc1")
 
 
 def test_video_container_features(spark):
