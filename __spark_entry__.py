@@ -49,6 +49,7 @@ from knowledgebase_processor_spark.operators.textstats import (  # noqa: E402
 from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
     backoff_lm_oracle_sql as _nglm_oracle,
     kneser_ney_oracle_sql as _kn_oracle,
+    kneser_ney3_oracle_sql as _kn3_oracle,
     ppl_buckets_oracle_sql as _ppl_buckets_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
@@ -4549,6 +4550,20 @@ def _q243_kneser_ney(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q244_kneser_ney3(spark, sf):
+    # Trigram interpolated Kneser-Ney (operators/nglm.py): the KenLM
+    # production shape one order short of CCNet's 5-gram.  The bigram
+    # ladder rides inside the trigram rung VERBATIM (literal SQL string
+    # recursion), and each extra order costs exactly two more equi-joins
+    # against bounded count tables — the join pyramid that scales to
+    # 5-gram.  Full DuckDB replay oracle, value-checked at sf0.001 and
+    # sf0.01.
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney3_report)
+    return (kneser_ney3_report(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
 def _q242_ppl_buckets(spark, sf):
     # CCNet head/middle/tail perplexity split (operators/nglm.py
     # ppl_buckets): per-language ntiles of the trained backoff-LM
@@ -4804,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_backoff_lm": _q241_backoff_lm,
         "q242_ppl_buckets": _q242_ppl_buckets,
         "q243_kneser_ney": _q243_kneser_ney,
+        "q244_kneser_ney3": _q244_kneser_ney3,
     }
 
 
@@ -9195,6 +9211,7 @@ def oracle_sql() -> dict[str, str]:
         "q241_backoff_lm": _nglm_oracle("documents"),
         "q242_ppl_buckets": _ppl_buckets_oracle("documents"),
         "q243_kneser_ney": _kn_oracle("documents"),
+        "q244_kneser_ney3": _kn3_oracle("documents"),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

@@ -112,3 +112,56 @@ def test_lm_empty_training_split_stays_defined(spark):
     # KN's continuation floor on the phantom corpus is (0+1)/1 = 1.0,
     # so nll is exactly 0 — defined (non-NULL), not divergent
     assert all(r["nll_nano"] == 0 and r["avg_nll_micro"] == 0 for r in kn)
+
+
+def test_kneser_ney3_hand_computed(spark):
+    """Trigram-KN rungs by hand.  Train doc 1 "a b c", doc 2 "a b d":
+    uni a:2 b:2 c:1 d:1 (V=4); bi "a b":2 "b c":1 "b d":1 (T=3);
+    tri "a b c":1 "a b d":1; N1+(a.)=1 N1+(b.)=2; N1+(.b)=1 N1+(.c)=1
+    N1+(.d)=1; N1+(a b .)=2.  T+V = 7."""
+    import math
+
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney3_report)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (0, "a b c z"), (5, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in kneser_ney3_report(docs).collect()}
+
+    def nano(p):
+        return round(1e9 * -math.log10(p))
+
+    D = 0.75
+    # bigram-level distribution (the inner rung, shared verbatim):
+    #   P2(b|a) = (max(2-D,0) + D*N1+(a.)*Pc(b)) / c(a)=2, Pc(b)=(1+1)/7
+    #   P2(c|b) = (max(1-D,0) + D*N1+(b.)*Pc(c)) / c(b)=2, Pc(c)=(1+1)/7
+    #   P2(z|b) = (0 + D*2*Pc(z)) / 2,                     Pc(z)=(0+1)/7
+    p2_b_a = (1.25 + D * 1 * (2 / 7)) / 2.0
+    p2_c_b = (0.25 + D * 2 * (2 / 7)) / 2.0
+    # pos0 'a': continuation floor (N1+(.a)=0) -> (0+1)/7
+    # pos1 'b': bigram rung only (pos<2) -> P2(b|a)
+    # pos2 'c': trigram rung: c3("a b c")=1, c2ctx("a b")=2, N1+(a b .)=2
+    #           -> (max(1-D,0) + D*2*P2(c|b)) / 2
+    # pos3 'z': trigram context (p2=b, p1=c) has c2ctx = c("b c") = 1
+    #           but N1+(b c .) = 0 -> bigram rung with p1=c: c(c)=1 > 0
+    #           but N1+(c.)=0 -> continuation floor Pc(z) = (0+1)/7
+    p3_c = (0.25 + D * 2 * p2_c_b) / 2.0
+    expect = (nano(1 / 7) + nano(p2_b_a) + nano(p3_c) + nano(1 / 7))
+    assert rows[0]["n_tokens"] == 4 and rows[0]["nll_nano"] == expect
+    assert rows[5]["n_tokens"] == 0 and rows[5]["nll_nano"] is None
+
+
+def test_kneser_ney3_beats_bigram_on_trigram_structure(spark):
+    """A corpus with deterministic trigram transitions that bigrams
+    cannot capture: trigram KN must assign lower perplexity."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney3_report, kneser_ney_report)
+    # after "x a" always "p", after "y a" always "q": trigram-predictable,
+    # bigram sees a->p and a->q as a coin flip
+    body = "x a p y a q " * 30
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, body), (4, body), (0, body)],
+        "doc_id long, text string")
+    kn2 = kneser_ney_report(docs).collect()[0]["avg_nll_micro"]
+    kn3 = kneser_ney3_report(docs).collect()[0]["avg_nll_micro"]
+    assert kn3 < kn2
