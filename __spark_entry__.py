@@ -50,6 +50,7 @@ from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
     backoff_lm_oracle_sql as _nglm_oracle,
     kneser_ney_oracle_sql as _kn_oracle,
     kneser_ney3_oracle_sql as _kn3_oracle,
+    ppl_bucket_assign_oracle_sql as _ppl_assign_oracle,
     ppl_buckets_oracle_sql as _ppl_buckets_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
@@ -4564,6 +4565,38 @@ def _q244_kneser_ney3(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q245_ppl_assign(spark, sf):
+    # Per-document CCNet bucket assignment (operators/nglm.py
+    # ppl_bucket_assign): the LM scores EVERY doc against the
+    # split-trained model (the filter shape — CCNet scores the whole
+    # corpus against its Wikipedia LM), per-language ntile on
+    # (avg_nll_micro, doc_id).  Full DuckDB replay oracle; this is the
+    # independently value-checked stage behind q246's composed filter.
+    from knowledgebase_processor_spark.operators.nglm import (
+        ppl_bucket_assign)
+    return (ppl_bucket_assign(_t(spark, sf, "documents"), lang_col="lang")
+            .orderBy("doc_id"))
+
+
+def _q246_prepare_corpus_ccnet(spark, sf):
+    # The q45 hygiene chain with the CCNet perplexity stage wired in
+    # (prepare.py lm_head_buckets): after the Gopher rules, train the
+    # in-corpus backoff LM, ntile the survivors and keep head+middle
+    # (buckets 1-2), with the stage's lineage count in the stats frame
+    # like every other stage.  The constituent scorer is value-checked
+    # by q245/q241; the composed lineage is deterministic -> pinned
+    # VALUES at sf0.01 (ORACLE_SF001_PINNED).
+    from knowledgebase_processor_spark.operators.prepare import (
+        prepare_corpus)
+    out, stats = prepare_corpus(_q45_salted_docs(spark, sf),
+                                portable_line_hash=True,
+                                lm_head_buckets=2)
+    chars = out.agg(F.lit("scrubbed_chars").alias("stage"),
+                    F.coalesce(F.sum(F.length("text")), F.lit(0))
+                    .cast("long").alias("n_docs"))
+    return stats.unionByName(chars).orderBy("stage")
+
+
 def _q242_ppl_buckets(spark, sf):
     # CCNet head/middle/tail perplexity split (operators/nglm.py
     # ppl_buckets): per-language ntiles of the trained backoff-LM
@@ -4820,6 +4853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_ppl_buckets": _q242_ppl_buckets,
         "q243_kneser_ney": _q243_kneser_ney,
         "q244_kneser_ney3": _q244_kneser_ney3,
+        "q245_ppl_assign": _q245_ppl_assign,
+        "q246_prepare_corpus_ccnet": _q246_prepare_corpus_ccnet,
     }
 
 
@@ -5709,6 +5744,25 @@ def oracle_sql() -> dict[str, str]:
               ('scrubbed',       56),
               ('scrubbed_chars', 2788),
               ('span_deduped',   57)
+            ) AS t(stage, n_docs) ORDER BY stage""",
+        # q246: composed-lineage pinned VALUES at sf0.01 (the LM stage
+        # is independently value-checked by q245; see q70's pattern).
+        # Note the CCNet interaction: the LM head keeps the FLUENT
+        # salted-sentence docs, whose lines are exactly the shared
+        # boilerplate — so the subsequent corpus-wide line dedup prunes
+        # far deeper than in q45/q70 (98 -> 7).  Real CCNet pipelines
+        # run the same order for the same reason: perplexity filtering
+        # concentrates boilerplate, dedup then removes it.
+        "q246_prepare_corpus_ccnet": """
+            SELECT * FROM (VALUES
+              ('deduped',        CAST(432 AS BIGINT)),
+              ('input',          500),
+              ('line_cleaned',   147),
+              ('line_deduped',   7),
+              ('lm_head_kept',   98),
+              ('quality_kept',   147),
+              ('scrubbed',       7),
+              ('scrubbed_chars', 582)
             ) AS t(stage, n_docs) ORDER BY stage""",
         "q46_pq_adc": _q46_oracle_sql(_q46_books()),
         "q48_pack_sequences": r"""
@@ -9212,6 +9266,8 @@ def oracle_sql() -> dict[str, str]:
         "q242_ppl_buckets": _ppl_buckets_oracle("documents"),
         "q243_kneser_ney": _kn_oracle("documents"),
         "q244_kneser_ney3": _kn3_oracle("documents"),
+        "q245_ppl_assign": _ppl_assign_oracle("documents",
+                                              lang_col="d.lang"),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —
@@ -9280,7 +9336,8 @@ ORACLE_SF001_PINNED = {"q22_triples_by_kind", "q24_todo_stats",
                        "q62_video_frames", "q66_bpe_merges",
                        "q67_bpe_encode", "q70_prepare_corpus_v2",
                        "q87_incremental_kg", "q206_wordpiece",
-                       "q215_kcenter", "q221_hac_blocks"}
+                       "q215_kcenter", "q221_hac_blocks",
+                       "q246_prepare_corpus_ccnet"}
 
 
 if __name__ == "__main__":

@@ -183,19 +183,24 @@ def backoff_lm_score_tokens(train: DataFrame,
         " AS avg_nll_micro")
 
 
-def backoff_lm_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
+def backoff_lm_oracle_sql(docs_sql: str, train_mod: int = 5,
+                          score_all: bool = False) -> str:
     """DuckDB replay: identical tokenizer, identical count definitions,
     and the IDENTICAL score ladder SQL text (BACKOFF_SCORE_SQL) —
     per-token nano quantization makes the per-doc sum an exact integer
-    on both engines."""
+    on both engines.  ``score_all`` scores EVERY document against the
+    split-trained model (the CCNet filter shape) instead of only the
+    held-out split."""
     ws = (r"list_filter(string_split_regex(lower(trim(text)),"
           r" '[ \t\n\r\f]+'), w -> w <> '')")
+    held = ("SELECT * FROM base" if score_all else
+            f"SELECT * FROM base WHERE doc_id % {train_mod} = 0")
     return f"""
         WITH base AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
           FROM {docs_sql}),
         train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
-        held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+        held AS ({held}),
         n_tr AS (SELECT COALESCE(SUM(len(ws)), 0) AS n_train FROM train),
         uni AS (
           SELECT w AS gram, COUNT(*) AS c
@@ -307,6 +312,57 @@ def ppl_buckets_oracle_sql(docs_sql: str, train_mod: int = 5,
                SUM(avg_nll_micro) AS sum_nll_micro
         FROM b GROUP BY lang, bucket
         ORDER BY lang, bucket"""
+
+
+def ppl_bucket_assign(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      lang_col: str | None = None,
+                      train_mod: int = 5, buckets: int = 3) -> DataFrame:
+    """Per-document CCNet bucket: train the backoff LM on the
+    ``doc_id % train_mod != 0`` split, score EVERY document (CCNet
+    scores the whole corpus against its Wikipedia-trained model; the
+    in-corpus split is this engine's deterministic twin), then ntile
+    per language on (avg_nll_micro, doc_id).
+
+    -> (doc_id, lang, avg_nll_micro, bucket); bucket 1 = head.  Docs
+    with zero tokens get no row (no perplexity — CCNet drops them).
+    Plan: the LM join stream + one per-language window rank; the
+    filter consumer broadcasts nothing new.
+    """
+    from pyspark.sql import Window
+
+    base = _tokens(docs, id_col, text_col)
+    train = base.filter(F.col("doc_id") % train_mod != 0)
+    rep = backoff_lm_score_tokens(train, base)
+    lang = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(lang_col) if lang_col else F.lit("all")).alias("lang"))
+    j = rep.filter(F.col("n_tokens") > 0).join(lang, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll_micro", "doc_id")
+    return (j.withColumn("bucket", F.ntile(buckets).over(w))
+            .select("doc_id", "lang", "avg_nll_micro",
+                    F.col("bucket").cast("int").alias("bucket")))
+
+
+def ppl_bucket_assign_oracle_sql(docs_sql: str,
+                                 lang_col: str | None = None,
+                                 train_mod: int = 5,
+                                 buckets: int = 3) -> str:
+    """DuckDB replay of :func:`ppl_bucket_assign` — the score-all LM
+    report as a CTE, identical NTILE ordering."""
+    rep = backoff_lm_oracle_sql(docs_sql, train_mod, score_all=True)
+    lang = lang_col if lang_col else "'all'"
+    return f"""
+        WITH rep AS ({rep}),
+        j AS (
+          SELECT r.doc_id, r.avg_nll_micro, {lang} AS lang
+          FROM rep r JOIN {docs_sql} d
+            ON r.doc_id = CAST(d.doc_id AS BIGINT)
+          WHERE r.n_tokens > 0)
+        SELECT doc_id, lang, avg_nll_micro,
+               CAST(NTILE({buckets}) OVER (PARTITION BY lang
+                 ORDER BY avg_nll_micro, doc_id) AS INT) AS bucket
+        FROM j ORDER BY doc_id"""
 
 
 # --- interpolated Kneser-Ney (the KenLM-standard smoother) -----------------

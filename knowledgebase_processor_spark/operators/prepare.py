@@ -42,7 +42,11 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
                    portable_line_hash: bool = False,
                    span_dedup_n: int | None = None,
                    benchmark: DataFrame | None = None,
-                   contamination_n: int = 8
+                   contamination_n: int = 8,
+                   lm_head_buckets: int | None = None,
+                   lm_buckets: int = 3,
+                   lm_train_mod: int = 5,
+                   lm_lang_col: str | None = None
                    ) -> tuple[DataFrame, DataFrame]:
     """Run the full hygiene chain; see module docstring.
 
@@ -60,6 +64,14 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     * ``benchmark`` — decontamination (decontaminate.py): documents
       sharing any ``contamination_n``-gram with the benchmark frame's
       ``text`` column are DROPPED (the strict GPT-3 rule).
+    * ``lm_head_buckets`` — CCNet perplexity stage (nglm.py): train the
+      backoff LM on the in-corpus ``doc_id % lm_train_mod != 0`` split,
+      score every quality survivor, ntile per language
+      (``lm_lang_col`` of the INPUT frame; one shared bucket without
+      it) and keep buckets ``1..lm_head_buckets`` — bucket 1 is CCNet's
+      "head" slice.  Token-less docs have no perplexity and drop, as in
+      CCNet.  Runs after the Gopher rules (scores cleaned text), before
+      line dedup.
     """
     spark = docs.sparkSession
     d0 = docs.select(F.col(id_col).alias("doc_id"),
@@ -98,6 +110,26 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
     d3 = _stage("quality_kept",
                 d2.join(flags.filter(F.col("keep")).select("doc_id"),
                         "doc_id"))
+
+    # 3b. opt-in CCNet perplexity filter: keep the head bucket(s)
+    if lm_head_buckets:
+        from .nglm import ppl_bucket_assign
+        scored = d3
+        if lm_lang_col:
+            langs = docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(lm_lang_col).alias("_lang"))
+            scored = d3.join(langs, "doc_id")
+        head_ids = (ppl_bucket_assign(
+            scored, lang_col="_lang" if lm_lang_col else None,
+            train_mod=lm_train_mod, buckets=lm_buckets)
+            .filter(F.col("bucket") <= lm_head_buckets)
+            .select(F.col("doc_id").alias("_lm_id")))
+        # the LM frame carries the CAST-to-long id; join on the same
+        # cast so string ids in the hygiene chain keep matching
+        d3 = _stage("lm_head_kept",
+                    d3.join(head_ids,
+                            F.col("doc_id").cast("long") == F.col("_lm_id"))
+                    .drop("_lm_id"))
 
     # 4. corpus-wide line dedup over survivors
     d4 = _stage("line_deduped",

@@ -165,3 +165,43 @@ def test_kneser_ney3_beats_bigram_on_trigram_structure(spark):
     kn2 = kneser_ney_report(docs).collect()[0]["avg_nll_micro"]
     kn3 = kneser_ney3_report(docs).collect()[0]["avg_nll_micro"]
     assert kn3 < kn2
+
+
+def test_prepare_corpus_lm_stage(spark):
+    """Opt-in CCNet perplexity stage: keeps the head bucket(s) of the
+    quality survivors, records its lineage row, and drops the
+    highest-perplexity docs first."""
+    from knowledgebase_processor_spark.operators.prepare import (
+        prepare_corpus)
+    # eleven fluent pages: 8 DISTINCT sentence templates per page (so no
+    # within-doc top-n-gram dominates — the Gopher rules), one
+    # doc-unique token per sentence (so cross-doc shingle Jaccard stays
+    # far under the 0.6 dedup threshold), templates shared ACROSS docs
+    # (so the in-corpus LM finds their n-grams fluent).  Plus one
+    # word-soup outlier that must land in the tail bucket.
+    temps = [
+        "The {w} report covers central fields and results thoroughly.",
+        "A detailed survey of the {w} region appeared in print today.",
+        "Researchers described the {w} valley with careful attention.",
+        "Local readers praised the {w} chronicle for balanced coverage.",
+        "The council reviewed the {w} findings during an open session.",
+        "Several experts compared the {w} data against annual records.",
+        "A final summary placed the {w} results above expected ranges.",
+        "The archive stored every {w} document beside old collections.",
+    ]
+
+    def page(i):
+        return "\n".join(t.format(w=f"zone{i}{j}") for j, t in
+                         enumerate(temps))
+
+    soup = " ".join(f"zz{i}q xj{i}w" for i in range(40))
+    rows = [(str(i), page(i)) for i in range(1, 12)]
+    rows.append(("12", soup + " endsoup."))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out, stats = prepare_corpus(docs, lm_head_buckets=2, lm_buckets=3)
+    st = {r["stage"]: r["n_docs"] for r in stats.collect()}
+    assert "lm_head_kept" in st
+    assert 0 < st["lm_head_kept"] < st["quality_kept"]
+    # the soup outlier is in the dropped tail
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "12" not in kept
