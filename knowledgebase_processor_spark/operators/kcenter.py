@@ -39,6 +39,8 @@ def kcenter_select(df: DataFrame, k: int, vec_col: str = "embedding",
     The returned distance is the squared L2 (milli-quantized units)
     from the previously-selected set at pick time (0 for the seed)."""
     q = _quantize(df, vec_col, id_col, dims).localCheckpoint()
+    # bounded collect: LIMIT 1 -> exactly one row (TakeOrdered on the
+    # executors; only the winner reaches the driver)
     seed = q.orderBy("vid").limit(1).collect()[0]
     picked = [(seed.vid, 0)]
     cur = q.select("vid", F.lit(None).cast("long").alias("d"))
@@ -51,6 +53,8 @@ def kcenter_select(df: DataFrame, k: int, vec_col: str = "embedding",
         cur = cur.join(q, "vid").select(
             "vid", F.least(F.coalesce("d", d_new), d_new).alias("d"),
         ).localCheckpoint()
+        # bounded collect: LIMIT 1 per Gonzalez round (k driver rows
+        # total), never corpus-sized
         far = (cur.join(q, "vid")
                .orderBy(F.col("d").desc(), F.col("vid").asc())
                .limit(1).collect()[0])

@@ -51,6 +51,8 @@ def greedy_coverage_select(docs: DataFrame, k: int = 5, n: int = 3,
         remaining = sh if covered is None else sh.join(covered, "s",
                                                        "left_anti")
         gains = remaining.groupBy("doc").agg(F.count(F.lit(1)).alias("gain"))
+        # bounded collect: LIMIT 1 per greedy round (k driver rows
+        # total), never corpus-sized
         top = gains.orderBy(F.col("gain").desc(), F.col("doc").asc()) \
                    .limit(1).collect()
         if not top:
