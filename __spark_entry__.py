@@ -50,6 +50,7 @@ from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
     backoff_lm_oracle_sql as _nglm_oracle,
     kneser_ney_oracle_sql as _kn_oracle,
     kneser_ney3_oracle_sql as _kn3_oracle,
+    kneser_ney_n_oracle_sql as _kn_n_oracle,
     ppl_bucket_assign_oracle_sql as _ppl_assign_oracle,
     ppl_buckets_oracle_sql as _ppl_buckets_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
@@ -4565,6 +4566,19 @@ def _q244_kneser_ney3(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q247_kneser_ney4(spark, sf):
+    # 4-gram interpolated Kneser-Ney from the GENERALIZED order-n
+    # ladder builder (operators/nglm.py kneser_ney_n_report): the rung
+    # SQL and the DuckDB CTE graph are both generated by the same loop
+    # that produced q243 (n=2) and q244 (n=3), demonstrating the join
+    # pyramid extends mechanically to CCNet's 5-gram KenLM.  Full
+    # replay oracle, value-checked at sf0.001 and sf0.01.
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney_n_report)
+    return (kneser_ney_n_report(_t(spark, sf, "documents"), n=4)
+            .orderBy("doc_id"))
+
+
 def _q245_ppl_assign(spark, sf):
     # Per-document CCNet bucket assignment (operators/nglm.py
     # ppl_bucket_assign): the LM scores EVERY doc against the
@@ -4855,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_kneser_ney3": _q244_kneser_ney3,
         "q245_ppl_assign": _q245_ppl_assign,
         "q246_prepare_corpus_ccnet": _q246_prepare_corpus_ccnet,
+        "q247_kneser_ney4": _q247_kneser_ney4,
     }
 
 
@@ -9268,6 +9283,7 @@ def oracle_sql() -> dict[str, str]:
         "q244_kneser_ney3": _kn3_oracle("documents"),
         "q245_ppl_assign": _ppl_assign_oracle("documents",
                                               lang_col="d.lang"),
+        "q247_kneser_ney4": _kn_n_oracle("documents", 4),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

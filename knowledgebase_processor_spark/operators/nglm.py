@@ -398,22 +398,34 @@ KN_SCORE_SQL = (
 KN_TOKEN_NANO_SQL = (
     f"CAST(round(1e9 * (-log10({KN_SCORE_SQL}))) AS BIGINT)")
 
-# Trigram interpolated KN: one more rung on the same ladder.  The
-# highest order discounts the raw trigram count and interpolates with
-# weight D * N1+(p2 p1 .) into the FULL bigram-KN distribution — the
-# bigram ladder SQL is embedded VERBATIM as the backoff term, so the
-# recursion in the math is literal string recursion in the shared SQL
-# and every guard (zero-continuation contexts, empty training split)
-# is inherited.  P3 > 0 always: the inner P2 is strictly positive by
-# construction and the discount branch only fires with c2ctx > 0.
-KN3_SCORE_SQL = (
-    f"CASE WHEN pos >= 2 AND c2ctx > 0 AND n1p_ctx2 > 0 THEN "
-    f"(GREATEST(c3 - {KN_D}, 0.0) + ({KN_D} * n1p_ctx2) "
-    f"* ({KN_SCORE_SQL})) / CAST(c2ctx AS DOUBLE) "
-    f"ELSE ({KN_SCORE_SQL}) END")
+# Order-n interpolated KN: each higher order is one more rung on the
+# same ladder.  Level m discounts the raw m-gram count and interpolates
+# with weight D * N1+(context .) into the FULL order-(m-1) distribution
+# — the lower ladder SQL is embedded VERBATIM as the backoff term, so
+# the recursion in the math is literal string recursion in the shared
+# SQL and every guard (zero-continuation contexts, empty training
+# split) is inherited at every order.  P_m > 0 always: the inner P_2 is
+# strictly positive by construction and each discount branch only fires
+# with its context count > 0.
 
-KN3_TOKEN_NANO_SQL = (
-    f"CAST(round(1e9 * (-log10({KN3_SCORE_SQL}))) AS BIGINT)")
+
+def kn_score_sql_n(n: int) -> str:
+    """The order-n ladder over columns pos, c{m}, ctx{m}, n1pctx{m}
+    (m = 3..n) plus the level-2 columns of KN_SCORE_SQL.  Shared
+    VERBATIM with the DuckDB oracle."""
+    assert n >= 2
+    sql = KN_SCORE_SQL
+    for m in range(3, n + 1):
+        sql = (f"CASE WHEN pos >= {m - 1} AND ctx{m} > 0 "
+               f"AND n1pctx{m} > 0 THEN "
+               f"(GREATEST(c{m} - {KN_D}, 0.0) + ({KN_D} * n1pctx{m}) "
+               f"* ({sql})) / CAST(ctx{m} AS DOUBLE) "
+               f"ELSE ({sql}) END")
+    return sql
+
+
+def kn_token_nano_sql_n(n: int) -> str:
+    return f"CAST(round(1e9 * (-log10({kn_score_sql_n(n)}))) AS BIGINT)"
 
 
 def kneser_ney_report(docs: DataFrame, id_col: str = "doc_id",
@@ -481,83 +493,91 @@ def kneser_ney_report(docs: DataFrame, id_col: str = "doc_id",
         " AS avg_nll_micro")
 
 
-def kneser_ney3_report(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text",
-                       train_mod: int = 5) -> DataFrame:
-    """Trigram interpolated KN (the KenLM production shape, one order
-    short): same split and output shape as :func:`kneser_ney_report`.
+def kneser_ney_n_report(docs: DataFrame, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        train_mod: int = 5) -> DataFrame:
+    """Order-n interpolated KN (n=5 is CCNet's production KenLM): same
+    split and output shape as :func:`kneser_ney_report` (which is the
+    n=2 base of the same ladder).
 
     Scale shape — the join pyramid: every rung is a bounded count table
-    (tri/bi/uni grams + three N1+ continuation aggregates, each one
-    map-side-combinable groupBy over the training corpus), and scoring
-    is a single equi-join stream of the held-out position frame against
-    those tables on gram-string keys.  Each extra LM order adds exactly
-    two joins (c_n and N1+ of the (n-1)-context) — no new shuffle
-    pattern, which is what lets the pyramid extend to KenLM's 5-gram.
-    Pruned production tables broadcast; full web-scale tables shuffle on
-    the gram key with AQE handling the Zipfian skew.
+    (k-gram counts k=1..n plus the N1+ continuation aggregates, each
+    one map-side-combinable groupBy over the training corpus), and
+    scoring is a single equi-join stream of the held-out position frame
+    against those tables on gram-string keys.  Each extra LM order adds
+    exactly two joins (c_m and N1+ of the (m-1)-context; ctx_m reuses
+    the order below's count table) — no new shuffle pattern at any n.
+    Pruned production tables broadcast; full web-scale tables shuffle
+    on the gram key with AQE handling the Zipfian skew.
     """
+    assert n >= 2
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        portable_words(F.coalesce(F.col(text_col),
                                                  F.lit(""))).alias("ws"))
     train = base.filter(F.col("doc_id") % train_mod != 0)
     held = base.filter(F.col("doc_id") % train_mod == 0)
 
-    uni = _ngram_counts(train, 1)
-    bi = _ngram_counts(train, 2)
-    tri = _ngram_counts(train, 3)
-    split = bi.select(
+    grams = {k: _ngram_counts(train, k) for k in range(1, n + 1)}
+    split = grams[2].select(
         F.split("gram", " ").getItem(0).alias("wl"),
         F.split("gram", " ").getItem(1).alias("wr"))
     n1p_prev = split.groupBy("wl").agg(F.count("*").alias("n1p_prev"))
     n1p_w = split.groupBy("wr").agg(F.count("*").alias("n1p_w"))
-    # N1+(p2 p1 .): distinct trigram types per 2-word context
-    n1p_ctx2 = (tri.select(F.expr(
-        "substring_index(gram, ' ', 2)").alias("ctx2"))
-        .groupBy("ctx2").agg(F.count("*").alias("n1p_ctx2")))
-    scalars = (bi.agg(F.count("*").cast("long").alias("t_big"))
-               .crossJoin(uni.agg(F.count("*").cast("long")
-                                  .alias("v_uni"))))
+    scalars = (grams[2].agg(F.count("*").cast("long").alias("t_big"))
+               .crossJoin(grams[1].agg(F.count("*").cast("long")
+                                       .alias("v_uni"))))
 
     pos_rows = held.select(
         "doc_id",
         F.posexplode_outer("ws").alias("pos", "w"),
         F.col("ws").alias("_ws"),
     ).select("doc_id", "pos", "w",
-             F.expr("CASE WHEN pos >= 1 THEN _ws[pos - 1] END").alias("p1"),
-             F.expr("CASE WHEN pos >= 2 THEN _ws[pos - 2] END").alias("p2"))
+             *[F.expr(f"CASE WHEN pos >= {k} THEN _ws[pos - {k}] END")
+               .alias(f"p{k}") for k in range(1, n)])
 
-    j = (pos_rows
-         .join(F.broadcast(scalars))
-         .join(tri.select(F.col("gram").alias("_g3"),
-                          F.col("c").alias("_c3")),
-               F.concat_ws(" ", "p2", "p1", "w") == F.col("_g3"), "left")
-         .join(bi.select(F.col("gram").alias("_gctx"),
-                         F.col("c").alias("_c2ctx")),
-               F.concat_ws(" ", "p2", "p1") == F.col("_gctx"), "left")
-         .join(n1p_ctx2,
-               F.concat_ws(" ", "p2", "p1") == F.col("ctx2"), "left")
-         .join(bi.select(F.col("gram").alias("_g2"),
-                         F.col("c").alias("_c2")),
-               F.concat_ws(" ", "p1", "w") == F.col("_g2"), "left")
-         .join(uni.select(F.col("gram").alias("_g1p"),
-                          F.col("c").alias("_c1prev")),
+    def _ctx_cols(m: int) -> list[str]:
+        """p_{m-1} .. p1 — the (m-1)-word context, oldest first."""
+        return [f"p{k}" for k in range(m - 1, 0, -1)]
+
+    j = pos_rows.join(F.broadcast(scalars))
+    out_cols = ["doc_id", "pos", "t_big", "v_uni"]
+    # level 2 rung
+    j = (j.join(grams[2].select(F.col("gram").alias("_g2"),
+                                F.col("c").alias("_c2")),
+                F.concat_ws(" ", "p1", "w") == F.col("_g2"), "left")
+         .join(grams[1].select(F.col("gram").alias("_g1p"),
+                               F.col("c").alias("_c1prev")),
                F.col("p1") == F.col("_g1p"), "left")
          .join(n1p_prev, F.col("p1") == F.col("wl"), "left")
-         .join(n1p_w, F.col("w") == F.col("wr"), "left")
-         .select("doc_id", "pos", "t_big", "v_uni",
-                 F.coalesce("_c3", F.lit(0)).alias("c3"),
-                 F.coalesce("_c2ctx", F.lit(0)).alias("c2ctx"),
-                 F.coalesce("n1p_ctx2", F.lit(0)).alias("n1p_ctx2"),
-                 F.coalesce("_c2", F.lit(0)).alias("c2"),
-                 F.coalesce("_c1prev", F.lit(0)).alias("c1prev"),
-                 F.coalesce("n1p_prev", F.lit(0)).alias("n1p_prev"),
-                 F.coalesce("n1p_w", F.lit(0)).alias("n1p_w")))
+         .join(n1p_w, F.col("w") == F.col("wr"), "left"))
+    exprs = [F.coalesce("_c2", F.lit(0)).alias("c2"),
+             F.coalesce("_c1prev", F.lit(0)).alias("c1prev"),
+             F.coalesce("n1p_prev", F.lit(0)).alias("n1p_prev"),
+             F.coalesce("n1p_w", F.lit(0)).alias("n1p_w")]
+    # levels 3..n: c{m} on the m-tuple, ctx{m} from the (m-1)-gram
+    # table, N1+(context .) from the m-gram table's 2-field prefix agg
+    for m in range(3, n + 1):
+        ctx = _ctx_cols(m)
+        n1pctx = (grams[m].select(F.expr(
+            f"substring_index(gram, ' ', {m - 1})").alias(f"_x{m}"))
+            .groupBy(f"_x{m}").agg(F.count("*").alias(f"_n1pctx{m}")))
+        j = (j.join(grams[m].select(F.col("gram").alias(f"_g{m}"),
+                                    F.col("c").alias(f"_c{m}")),
+                    F.concat_ws(" ", *ctx, "w") == F.col(f"_g{m}"), "left")
+             .join(grams[m - 1].select(F.col("gram").alias(f"_gx{m}"),
+                                       F.col("c").alias(f"_ctx{m}")),
+                   F.concat_ws(" ", *ctx) == F.col(f"_gx{m}"), "left")
+             .join(n1pctx,
+                   F.concat_ws(" ", *ctx) == F.col(f"_x{m}"), "left"))
+        exprs += [F.coalesce(f"_c{m}", F.lit(0)).alias(f"c{m}"),
+                  F.coalesce(f"_ctx{m}", F.lit(0)).alias(f"ctx{m}"),
+                  F.coalesce(f"_n1pctx{m}", F.lit(0)).alias(f"n1pctx{m}")]
+    j = j.select(*out_cols, *exprs)
 
     scored = j.withColumn(
         "tok_nano",
         F.when(F.col("pos").isNull(), None)
-        .otherwise(F.expr(KN3_TOKEN_NANO_SQL)))
+        .otherwise(F.expr(kn_token_nano_sql_n(n))))
     agg = scored.groupBy("doc_id").agg(
         F.count("tok_nano").cast("long").alias("n_tokens"),
         F.sum("tok_nano").alias("nll_nano"))
@@ -568,86 +588,113 @@ def kneser_ney3_report(docs: DataFrame, id_col: str = "doc_id",
         " AS avg_nll_micro")
 
 
-def kneser_ney3_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
-    """DuckDB replay of the trigram pyramid with the IDENTICAL ladder
-    SQL text (KN3_TOKEN_NANO_SQL embeds the bigram ladder verbatim)."""
+def kneser_ney3_report(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       train_mod: int = 5) -> DataFrame:
+    """Trigram instance of the order-n ladder (q244)."""
+    return kneser_ney_n_report(docs, 3, id_col, text_col, train_mod)
+
+
+def kneser_ney_n_oracle_sql(docs_sql: str, n: int = 3,
+                            train_mod: int = 5) -> str:
+    """DuckDB replay of the order-n pyramid with the IDENTICAL ladder
+    SQL text (kn_token_nano_sql_n embeds every lower rung verbatim);
+    the CTE graph is generated by the same loop as the Spark joins."""
+    assert n >= 2
     ws = (r"list_filter(string_split_regex(lower(trim(text)),"
           r" '[ \t\n\r\f]+'), w -> w <> '')")
+
+    def _gram_cte(k: int) -> str:
+        if k == 1:
+            return ("g1 AS (SELECT w AS gram, COUNT(*) AS c FROM "
+                    "(SELECT UNNEST(ws) AS w FROM train) GROUP BY w)")
+        joined = " || ' ' || ".join(f"ws[i+{d}]" for d in range(k))
+        return (f"g{k} AS (SELECT g AS gram, COUNT(*) AS c FROM ("
+                f"SELECT UNNEST(CASE WHEN len(ws) >= {k} "
+                f"THEN list_transform(range(1, len(ws) - {k - 2}), "
+                f"i -> {joined}) ELSE [] END) AS g FROM train) "
+                f"GROUP BY g)")
+
+    ctes = [_gram_cte(k) for k in range(1, n + 1)]
+    ctes.append("sp AS (SELECT string_split(gram, ' ')[1] AS wl, "
+                "string_split(gram, ' ')[2] AS wr FROM g2)")
+    ctes.append("n1p_prev AS (SELECT wl, COUNT(*) AS n1p_prev "
+                "FROM sp GROUP BY wl)")
+    ctes.append("n1p_w AS (SELECT wr, COUNT(*) AS n1p_w "
+                "FROM sp GROUP BY wr)")
+    for m in range(3, n + 1):
+        ctes.append(
+            f"n1pctx{m} AS (SELECT array_to_string("
+            f"string_split(gram, ' ')[1:{m - 1}], ' ') AS ctx, "
+            f"COUNT(*) AS n1pctx{m} FROM g{m} GROUP BY 1)")
+    ctes.append("sc AS (SELECT (SELECT COUNT(*) FROM g2) AS t_big, "
+                "(SELECT COUNT(*) FROM g1) AS v_uni)")
+
+    pcols = "".join(
+        f",\n                 UNNEST(list_transform(range(1, len(ws) + 1),"
+        f"\n                   i -> CASE WHEN i >= {k + 1} THEN ws[i-{k}]"
+        f" END)) AS p{k}"
+        for k in range(1, n))
+    ctes.append(f"""pos_rows AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) + 1),
+                                       i -> i - 1)) AS pos,
+                 UNNEST(ws) AS w{pcols}
+          FROM held)""")
+
+    sel = ["r.doc_id", "r.pos", "sc.t_big", "sc.v_uni",
+           "COALESCE(b2.c, 0) AS c2", "COALESCE(u1.c, 0) AS c1prev",
+           "COALESCE(np.n1p_prev, 0) AS n1p_prev",
+           "COALESCE(nw.n1p_w, 0) AS n1p_w"]
+    joins = ["CROSS JOIN sc",
+             "LEFT JOIN g2 b2 ON concat_ws(' ', r.p1, r.w) = b2.gram",
+             "LEFT JOIN g1 u1 ON r.p1 = u1.gram",
+             "LEFT JOIN n1p_prev np ON r.p1 = np.wl",
+             "LEFT JOIN n1p_w nw ON r.w = nw.wr"]
+    for m in range(3, n + 1):
+        ctx = ", ".join(f"r.p{k}" for k in range(m - 1, 0, -1))
+        sel += [f"COALESCE(t{m}.c, 0) AS c{m}",
+                f"COALESCE(x{m}.c, 0) AS ctx{m}",
+                f"COALESCE(nx{m}.n1pctx{m}, 0) AS n1pctx{m}"]
+        joins += [
+            f"LEFT JOIN g{m} t{m} ON concat_ws(' ', {ctx}, r.w)"
+            f" = t{m}.gram",
+            f"LEFT JOIN g{m - 1} x{m} ON concat_ws(' ', {ctx})"
+            f" = x{m}.gram",
+            f"LEFT JOIN n1pctx{m} nx{m} ON concat_ws(' ', {ctx})"
+            f" = nx{m}.ctx"]
+    ctes.append("joined AS (\n          SELECT "
+                + ",\n                 ".join(sel)
+                + "\n          FROM pos_rows r\n          "
+                + "\n          ".join(joins) + ")")
+    ctes.append(f"scored AS (SELECT doc_id, {kn_token_nano_sql_n(n)}"
+                f" AS tok_nano FROM joined)")
+    ctes.append("""agg AS (
+          SELECT h.doc_id,
+                 COUNT(s.tok_nano) AS n_tokens,
+                 SUM(s.tok_nano) AS nll_nano
+          FROM held h LEFT JOIN scored s USING (doc_id)
+          GROUP BY h.doc_id)""")
+
+    body = ",\n        ".join(ctes)
     return f"""
         WITH base AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
           FROM {docs_sql}),
         train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
         held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
-        uni AS (
-          SELECT w AS gram, COUNT(*) AS c
-          FROM (SELECT UNNEST(ws) AS w FROM train) GROUP BY w),
-        bi AS (
-          SELECT g AS gram, COUNT(*) AS c FROM (
-            SELECT UNNEST(CASE WHEN len(ws) >= 2
-              THEN list_transform(range(1, len(ws)),
-                                  i -> ws[i] || ' ' || ws[i+1])
-              ELSE [] END) AS g FROM train) GROUP BY g),
-        tri AS (
-          SELECT g AS gram, COUNT(*) AS c FROM (
-            SELECT UNNEST(CASE WHEN len(ws) >= 3
-              THEN list_transform(range(1, len(ws) - 1),
-                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-              ELSE [] END) AS g FROM train) GROUP BY g),
-        sp AS (
-          SELECT string_split(gram, ' ')[1] AS wl,
-                 string_split(gram, ' ')[2] AS wr FROM bi),
-        n1p_prev AS (SELECT wl, COUNT(*) AS n1p_prev FROM sp GROUP BY wl),
-        n1p_w AS (SELECT wr, COUNT(*) AS n1p_w FROM sp GROUP BY wr),
-        n1p_ctx2 AS (
-          SELECT string_split(gram, ' ')[1] || ' ' ||
-                 string_split(gram, ' ')[2] AS ctx2,
-                 COUNT(*) AS n1p_ctx2
-          FROM tri GROUP BY 1),
-        sc AS (SELECT (SELECT COUNT(*) FROM bi) AS t_big,
-                      (SELECT COUNT(*) FROM uni) AS v_uni),
-        pos_rows AS (
-          SELECT doc_id,
-                 UNNEST(list_transform(range(1, len(ws) + 1),
-                                       i -> i - 1)) AS pos,
-                 UNNEST(ws) AS w,
-                 UNNEST(list_transform(range(1, len(ws) + 1),
-                   i -> CASE WHEN i >= 2 THEN ws[i-1] END)) AS p1,
-                 UNNEST(list_transform(range(1, len(ws) + 1),
-                   i -> CASE WHEN i >= 3 THEN ws[i-2] END)) AS p2
-          FROM held),
-        joined AS (
-          SELECT r.doc_id, r.pos, sc.t_big, sc.v_uni,
-                 COALESCE(t3.c, 0) AS c3,
-                 COALESCE(bc.c, 0) AS c2ctx,
-                 COALESCE(nc.n1p_ctx2, 0) AS n1p_ctx2,
-                 COALESCE(b2.c, 0) AS c2,
-                 COALESCE(u1.c, 0) AS c1prev,
-                 COALESCE(np.n1p_prev, 0) AS n1p_prev,
-                 COALESCE(nw.n1p_w, 0) AS n1p_w
-          FROM pos_rows r
-          CROSS JOIN sc
-          LEFT JOIN tri t3 ON concat_ws(' ', r.p2, r.p1, r.w) = t3.gram
-          LEFT JOIN bi bc ON concat_ws(' ', r.p2, r.p1) = bc.gram
-          LEFT JOIN n1p_ctx2 nc ON concat_ws(' ', r.p2, r.p1) = nc.ctx2
-          LEFT JOIN bi b2 ON concat_ws(' ', r.p1, r.w) = b2.gram
-          LEFT JOIN uni u1 ON r.p1 = u1.gram
-          LEFT JOIN n1p_prev np ON r.p1 = np.wl
-          LEFT JOIN n1p_w nw ON r.w = nw.wr),
-        scored AS (
-          SELECT doc_id, {KN3_TOKEN_NANO_SQL} AS tok_nano FROM joined),
-        agg AS (
-          SELECT h.doc_id,
-                 COUNT(s.tok_nano) AS n_tokens,
-                 SUM(s.tok_nano) AS nll_nano
-          FROM held h LEFT JOIN scored s USING (doc_id)
-          GROUP BY h.doc_id)
+        {body}
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(nll_nano AS BIGINT) AS nll_nano,
                CASE WHEN n_tokens = 0 THEN NULL
                     ELSE CAST(round(nll_nano / (1000.0 * n_tokens))
                          AS BIGINT) END AS avg_nll_micro
         FROM agg ORDER BY doc_id"""
+
+
+def kneser_ney3_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
+    """Trigram instance of the generated order-n oracle (q244)."""
+    return kneser_ney_n_oracle_sql(docs_sql, 3, train_mod)
 
 
 def kneser_ney_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:

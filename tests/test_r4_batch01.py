@@ -205,3 +205,26 @@ def test_prepare_corpus_lm_stage(spark):
     # the soup outlier is in the dropped tail
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert "12" not in kept
+
+
+def test_kneser_ney_n_generalizes(spark):
+    """The order-n ladder builder: n=2 reproduces the bigram report,
+    n=3 the trigram one, and n=5 (CCNet's production KenLM order) runs
+    green with perplexity no worse than n=4 on a trigram-structured
+    corpus (higher orders can only sharpen deterministic transitions)."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney3_report, kneser_ney_n_report, kneser_ney_report)
+    body = "x a p y a q " * 30
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(5)], "doc_id long, text string")
+
+    def vals(df):
+        return [(r["doc_id"], r["n_tokens"], r["nll_nano"])
+                for r in df.orderBy("doc_id").collect()]
+
+    assert vals(kneser_ney_n_report(docs, 2)) == vals(kneser_ney_report(docs))
+    assert vals(kneser_ney_n_report(docs, 3)) == vals(kneser_ney3_report(docs))
+    n4 = vals(kneser_ney_n_report(docs, 4))
+    n5 = vals(kneser_ney_n_report(docs, 5))
+    assert len(n5) == 1 and n5[0][1] == n4[0][1] > 0
+    assert n5[0][2] <= n4[0][2]
