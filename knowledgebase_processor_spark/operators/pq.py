@@ -95,24 +95,84 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id", vec_col: str = "embedding",
               keep: tuple[str, ...] = ()) -> DataFrame:
     """(id, *keep, codes array<int>): per subspace, the 0-based index of
-    the nearest centroid (first minimum wins — ``array_position`` of the
-    min, deterministic and DuckDB-replicable).  ``keep`` passes extra
-    columns through the projection (stays narrow — no join-back)."""
-    codes = []
+    the nearest centroid (first minimum wins).  ``keep`` passes extra
+    columns through the projection (stays narrow — no join-back).
+
+    The M-subspace K-way argmin runs as an Arrow-batched numpy kernel
+    replaying the left-fold squared-distance order EXACTLY (one
+    dimension at a time across the batch: ``acc = acc + (v-c)^2`` in
+    float64, the order DuckDB's list_reduce and the q46 oracle
+    reproduce to the ulp).  The previous pure-column form put M*K*sub
+    distance terms into one whole-stage-codegen method — past Janino's
+    64 KB limit already at M=8 x K=16 x sub=8, silently degrading the
+    encode stage to interpreted execution (the similarity.ivf_assign
+    pathology; see PLANS.md round 4).
+
+    Semantics preserved: ties to the lowest centroid index; a NaN (or
+    NULL element) in a subvector nulls THAT subspace's code (NaN
+    propagates through the fold and fails the `<` update, exactly like
+    the old isnan guard); a NULL vector nulls all codes.  A vector
+    SHORTER than M*sub now also yields null codes — the old
+    ``element_at`` chain threw under ANSI.
+    """
+    import pandas as pd
+
     sub = len(codebooks[0][0])
-    for j, book in enumerate(codebooks):
-        darr = F.expr("array(" + ", ".join(
-            _sub_d2(vec_col, c, j * sub) for c in book) + ")")
-        mn = F.array_min(darr)
-        pos = F.array_position(darr, mn)
-        # Spark treats NaN==NaN as TRUE in array_min/array_position
-        # (unlike ANSI float equality), so a NaN source vector would get
-        # a normal-looking code — guard with an explicit isnan check:
-        # NaN (or null) vector -> null code, which pq_topk sorts last
-        codes.append(F.when((~F.isnan(mn)) & (pos > 0), pos - 1)
-                     .cast("int"))
-    return vecs.select(F.col(id_col), *[F.col(c) for c in keep],
-                       F.array(*codes).alias("codes"))
+    m = len(codebooks)
+    need = m * sub
+    books = [[[float(c) for c in cent] for cent in book]
+             for book in codebooks]
+
+    def _codes_batch(it):
+        import numpy as np
+        for pdf in it:
+            col = pdf["_v"]
+            out = [None] * len(col)
+            ok, mats = [], []
+            for i, x in enumerate(col):
+                if x is None or len(x) < need:
+                    continue
+                try:
+                    v = np.asarray(x[:need], dtype=np.float64)
+                except (TypeError, ValueError):   # NULL elements -> NaN
+                    v = np.array([np.nan if e is None else float(e)
+                                  for e in x[:need]])
+                ok.append(i)
+                mats.append(v)
+            if ok:
+                V = np.stack(mats)
+                allc = np.empty((len(ok), m), dtype=object)
+                for j, book in enumerate(books):
+                    off = j * sub
+                    best = None
+                    bestk = np.zeros(len(ok), dtype=np.int64)
+                    for ki, cent in enumerate(book):
+                        acc = None
+                        for d in range(sub):      # left fold, in order
+                            t = V[:, off + d] - cent[d]
+                            t = t * t
+                            acc = t if acc is None else acc + t
+                        if best is None:
+                            best = acc
+                        else:
+                            upd = acc < best      # first minimum wins
+                            best = np.where(upd, acc, best)
+                            bestk = np.where(upd, ki, bestk)
+                    allc[:, j] = [None if np.isnan(b) else int(k)
+                                  for b, k in zip(best, bestk)]
+                for r, i in enumerate(ok):
+                    out[i] = list(allc[r])
+            pdf = pdf.drop(columns=["_v"])
+            pdf["codes"] = out
+            yield pdf
+
+    staged = vecs.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in staged.schema.fields[:-1])
+    return staged.mapInPandas(
+        _codes_batch, schema=f"{fields}, codes array<int>")
 
 
 def pq_topk(encoded: DataFrame, codebooks: list[list[list[float]]],
@@ -186,8 +246,11 @@ def ivfpq_encode(vecs: DataFrame, centroids: list[list[float]],
     # ONE nested-list literal (py4j-cheap), not K*dim F.lit calls
     cents = F.lit([[float(x) for x in c] for c in centroids]) \
              .cast("array<array<double>>")
+    # try_element_at: the -1 'no cell' sentinel (NULL/short vector)
+    # indexes 0, which plain element_at THROWS on under ANSI — the
+    # NULL residual instead yields null codes downstream
     resid = F.zip_with(F.col("v").cast("array<double>"),
-                       F.element_at(cents, F.col("cell") + 1),
+                       F.try_element_at(cents, F.col("cell") + 1),
                        lambda a, b: a - b)
     return pq_encode(assigned.select("vec_id", "cell", resid.alias("r")),
                      codebooks, id_col="vec_id", vec_col="r",

@@ -228,3 +228,39 @@ def test_kneser_ney_n_generalizes(spark):
     n5 = vals(kneser_ney_n_report(docs, 5))
     assert len(n5) == 1 and n5[0][1] == n4[0][1] > 0
     assert n5[0][2] <= n4[0][2]
+
+
+def test_pq_encode_wide_config_and_null_vectors(spark):
+    """M=16 x K=256 x sub=16 (a production PQ shape, 65k distance terms
+    — far past any single codegen method) compiles and runs with
+    codegen fallback disabled; NULL / short / NaN vectors yield null
+    codes instead of ANSI throws."""
+    import math
+
+    from knowledgebase_processor_spark.operators.pq import (
+        pq_encode, pq_topk)
+    rnd = random.Random(11)
+    m, k, sub = 16, 256, 16
+    dim = m * sub
+    books = [[[rnd.gauss(0, 1) for _ in range(sub)] for _ in range(k)]
+             for _ in range(m)]
+    vecs = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(12)]
+        + [(96, None), (97, [1.0] * 8),
+           (98, [math.nan] * dim), (99, [1.0] * dim)],
+        "vec_id long, embedding array<double>")
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        enc = {r["vec_id"]: r["codes"]
+               for r in pq_encode(vecs, books).collect()}
+        top = pq_topk(pq_encode(vecs, books), books,
+                      [0.0] * dim, topk=3).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert enc[96] is None and enc[97] is None          # null / short
+    assert enc[98] == [None] * m                        # NaN propagates
+    assert all(c is not None for c in enc[99])
+    assert len(enc[0]) == m and all(0 <= c < k for c in enc[0])
+    # null-code rows sort last, never displacing real neighbors
+    assert len(top) == 3 and all(r["adc_dist"] is not None for r in top)
