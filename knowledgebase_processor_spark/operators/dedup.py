@@ -379,16 +379,16 @@ def embedding_near_dups_lsh(vecs: DataFrame, dim: int,
     near-identical sketch regions) stays bounded.  O(n * tables) bucket
     rows, pair formation grouped per bucket — never a cross product.
     """
-    from .similarity import cosine_sim_flat, lsh_bucket_expr, _hyperplanes
+    from .similarity import cosine_sim_flat, lsh_buckets_multi
 
     norm = vecs.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    banded = (norm
-              .withColumn("_vd", F.col("v").cast("array<double>"))
-              .select("doc_id",
-                      F.posexplode(F.array(*[
-                          lsh_bucket_expr("_vd",
-                                          _hyperplanes(dim, bits, seed + t))
-                          for t in range(tables)])).alias("band", "bucket")))
+    # all `tables` buckets in ONE Arrow-batched kernel pass (a
+    # tables x bits x dim expression tree ran interpreted past Janino's
+    # method limit — see similarity.lsh_buckets_multi), then posexplode
+    banded = (lsh_buckets_multi(vecs, dim, bits, tables, id_col,
+                                vec_col, seed)
+              .select(F.col("vec_id").alias("doc_id"),
+                      F.posexplode("buckets").alias("band", "bucket")))
     pairs = _expand_bucket_pairs(_capped_bucket_members(banded, max_bucket))
     cand = (pairs.select(F.col("p.doc_a").alias("vec_a"),
                          F.col("p.doc_b").alias("vec_b")).distinct())

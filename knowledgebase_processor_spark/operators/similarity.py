@@ -139,15 +139,60 @@ def lsh_bucket_expr(vec: "Column | str",
     return bucket
 
 
-def cosine_lsh_buckets(vecs: DataFrame, dim: int, bits: int = 8,
-                       id_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 42) -> DataFrame:
-    planes = _hyperplanes(dim, bits, seed)
+def lsh_buckets_multi(vecs: DataFrame, dim: int, bits: int = 8,
+                      tables: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: int = 42) -> DataFrame:
+    """(vec_id, v, buckets array<bigint>): the sign-bit bucket under
+    ``tables`` independent seeded hyperplane sets (table t uses
+    ``seed + t``), computed by an Arrow-batched numpy kernel replaying
+    the flat chains' left-fold dots exactly (a tables x bits x dim
+    expression tree trips Janino's 64 KB method limit at 4 x 8 x 64 —
+    the ivf_assign pathology; the kernel compiles in O(1) at any
+    width).  NULL / short vectors land in bucket 0 of every table,
+    exactly like the NULL-propagating expression chain they replace
+    (their candidates are then discarded by the exact verify step)."""
+    import numpy as np
+
+    all_planes = [
+        [[float(x) for x in p] for p in _hyperplanes(dim, bits, seed + t)]
+        for t in range(tables)]
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets_of(col: pd.Series) -> pd.Series:
+        out = [[0] * tables for _ in range(len(col))]
+        ok = [i for i, x in enumerate(col)
+              if x is not None and len(x) >= dim
+              and not any(e is None for e in x[:dim])]
+        if not ok:
+            return pd.Series(out)
+        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.float64)
+                      for i in ok])
+        bks = np.zeros((len(ok), tables), dtype=np.int64)
+        for t, planes in enumerate(all_planes):
+            for bi, plane in enumerate(planes):
+                acc = np.zeros(len(ok))
+                for d in range(dim):          # left fold, in order
+                    acc = acc + V[:, d] * plane[d]
+                # NaN >= 0 is False both here and in the when() chain
+                bks[:, t] |= np.where(acc >= 0, np.int64(1) << bi,
+                                      np.int64(0))
+        for r, i in enumerate(ok):
+            out[i] = [int(b) for b in bks[r]]
+        return pd.Series(out)
+
     return (vecs.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("v"),
                         F.col(vec_col).cast("array<double>").alias("_vd"))
-            .select("vec_id", "v",
-                    lsh_bucket_expr("_vd", planes).alias("bucket")))
+            .select("vec_id", "v", _buckets_of("_vd").alias("buckets")))
+
+
+def cosine_lsh_buckets(vecs: DataFrame, dim: int, bits: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> DataFrame:
+    b = lsh_buckets_multi(vecs, dim, bits, 1, id_col, vec_col, seed)
+    return b.select("vec_id", "v",
+                    F.element_at("buckets", 1).alias("bucket"))
 
 
 def lsh_topk(vecs: DataFrame, query_vec: list[float], dim: int, k: int = 10,

@@ -264,3 +264,33 @@ def test_pq_encode_wide_config_and_null_vectors(spark):
     assert len(enc[0]) == m and all(0 <= c < k for c in enc[0])
     # null-code rows sort last, never displacing real neighbors
     assert len(top) == 3 and all(r["adc_dist"] is not None for r in top)
+
+
+def test_lsh_buckets_multi_wide_and_null(spark):
+    """bits=16 x tables=8 x dim=64 (8k plane terms — past any single
+    codegen method) runs with codegen fallback disabled; NULL/short
+    vectors land in bucket 0 of every table like the expression chain
+    they replace; the single-table path is unchanged."""
+    from knowledgebase_processor_spark.operators.similarity import (
+        cosine_lsh_buckets, lsh_buckets_multi)
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = lsh_buckets_multi(vecs, dim=64, bits=16, tables=8).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    assert len(rows) == 50 and all(len(r["buckets"]) == 8 for r in rows)
+    assert any(b != rows[0]["buckets"][0]
+               for r in rows for b in r["buckets"])
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.5])], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["buckets"]
+           for r in lsh_buckets_multi(bad, dim=64, bits=8, tables=3).collect()}
+    assert got[1] == [0, 0, 0] and got[2] == [0, 0, 0]
+    one = {r["vec_id"]: r["bucket"]
+           for r in cosine_lsh_buckets(vecs, dim=64, bits=8).collect()}
+    multi = {r["vec_id"]: r["buckets"][0]
+             for r in lsh_buckets_multi(vecs, dim=64, bits=8).collect()}
+    assert one == multi
