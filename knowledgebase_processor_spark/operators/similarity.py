@@ -124,7 +124,14 @@ def lsh_bucket_expr(vec: "Column | str",
 
     Pass a STRING (an expression naming an ``array<double>`` column) to
     take the flat codegen dot path; a Column keeps the generic
-    interpreted form (unknown dim / uncast input)."""
+    interpreted form (unknown dim / uncast input).
+
+    Expression form — fine up to ~bits x dim ~ 512 terms; past that the
+    fused method trips Janino's 64 KB limit and the stage silently runs
+    interpreted.  Production paths use :func:`lsh_buckets_multi` (the
+    Arrow-batched kernel, identical buckets at any width); this stays
+    as the inline-expression variant for embedding a bucket in a larger
+    single projection."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         if isinstance(vec, str):
