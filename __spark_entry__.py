@@ -4579,6 +4579,21 @@ def _q247_kneser_ney4(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q248_kneser_ney5(spark, sf):
+    # 5-gram interpolated Kneser-Ney — KenLM's production order, the
+    # model CCNet actually filters with.  Same generated ladder as
+    # q243/q244/q247, now with the round-5 rung-projection form: each
+    # ladder level is projected ONCE and referenced by column name
+    # (nglm.kn_rung_sqls), so the plan holds n-1 rung expressions
+    # instead of the 2^(n-2) verbatim copies the flat expansion carried
+    # (round-4 ADVICE).  Full replay oracle with the identical rung
+    # CTE chain, value-checked at sf0.001 and sf0.01.
+    from knowledgebase_processor_spark.operators.nglm import (
+        kneser_ney_n_report)
+    return (kneser_ney_n_report(_t(spark, sf, "documents"), n=5)
+            .orderBy("doc_id"))
+
+
 def _q245_ppl_assign(spark, sf):
     # Per-document CCNet bucket assignment (operators/nglm.py
     # ppl_bucket_assign): the LM scores EVERY doc against the
@@ -4870,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_ppl_assign": _q245_ppl_assign,
         "q246_prepare_corpus_ccnet": _q246_prepare_corpus_ccnet,
         "q247_kneser_ney4": _q247_kneser_ney4,
+        "q248_kneser_ney5": _q248_kneser_ney5,
     }
 
 
@@ -5765,7 +5781,7 @@ def oracle_sql() -> dict[str, str]:
         # Note the CCNet interaction: the LM head keeps the FLUENT
         # salted-sentence docs, whose lines are exactly the shared
         # boilerplate — so the subsequent corpus-wide line dedup prunes
-        # far deeper than in q45/q70 (98 -> 7).  Real CCNet pipelines
+        # far deeper than in q45/q70 (98 -> 6).  Real CCNet pipelines
         # run the same order for the same reason: perplexity filtering
         # concentrates boilerplate, dedup then removes it.
         "q246_prepare_corpus_ccnet": """
@@ -5773,11 +5789,11 @@ def oracle_sql() -> dict[str, str]:
               ('deduped',        CAST(432 AS BIGINT)),
               ('input',          500),
               ('line_cleaned',   147),
-              ('line_deduped',   7),
+              ('line_deduped',   6),
               ('lm_head_kept',   98),
               ('quality_kept',   147),
-              ('scrubbed',       7),
-              ('scrubbed_chars', 582)
+              ('scrubbed',       6),
+              ('scrubbed_chars', 583)
             ) AS t(stage, n_docs) ORDER BY stage""",
         "q46_pq_adc": _q46_oracle_sql(_q46_books()),
         "q48_pack_sequences": r"""
@@ -9284,6 +9300,7 @@ def oracle_sql() -> dict[str, str]:
         "q245_ppl_assign": _ppl_assign_oracle("documents",
                                               lang_col="d.lang"),
         "q247_kneser_ney4": _kn_n_oracle("documents", 4),
+        "q248_kneser_ney5": _kn_n_oracle("documents", 5),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

@@ -45,9 +45,36 @@ unbounded; N rides along as a 1-row broadcast cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text import portable_words
+
+
+def _split_bucket(col: Column, train_mod: int) -> Column:
+    """Train/held split bucket — a pure function of the id under ANY id
+    type (round-4 VERDICT item 1: the old ``cast("long") % train_mod``
+    silently dropped a string/url-keyed corpus to zero rows).
+
+    Numeric-castable ids keep the historical ``id % train_mod``
+    membership (bit-compatible with the round-3/4 oracles and the
+    pinned q246 lineage); everything else falls back to the salted-md5
+    integer bucket of the id's string form — the ``operators/split.py``
+    portable idiom — so a production ``url string`` corpus splits
+    deterministically.  ``7`` and ``'7'`` agree by construction, and a
+    NULL id yields a NULL bucket (dropped from both splits, as before).
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("lmsplit|"), col.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return F.coalesce(col.try_cast("long"), h) % train_mod
+
+
+def _split_bucket_sql(train_mod: int, id_sql: str = "doc_id") -> str:
+    """The DuckDB replay of :func:`_split_bucket` (same md5 prefix,
+    same TRY_CAST-first rule)."""
+    return (f"COALESCE(TRY_CAST({id_sql} AS BIGINT), "
+            f"('0x' || substr(md5('lmsplit|' || CAST({id_sql} AS "
+            f"VARCHAR)), 1, 15))::BIGINT) % {train_mod}")
 
 ALPHA = "0.4"
 
@@ -90,7 +117,9 @@ def _ngram_counts(toks: DataFrame, n: int) -> DataFrame:
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+    # the id keeps its ORIGINAL type end-to-end (string urls, bigints,
+    # ...) — only the split bucket hashes it (see _split_bucket)
+    return docs.select(F.col(id_col).alias("doc_id"),
                        portable_words(F.coalesce(F.col(text_col),
                                                  F.lit(""))).alias("ws"))
 
@@ -107,8 +136,9 @@ def backoff_lm_report(docs: DataFrame, id_col: str = "doc_id",
     model — the CCNet filtering signal.
     """
     base = _tokens(docs, id_col, text_col)
-    train = base.filter(F.col("doc_id") % train_mod != 0)
-    held = base.filter(F.col("doc_id") % train_mod == 0)
+    sb = _split_bucket(F.col("doc_id"), train_mod)
+    train = base.filter(sb != 0)
+    held = base.filter(sb == 0)
     return backoff_lm_score_tokens(train, held)
 
 
@@ -193,13 +223,14 @@ def backoff_lm_oracle_sql(docs_sql: str, train_mod: int = 5,
     held-out split."""
     ws = (r"list_filter(string_split_regex(lower(trim(text)),"
           r" '[ \t\n\r\f]+'), w -> w <> '')")
-    held = ("SELECT * FROM base" if score_all else
-            f"SELECT * FROM base WHERE doc_id % {train_mod} = 0")
+    sb = _split_bucket_sql(train_mod)
+    held = ("SELECT doc_id, ws FROM base" if score_all else
+            "SELECT doc_id, ws FROM base WHERE sb = 0")
     return f"""
         WITH base AS (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
+          SELECT doc_id, {ws} AS ws, {sb} AS sb
           FROM {docs_sql}),
-        train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
+        train AS (SELECT doc_id, ws FROM base WHERE sb <> 0),
         held AS ({held}),
         n_tr AS (SELECT COALESCE(SUM(len(ws)), 0) AS n_train FROM train),
         uni AS (
@@ -275,7 +306,7 @@ def ppl_buckets(docs: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     rep = backoff_lm_report(docs, id_col, text_col, train_mod)
-    langs = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+    langs = docs.select(F.col(id_col).alias("doc_id"),
                         F.col(lang_col).alias("lang"))
     j = rep.filter(F.col("n_tokens") > 0).join(langs, "doc_id")
     w = Window.partitionBy("lang").orderBy("avg_nll_micro", "doc_id")
@@ -297,7 +328,7 @@ def ppl_buckets_oracle_sql(docs_sql: str, train_mod: int = 5,
         j AS (
           SELECT r.doc_id, r.avg_nll_micro, d.lang
           FROM rep r JOIN {docs_sql} d
-            ON r.doc_id = CAST(d.doc_id AS BIGINT)
+            ON r.doc_id = d.doc_id
           WHERE r.n_tokens > 0),
         b AS (
           SELECT lang,
@@ -332,10 +363,10 @@ def ppl_bucket_assign(docs: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     base = _tokens(docs, id_col, text_col)
-    train = base.filter(F.col("doc_id") % train_mod != 0)
+    train = base.filter(_split_bucket(F.col("doc_id"), train_mod) != 0)
     rep = backoff_lm_score_tokens(train, base)
     lang = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         (F.col(lang_col) if lang_col else F.lit("all")).alias("lang"))
     j = rep.filter(F.col("n_tokens") > 0).join(lang, "doc_id")
     w = Window.partitionBy("lang").orderBy("avg_nll_micro", "doc_id")
@@ -357,7 +388,7 @@ def ppl_bucket_assign_oracle_sql(docs_sql: str,
         j AS (
           SELECT r.doc_id, r.avg_nll_micro, {lang} AS lang
           FROM rep r JOIN {docs_sql} d
-            ON r.doc_id = CAST(d.doc_id AS BIGINT)
+            ON r.doc_id = d.doc_id
           WHERE r.n_tokens > 0)
         SELECT doc_id, lang, avg_nll_micro,
                CAST(NTILE({buckets}) OVER (PARTITION BY lang
@@ -409,10 +440,39 @@ KN_TOKEN_NANO_SQL = (
 # with its context count > 0.
 
 
+def kn_rung_sqls(n: int) -> list[tuple[str, str]]:
+    """The order-n ladder as a list of ``(column_name, sql)`` rungs —
+    rung m references rung m-1 by COLUMN NAME instead of embedding its
+    text in both the THEN and the ELSE branch (the old expansion held
+    2^(n-2) copies of the bigram rung: the exact expression-duplication
+    blowup the ivf_assign kernel comment warns stalls codegen).  Each
+    rung's SQL text is still shared VERBATIM with the DuckDB oracle;
+    projecting a rung once and referencing it computes the identical
+    float64 value, so the replay stays bit-green."""
+    assert n >= 2
+    rungs = [("kn_s2", KN_SCORE_SQL)]
+    for m in range(3, n + 1):
+        prev = f"kn_s{m - 1}"
+        rungs.append((f"kn_s{m}",
+                      f"CASE WHEN pos >= {m - 1} AND ctx{m} > 0 "
+                      f"AND n1pctx{m} > 0 THEN "
+                      f"(GREATEST(c{m} - {KN_D}, 0.0) + "
+                      f"({KN_D} * n1pctx{m}) "
+                      f"* ({prev})) / CAST(ctx{m} AS DOUBLE) "
+                      f"ELSE ({prev}) END"))
+    return rungs
+
+
+def kn_token_nano_from_rung(n: int) -> str:
+    """-log10 of the top rung's column, nano-quantized."""
+    return f"CAST(round(1e9 * (-log10(kn_s{n}))) AS BIGINT)"
+
+
 def kn_score_sql_n(n: int) -> str:
-    """The order-n ladder over columns pos, c{m}, ctx{m}, n1pctx{m}
-    (m = 3..n) plus the level-2 columns of KN_SCORE_SQL.  Shared
-    VERBATIM with the DuckDB oracle."""
+    """The order-n ladder as ONE flat expression (legacy form; the
+    engine and oracle now use :func:`kn_rung_sqls`, which projects each
+    rung once — this expansion doubles per order and is kept only as
+    the executable spec the rung form is tested against)."""
     assert n >= 2
     sql = KN_SCORE_SQL
     for m in range(3, n + 1):
@@ -437,11 +497,10 @@ def kneser_ney_report(docs: DataFrame, id_col: str = "doc_id",
     tables N1+(p.) / N1+(.w) are one extra partial-agg groupBy each
     over the (already bounded) bigram count table — everything else is
     the same equi-join stream as the backoff scorer."""
-    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       portable_words(F.coalesce(F.col(text_col),
-                                                 F.lit(""))).alias("ws"))
-    train = base.filter(F.col("doc_id") % train_mod != 0)
-    held = base.filter(F.col("doc_id") % train_mod == 0)
+    base = _tokens(docs, id_col, text_col)
+    sb = _split_bucket(F.col("doc_id"), train_mod)
+    train = base.filter(sb != 0)
+    held = base.filter(sb == 0)
 
     uni = _ngram_counts(train, 1)
     bi = _ngram_counts(train, 2)
@@ -511,11 +570,10 @@ def kneser_ney_n_report(docs: DataFrame, n: int = 3,
     on the gram key with AQE handling the Zipfian skew.
     """
     assert n >= 2
-    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       portable_words(F.coalesce(F.col(text_col),
-                                                 F.lit(""))).alias("ws"))
-    train = base.filter(F.col("doc_id") % train_mod != 0)
-    held = base.filter(F.col("doc_id") % train_mod == 0)
+    base = _tokens(docs, id_col, text_col)
+    sb = _split_bucket(F.col("doc_id"), train_mod)
+    train = base.filter(sb != 0)
+    held = base.filter(sb == 0)
 
     grams = {k: _ngram_counts(train, k) for k in range(1, n + 1)}
     split = grams[2].select(
@@ -574,10 +632,15 @@ def kneser_ney_n_report(docs: DataFrame, n: int = 3,
                   F.coalesce(f"_n1pctx{m}", F.lit(0)).alias(f"n1pctx{m}")]
     j = j.select(*out_cols, *exprs)
 
+    # each rung is projected ONCE and referenced by name by the rung
+    # above (kn_rung_sqls) — the plan holds n-1 rung expressions total
+    # instead of the 2^(n-2) copies the flat expansion carried
+    for rung_name, rung_sql in kn_rung_sqls(n):
+        j = j.withColumn(rung_name, F.expr(rung_sql))
     scored = j.withColumn(
         "tok_nano",
         F.when(F.col("pos").isNull(), None)
-        .otherwise(F.expr(kn_token_nano_sql_n(n))))
+        .otherwise(F.expr(kn_token_nano_from_rung(n))))
     agg = scored.groupBy("doc_id").agg(
         F.count("tok_nano").cast("long").alias("n_tokens"),
         F.sum("tok_nano").alias("nll_nano"))
@@ -667,8 +730,16 @@ def kneser_ney_n_oracle_sql(docs_sql: str, n: int = 3,
                 + ",\n                 ".join(sel)
                 + "\n          FROM pos_rows r\n          "
                 + "\n          ".join(joins) + ")")
-    ctes.append(f"scored AS (SELECT doc_id, {kn_token_nano_sql_n(n)}"
-                f" AS tok_nano FROM joined)")
+    # rung chain: one CTE per ladder level, each referencing the rung
+    # below by column name — the same single-projection shape as the
+    # Spark plan (kn_rung_sqls), same SQL text per rung
+    prev = "joined"
+    for rung_name, rung_sql in kn_rung_sqls(n):
+        ctes.append(f"lad_{rung_name} AS (SELECT *, {rung_sql} "
+                    f"AS {rung_name} FROM {prev})")
+        prev = f"lad_{rung_name}"
+    ctes.append(f"scored AS (SELECT doc_id, {kn_token_nano_from_rung(n)}"
+                f" AS tok_nano FROM {prev})")
     ctes.append("""agg AS (
           SELECT h.doc_id,
                  COUNT(s.tok_nano) AS n_tokens,
@@ -677,12 +748,13 @@ def kneser_ney_n_oracle_sql(docs_sql: str, n: int = 3,
           GROUP BY h.doc_id)""")
 
     body = ",\n        ".join(ctes)
+    sb = _split_bucket_sql(train_mod)
     return f"""
         WITH base AS (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
+          SELECT doc_id, {ws} AS ws, {sb} AS sb
           FROM {docs_sql}),
-        train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
-        held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+        train AS (SELECT doc_id, ws FROM base WHERE sb <> 0),
+        held AS (SELECT doc_id, ws FROM base WHERE sb = 0),
         {body}
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(nll_nano AS BIGINT) AS nll_nano,
@@ -701,12 +773,13 @@ def kneser_ney_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
     """DuckDB replay with the IDENTICAL KN ladder SQL text."""
     ws = (r"list_filter(string_split_regex(lower(trim(text)),"
           r" '[ \t\n\r\f]+'), w -> w <> '')")
+    sb = _split_bucket_sql(train_mod)
     return f"""
         WITH base AS (
-          SELECT CAST(doc_id AS BIGINT) AS doc_id, {ws} AS ws
+          SELECT doc_id, {ws} AS ws, {sb} AS sb
           FROM {docs_sql}),
-        train AS (SELECT * FROM base WHERE doc_id % {train_mod} <> 0),
-        held AS (SELECT * FROM base WHERE doc_id % {train_mod} = 0),
+        train AS (SELECT doc_id, ws FROM base WHERE sb <> 0),
+        held AS (SELECT doc_id, ws FROM base WHERE sb = 0),
         uni AS (
           SELECT w AS gram, COUNT(*) AS c
           FROM (SELECT UNNEST(ws) AS w FROM train) GROUP BY w),

@@ -123,13 +123,12 @@ def prepare_corpus(docs: DataFrame, id_col: str = "doc_id",
             scored, lang_col="_lang" if lm_lang_col else None,
             train_mod=lm_train_mod, buckets=lm_buckets)
             .filter(F.col("bucket") <= lm_head_buckets)
-            .select(F.col("doc_id").alias("_lm_id")))
-        # the LM frame carries the CAST-to-long id; join on the same
-        # cast so string ids in the hygiene chain keep matching
-        d3 = _stage("lm_head_kept",
-                    d3.join(head_ids,
-                            F.col("doc_id").cast("long") == F.col("_lm_id"))
-                    .drop("_lm_id"))
+            .select("doc_id"))
+        # the LM frame keeps the ORIGINAL id type (nglm._split_bucket
+        # hashes any id for the train/held split), so this is a plain
+        # equi-join — a string/url-keyed corpus no longer silently
+        # drops to zero rows through a long cast (round-4 VERDICT #1)
+        d3 = _stage("lm_head_kept", d3.join(head_ids, "doc_id"))
 
     # 4. corpus-wide line dedup over survivors
     d4 = _stage("line_deduped",
