@@ -40,10 +40,13 @@ MICRO = 1_000_000.0
 
 
 def quantize(vec_col) -> "F.Column":
-    """float array -> exact micro-unit bigint array."""
+    """float array -> exact micro-unit bigint array.  try_cast: a NaN
+    or +-inf element quantizes to a NULL element instead of throwing
+    under ANSI mode (the assignment kernels then give the row its
+    NULL-cluster / -1 sentinel)."""
     return F.transform(vec_col,
                        lambda x: F.round(x.cast("double") * MICRO)
-                       .cast("bigint"))
+                       .try_cast("bigint"))
 
 
 def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
@@ -77,13 +80,27 @@ def assign_clusters(vecs: DataFrame, centroids: list[list[int]],
     def _cluster_of(col: pd.Series) -> pd.Series:
         import numpy as np
         out = pd.array([None] * len(col), dtype="Int32")
-        ok = [i for i, x in enumerate(col)
-              if x is not None and len(x) >= dim
-              and not any(e is None for e in x[:dim])]
+        # pyarrow hands a list<bigint> chunk containing NULL ELEMENTS
+        # over as a float64 ndarray with NaN in the null slots — never
+        # Python None (round-4 ADVICE; an `e is None` scan is dead
+        # code, and int64-casting the NaN would assign a garbage
+        # cluster).  Detect bad rows on the float view; clean rows cast
+        # back to exact int64 (quantized micro-units, far below 2^53).
+        ok, rows = [], []
+        for i, x in enumerate(col):
+            if x is None or len(x) < dim:
+                continue
+            a = np.asarray(x[:dim])
+            if a.dtype == object:        # defensive: None-bearing chunk
+                a = np.array([np.nan if e is None else float(e)
+                              for e in a])
+            if a.dtype.kind == "f" and np.isnan(a).any():
+                continue                 # null/NaN element -> NULL cluster
+            ok.append(i)
+            rows.append(a.astype(np.int64))
         if not ok:
             return pd.Series(out)
-        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.int64)
-                      for i in ok])                  # n x dim
+        V = np.stack(rows)                           # n x dim
         best = None
         bestk = np.zeros(len(ok), dtype=np.int32)
         for ki in range(len(C)):                     # k passes, n x dim each
@@ -106,7 +123,8 @@ def update_centroids(assigned: DataFrame, centroids: list[list[int]],
     """One exact Lloyd's update: floor(sum/count) per (cluster, dim)
     from a map-side-combinable groupBy; empty clusters keep their
     previous centroid.  Returns (new centroids, cluster sizes)."""
-    rows = (assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
+    rows = (assigned.filter(F.col("cluster").isNotNull())
+            .select("cluster", F.posexplode("qv").alias("d", "v"))
             .groupBy("cluster", "d")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect())

@@ -168,13 +168,29 @@ def lsh_buckets_multi(vecs: DataFrame, dim: int, bits: int = 8,
     @F.pandas_udf("array<bigint>")
     def _buckets_of(col: pd.Series) -> pd.Series:
         out = [[0] * tables for _ in range(len(col))]
-        ok = [i for i, x in enumerate(col)
-              if x is not None and len(x) >= dim
-              and not any(e is None for e in x[:dim])]
+        # NULL elements arrive as NaN in a float64 ndarray (round-4
+        # ADVICE: an `e is None` scan never fires).  NaN rows are
+        # excluded from the kernel and keep bucket 0 of every table —
+        # the same value NaN propagation through the sign bits yields
+        # (NaN >= 0 is False), and exactly what the NULL-propagating
+        # expression chain produced; excluding them just makes the
+        # contract explicit instead of an IEEE accident.
+        ok, rows = [], []
+        for i, x in enumerate(col):
+            if x is None or len(x) < dim:
+                continue
+            a = np.asarray(x[:dim])
+            if a.dtype == object:        # defensive: None-bearing chunk
+                a = np.array([np.nan if e is None else float(e)
+                              for e in a])
+            a = a.astype(np.float64)
+            if np.isnan(a).any():
+                continue                 # null/NaN element -> bucket 0
+            ok.append(i)
+            rows.append(a)
         if not ok:
             return pd.Series(out)
-        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.float64)
-                      for i in ok])
+        V = np.stack(rows)
         bks = np.zeros((len(ok), tables), dtype=np.int64)
         for t, planes in enumerate(all_planes):
             for bi, plane in enumerate(planes):
@@ -293,7 +309,16 @@ def ivf_train(vecs: DataFrame, k_cells: int = 8, iters: int = 2,
     """
     from .kmeans import assign_clusters, quantize, update_centroids
 
-    init = (vecs.orderBy(id_col).limit(k_cells)
+    # Seed from the k_cells smallest-id rows with a USABLE embedding:
+    # a NULL vector (or one with a NULL element) would make quantize
+    # yield NULL/null-element qv and the int() comprehension below
+    # iterate None (round-4 ADVICE).  Such rows still get ASSIGNED
+    # later (the kernel gives them the NULL/-1 sentinel) — they are
+    # only excluded as seeds.
+    usable = vecs.filter(
+        F.col(vec_col).isNotNull() &
+        ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+    init = (usable.orderBy(id_col).limit(k_cells)
             .select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("v"),
                     quantize(F.col(vec_col)).alias("qv"))
@@ -336,8 +361,9 @@ def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
     dims), so results are bit-identical to the expression form.
 
     Semantics: ties argmax to the SMALLEST centroid index (strictly-
-    greater update); NULL vectors and vectors shorter than the centroid
-    dim keep the -1 'no cell' sentinel (they would otherwise silently
+    greater update); NULL vectors, vectors shorter than the centroid
+    dim, and vectors containing a NULL/NaN element keep the -1 'no
+    cell' sentinel (they would otherwise silently
     join cell 0's candidate set); longer vectors use their first ``dim``
     elements, exactly like ``try_element_at`` chains.
     """
@@ -356,13 +382,27 @@ def ivf_assign(vecs: DataFrame, centroids: list[list[float]],
     def _cell_of(col: pd.Series) -> pd.Series:
         import numpy as np
         out = np.full(len(col), -1, dtype=np.int32)
-        ok = [i for i, x in enumerate(col)
-              if x is not None and len(x) >= dim
-              and not any(e is None for e in x[:dim])]
+        # NULL elements arrive from pyarrow as NaN in a float64 ndarray
+        # (never Python None — round-4 ADVICE): without this isnan
+        # screen the NaN sims never beat best_sim and the row silently
+        # took cell 0 instead of the -1 'no cell' sentinel — the
+        # round-3 all-NULL bug class at element granularity.
+        ok, rows = [], []
+        for i, x in enumerate(col):
+            if x is None or len(x) < dim:
+                continue
+            a = np.asarray(x[:dim])
+            if a.dtype == object:        # defensive: None-bearing chunk
+                a = np.array([np.nan if e is None else float(e)
+                              for e in a])
+            a = a.astype(np.float64)
+            if np.isnan(a).any():
+                continue                 # null/NaN element -> -1 sentinel
+            ok.append(i)
+            rows.append(a)
         if not ok:
             return pd.Series(out)
-        V = np.stack([np.asarray(col.iloc[i][:dim], dtype=np.float64)
-                      for i in ok])
+        V = np.stack(rows)
         acc = np.zeros(len(ok))
         for d in range(dim):              # left fold, one dim at a time
             acc = acc + V[:, d] * V[:, d]

