@@ -43,7 +43,8 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
         rule_completion: bool = False, rule_min_support: int = 2,
         rule_min_conf_ppm: int = 600000,
         url_redirects: DataFrame | None = None,
-        ifp_canonical: bool = False) -> dict:
+        ifp_canonical: bool = False,
+        export_formats: tuple[str, ...] | list[str] | None = None) -> dict:
     """Run (or resume) the full pipeline; returns run metrics.
 
     ``openie=True`` adds the OpenIE-style SVO relation stage
@@ -272,6 +273,32 @@ def run(spark: SparkSession, pages: DataFrame, work_dir: str,
             apply_rules(base, rules, min_conf_ppm=rule_min_conf_ppm) \
                 .write.mode("overwrite").parquet(ipath2)
         metrics["n_inferred"] = spark.read.parquet(ipath2).count()
+
+    # 7: serialization exports — the reference's download surface
+    # (webapp/backend/main.py:254-281 offers turtle | json-ld | xml via
+    # rdflib.serialize) reachable from the north-star job, not just the
+    # operator API.  Each format is a per-document (source_doc, payload)
+    # parquet table with the SAME checkpoint/resume contract as every
+    # other stage; the three emitters are isomorphism-tested against
+    # each other in tests/test_sinks_rdf.py.  At scale the table IS the
+    # deliverable (one row per doc, written distributed); fixture-sized
+    # runs can fan out files with sinks_ttl.write_turtle_files.
+    _EXPORTERS = {"turtle": ("sinks_ttl", "to_turtle"),
+                  "json-ld": ("sinks_rdf", "to_jsonld"),
+                  "xml": ("sinks_rdf", "to_rdfxml")}
+    for fmt in (export_formats or ()):
+        if fmt not in _EXPORTERS:
+            raise ValueError(f"unknown export format {fmt!r}; "
+                             f"supported: {sorted(_EXPORTERS)}")
+        mod_name, fn_name = _EXPORTERS[fmt]
+        xpath = stage(f"export_{fmt.replace('-', '_')}")
+        if force or not os.path.exists(os.path.join(xpath, "_SUCCESS")):
+            import importlib
+            mod = importlib.import_module(f".{mod_name}", __package__)
+            getattr(mod, fn_name)(flat).write.mode("overwrite") \
+                .parquet(xpath)
+        metrics[f"n_export_{fmt.replace('-', '_')}"] = \
+            spark.read.parquet(xpath).count()
 
     metrics["wall_s"] = round(time.time() - t_start, 3)
     sinks.write_metrics(spark, stage("metrics"), "kg_job",

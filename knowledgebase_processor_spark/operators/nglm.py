@@ -153,15 +153,41 @@ def backoff_lm_score(train_docs: DataFrame, score_docs: DataFrame,
         _tokens(score_docs, id_col, text_col))
 
 
+def backoff_lm_model(train: DataFrame,
+                     persist: bool = False) -> dict[str, DataFrame]:
+    """The trained stupid-backoff model as its four bounded count
+    frames (uni/bi/tri gram counts + the 1-row token total).  This is
+    the deployment split: train ONCE, score many — the streaming screen
+    (streaming/jobs.py::lm_screen_stream) scores every micro-batch
+    against one model, so ``persist=True`` caches the count tables
+    instead of re-aggregating the training corpus per batch (exactly
+    how CCNet ships one KenLM binary to every worker)."""
+    model = {"uni": _ngram_counts(train, 1),
+             "bi": _ngram_counts(train, 2),
+             "tri": _ngram_counts(train, 3),
+             "n_train": train.select(
+                 F.coalesce(F.sum(F.size("ws")), F.lit(0)).cast("long")
+                 .alias("n_train"))}           # 1 row -> broadcast below
+    if persist:
+        for df in model.values():
+            df.persist()
+    return model
+
+
 def backoff_lm_score_tokens(train: DataFrame,
                             held: DataFrame) -> DataFrame:
     """Core scorer over pre-tokenized (doc_id, ws) frames."""
-    uni = _ngram_counts(train, 1)
-    bi = _ngram_counts(train, 2)
-    tri = _ngram_counts(train, 3)
-    n_train = train.select(
-        F.coalesce(F.sum(F.size("ws")), F.lit(0)).cast("long")
-        .alias("n_train"))                     # 1 row -> broadcast below
+    return backoff_lm_score_with_model(backoff_lm_model(train), held)
+
+
+def backoff_lm_score_with_model(model: dict[str, DataFrame],
+                                held: DataFrame) -> DataFrame:
+    """Score pre-tokenized (doc_id, ws) rows against a trained
+    :func:`backoff_lm_model` — the same five equi-joins and the same
+    shared ladder SQL as the one-shot path (bit-identical by
+    construction; the stream/batch equivalence test pins it)."""
+    uni, bi, tri = model["uni"], model["bi"], model["tri"]
+    n_train = model["n_train"]
 
     pos_rows = held.select(
         "doc_id",

@@ -186,6 +186,53 @@ def decontaminate_crawl_stream(docs_stream: DataFrame, benchmark: DataFrame,
             .trigger(availableNow=True))
 
 
+def lm_screen_stream(docs_stream: DataFrame, train_docs: DataFrame,
+                     clean_dir: str, flagged_dir: str,
+                     checkpoint_dir: str, max_avg_nll_micro: int,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming CCNet-style LM fluency screen of a crawl feed: the
+    stupid-backoff model is trained ONCE from the static ``train_docs``
+    frame (count tables persisted — the deployment shape: CCNet ships
+    one Wikipedia-trained KenLM to every worker), then every
+    micro-batch is scored by the EXACT batch scorer
+    (``operators.nglm.backoff_lm_score_with_model``).  Pages at or
+    under the ``max_avg_nll_micro`` perplexity ceiling append to
+    ``clean_dir``; the high-perplexity tail appends to ``flagged_dir``
+    with its (n_tokens, nll_nano, avg_nll_micro) evidence.  Token-less
+    pages have no perplexity and are flagged (CCNet drops them).
+
+    ``foreachBatch`` keeps stream and batch semantics identical (the
+    equivalence test pins keep-set equality against
+    ``backoff_lm_score``); the count tables are stream-static joins —
+    a pruned production LM broadcasts, so at web scale only the
+    micro-batch is ever shuffled.
+    """
+    from ..operators.nglm import (_tokens, backoff_lm_model,
+                                  backoff_lm_score_with_model)
+    model = backoff_lm_model(_tokens(train_docs, id_col, text_col),
+                             persist=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = backoff_lm_score_with_model(
+            model, _tokens(batch_df, id_col, text_col))
+        scored.persist()
+        keep = (F.col("avg_nll_micro").isNotNull()
+                & (F.col("avg_nll_micro") <= max_avg_nll_micro))
+        (scored.filter(~keep)
+         .write.mode("append").parquet(flagged_dir))
+        keep_ids = (scored.filter(keep)
+                    .select(F.col("doc_id").alias("_keep_id")))
+        (batch_df.join(keep_ids,
+                       F.col(id_col) == F.col("_keep_id"), "left_semi")
+         .write.mode("append").parquet(clean_dir))
+        scored.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
 def correlate_event_streams(left: DataFrame, right: DataFrame,
                             key: str = "user_id", ts: str = "ts",
                             id_col: str = "event_id",

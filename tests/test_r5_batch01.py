@@ -236,3 +236,109 @@ def test_ivf_train_skips_null_embedding_seeds(spark):
     cents, first = ivf_train(vecs, k_cells=2, iters=1)
     assert len(cents) == 2 and all(len(c) == 2 for c in cents)
     assert first == [1.0, 0.0]   # smallest-id USABLE row
+
+
+def test_lm_screen_stream_equals_batch(spark, tmp_path):
+    """Streaming CCNet LM screen (streaming/jobs.py::lm_screen_stream)
+    keeps EXACTLY the documents the batch scorer keeps at the same
+    perplexity ceiling — foreachBatch reuses the batch operator against
+    a once-trained persisted model, so equality is by construction and
+    this test pins it."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        backoff_lm_score)
+    from knowledgebase_processor_spark.streaming.jobs import (
+        lm_screen_stream)
+
+    train = spark.createDataFrame(
+        [(f"t{i}", _fluent_page(i)) for i in range(1, 9)],
+        "doc_id string, text string")
+    feed_rows = ([(f"page{i}", _fluent_page(i + 20)) for i in range(4)]
+                 + [("soup", " ".join(f"zz{k}q xj{k}w" for k in range(40))),
+                    ("empty", " \n")])   # whitespace-only: zero tokens
+    # (a truly empty FILE yields no row from the text file-stream
+    # source, so the feed uses whitespace to exercise the NULL-ppl path)
+    src = tmp_path / "feed"
+    src.mkdir()
+    for did, text in feed_rows:
+        (src / f"{did}.txt").write_text(text)
+
+    # batch reference: score the same feed against the same model
+    feed = spark.createDataFrame(feed_rows, "doc_id string, text string")
+    rep = backoff_lm_score(train, feed).collect()
+    ceiling = sorted(r["avg_nll_micro"] for r in rep
+                     if r["avg_nll_micro"] is not None)[len(rep) // 2]
+    batch_keep = {r["doc_id"] for r in rep
+                  if r["avg_nll_micro"] is not None
+                  and r["avg_nll_micro"] <= ceiling}
+
+    stream = (spark.readStream.format("text").option("wholetext", "true")
+              .option("maxFilesPerTrigger", "2")      # several micro-batches
+              .load(str(src))
+              .select(F.regexp_extract(F.input_file_name(),
+                                       r"([^/]+)\.txt$", 1).alias("doc_id"),
+                      F.col("value").alias("text")))
+    clean_dir = str(tmp_path / "clean")
+    flagged_dir = str(tmp_path / "flag")
+    q = lm_screen_stream(stream, train, clean_dir, flagged_dir,
+                         str(tmp_path / "ck"),
+                         max_avg_nll_micro=ceiling).start()
+    q.awaitTermination(180)
+
+    stream_keep = {r["doc_id"]
+                   for r in spark.read.parquet(clean_dir).collect()}
+    assert stream_keep == batch_keep and stream_keep
+    flagged = {r["doc_id"]: r for r in
+               spark.read.parquet(flagged_dir).collect()}
+    assert set(flagged) == {d for d, _ in feed_rows} - batch_keep
+    assert flagged["empty"]["avg_nll_micro"] is None   # token-less: flagged
+
+
+def test_kg_job_export_formats_and_resume(spark, tmp_path):
+    """kg_job(export_formats=...) writes all three reference download
+    formats (turtle | json-ld | xml) as per-doc payload tables with the
+    standard checkpoint/resume contract, and the three serializations
+    are graph-isomorphic per document."""
+    import os
+
+    from knowledgebase_processor_spark import kg_job
+    from knowledgebase_processor_spark.goldens import parse_turtle
+    from knowledgebase_processor_spark.sinks_rdf import (
+        parse_jsonld, parse_rdfxml)
+    from knowledgebase_processor_spark.sources.web_pages import (
+        fixture_pages)
+
+    pages = fixture_pages(spark).limit(6)
+    work = str(tmp_path / "run")
+    fmts = ("turtle", "json-ld", "xml")
+    m1 = kg_job.run(spark, pages, work, export_formats=fmts)
+    n_docs = spark.read.parquet(os.path.join(work, "kg_triples")) \
+        .select("source_doc").distinct().count()
+    for f in ("export_turtle", "export_json_ld", "export_xml"):
+        assert m1[f"n_{f}"] == n_docs
+        assert os.path.exists(os.path.join(work, f, "_SUCCESS"))
+
+    ttl = {r["source_doc"]: r["ttl"] for r in spark.read.parquet(
+        os.path.join(work, "export_turtle")).collect()}
+    jld = {r["source_doc"]: r["jsonld"] for r in spark.read.parquet(
+        os.path.join(work, "export_json_ld")).collect()}
+    xml = {r["source_doc"]: r["rdfxml"] for r in spark.read.parquet(
+        os.path.join(work, "export_xml")).collect()}
+    assert set(ttl) == set(jld) == set(xml)
+    for doc in ttl:
+        g = parse_turtle(ttl[doc])
+        assert parse_jsonld(jld[doc]) == g
+        assert parse_rdfxml(xml[doc]) == g
+        assert g
+
+    # resume: all export checkpoints reused, same counts
+    mtimes = {f: os.path.getmtime(os.path.join(work, f, "_SUCCESS"))
+              for f in ("export_turtle", "export_json_ld", "export_xml")}
+    m2 = kg_job.run(spark, pages, work, export_formats=fmts)
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(work, f, "_SUCCESS")) == t
+        assert m2[f"n_{f}"] == m1[f"n_{f}"]
+
+    # unknown format fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown export format"):
+        kg_job.run(spark, pages, work, export_formats=("n3",))
