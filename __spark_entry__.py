@@ -52,7 +52,8 @@ from knowledgebase_processor_spark.operators.nglm import (  # noqa: E402
     kneser_ney3_oracle_sql as _kn3_oracle,
     kneser_ney_n_oracle_sql as _kn_n_oracle,
     ppl_bucket_assign_oracle_sql as _ppl_assign_oracle,
-    ppl_buckets_oracle_sql as _ppl_buckets_oracle)
+    ppl_buckets_oracle_sql as _ppl_buckets_oracle,
+    kn_ppl_bucket_assign_oracle_sql as _kn_ppl_assign_oracle)
 from knowledgebase_processor_spark.operators.inference import (  # noqa: E402
     welch_oracle_sql as _welch_oracle_sql,
     chi2_oracle_sql as _chi2_oracle_sql,
@@ -4594,6 +4595,20 @@ def _q248_kneser_ney5(spark, sf):
             .orderBy("doc_id"))
 
 
+def _q249_kn5_ppl_assign(spark, sf):
+    # CCNet bucket assignment under the PRODUCTION model: perplexity
+    # from the order-5 interpolated Kneser-Ney (the published CCNet
+    # pipeline buckets on a 5-gram KN KenLM; q245 keeps the cheap
+    # stupid-backoff twin).  Train on the hash split, score EVERY doc,
+    # per-language ntile on (avg_nll_micro, doc_id).  Full generated
+    # replay oracle (score-all order-5 rung-CTE pyramid + NTILE).
+    from knowledgebase_processor_spark.operators.nglm import (
+        kn_ppl_bucket_assign)
+    return (kn_ppl_bucket_assign(_t(spark, sf, "documents"), n=5,
+                                 lang_col="lang")
+            .orderBy("doc_id"))
+
+
 def _q245_ppl_assign(spark, sf):
     # Per-document CCNet bucket assignment (operators/nglm.py
     # ppl_bucket_assign): the LM scores EVERY doc against the
@@ -4886,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_prepare_corpus_ccnet": _q246_prepare_corpus_ccnet,
         "q247_kneser_ney4": _q247_kneser_ney4,
         "q248_kneser_ney5": _q248_kneser_ney5,
+        "q249_kn5_ppl_assign": _q249_kn5_ppl_assign,
     }
 
 
@@ -9301,6 +9317,8 @@ def oracle_sql() -> dict[str, str]:
                                               lang_col="d.lang"),
         "q247_kneser_ney4": _kn_n_oracle("documents", 4),
         "q248_kneser_ney5": _kn_n_oracle("documents", 5),
+        "q249_kn5_ppl_assign": _kn_ppl_assign_oracle(
+            "documents", 5, lang_col="d.lang"),
         # q240: the media payloads are synthesized with closed-form
         # parameters per doc_id (see _q240_video_container_meta), so the
         # expected container metadata is plain SQL over `documents` —

@@ -580,10 +580,13 @@ def kneser_ney_report(docs: DataFrame, id_col: str = "doc_id",
 
 def kneser_ney_n_report(docs: DataFrame, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        train_mod: int = 5) -> DataFrame:
+                        train_mod: int = 5,
+                        score_all: bool = False) -> DataFrame:
     """Order-n interpolated KN (n=5 is CCNet's production KenLM): same
     split and output shape as :func:`kneser_ney_report` (which is the
-    n=2 base of the same ladder).
+    n=2 base of the same ladder).  ``score_all`` scores EVERY document
+    against the split-trained model — the CCNet filter shape
+    (:func:`kn_ppl_bucket_assign` uses it).
 
     Scale shape — the join pyramid: every rung is a bounded count table
     (k-gram counts k=1..n plus the N1+ continuation aggregates, each
@@ -599,7 +602,7 @@ def kneser_ney_n_report(docs: DataFrame, n: int = 3,
     base = _tokens(docs, id_col, text_col)
     sb = _split_bucket(F.col("doc_id"), train_mod)
     train = base.filter(sb != 0)
-    held = base.filter(sb == 0)
+    held = base if score_all else base.filter(sb == 0)
 
     grams = {k: _ngram_counts(train, k) for k in range(1, n + 1)}
     split = grams[2].select(
@@ -685,10 +688,12 @@ def kneser_ney3_report(docs: DataFrame, id_col: str = "doc_id",
 
 
 def kneser_ney_n_oracle_sql(docs_sql: str, n: int = 3,
-                            train_mod: int = 5) -> str:
-    """DuckDB replay of the order-n pyramid with the IDENTICAL ladder
-    SQL text (kn_token_nano_sql_n embeds every lower rung verbatim);
-    the CTE graph is generated by the same loop as the Spark joins."""
+                            train_mod: int = 5,
+                            score_all: bool = False) -> str:
+    """DuckDB replay of the order-n pyramid: rung-CTE chain with the
+    IDENTICAL per-rung ladder SQL text (kn_rung_sqls); the CTE graph is
+    generated by the same loop as the Spark joins.  ``score_all``
+    mirrors the report's CCNet filter shape."""
     assert n >= 2
     ws = (r"list_filter(string_split_regex(lower(trim(text)),"
           r" '[ \t\n\r\f]+'), w -> w <> '')")
@@ -775,12 +780,14 @@ def kneser_ney_n_oracle_sql(docs_sql: str, n: int = 3,
 
     body = ",\n        ".join(ctes)
     sb = _split_bucket_sql(train_mod)
+    held = ("SELECT doc_id, ws FROM base" if score_all else
+            "SELECT doc_id, ws FROM base WHERE sb = 0")
     return f"""
         WITH base AS (
           SELECT doc_id, {ws} AS ws, {sb} AS sb
           FROM {docs_sql}),
         train AS (SELECT doc_id, ws FROM base WHERE sb <> 0),
-        held AS (SELECT doc_id, ws FROM base WHERE sb = 0),
+        held AS ({held}),
         {body}
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(nll_nano AS BIGINT) AS nll_nano,
@@ -856,3 +863,58 @@ def kneser_ney_oracle_sql(docs_sql: str, train_mod: int = 5) -> str:
                     ELSE CAST(round(nll_nano / (1000.0 * n_tokens))
                          AS BIGINT) END AS avg_nll_micro
         FROM agg ORDER BY doc_id"""
+
+
+def kn_ppl_bucket_assign(docs: DataFrame, n: int = 5,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         lang_col: str | None = None,
+                         train_mod: int = 5,
+                         buckets: int = 3) -> DataFrame:
+    """Per-document CCNet bucket from the ORDER-N Kneser-Ney model —
+    the production configuration: CCNet's published pipeline buckets on
+    perplexity under a 5-gram Kneser-Ney KenLM, not the stupid-backoff
+    trigram (:func:`ppl_bucket_assign` keeps that as the cheap twin).
+
+    Same shape: train on the hash split (``_split_bucket``, any id
+    type), score EVERY document (``score_all``), ntile per language on
+    (avg_nll_micro, doc_id).  -> (doc_id, lang, avg_nll_micro, bucket);
+    bucket 1 = head.  Token-less docs drop (no perplexity).
+
+    Scale shape: the order-n join pyramid (bounded count tables, +3
+    equi-joins per order) plus one per-language window rank — no new
+    shuffle pattern beyond :func:`kneser_ney_n_report`.
+    """
+    from pyspark.sql import Window
+
+    rep = kneser_ney_n_report(docs, n, id_col, text_col, train_mod,
+                              score_all=True)
+    lang = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(lang_col) if lang_col else F.lit("all")).alias("lang"))
+    j = rep.filter(F.col("n_tokens") > 0).join(lang, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll_micro", "doc_id")
+    return (j.withColumn("bucket", F.ntile(buckets).over(w))
+            .select("doc_id", "lang", "avg_nll_micro",
+                    F.col("bucket").cast("int").alias("bucket")))
+
+
+def kn_ppl_bucket_assign_oracle_sql(docs_sql: str, n: int = 5,
+                                    lang_col: str | None = None,
+                                    train_mod: int = 5,
+                                    buckets: int = 3) -> str:
+    """DuckDB replay of :func:`kn_ppl_bucket_assign` — the score-all
+    order-n KN report as a CTE, identical NTILE ordering."""
+    rep = kneser_ney_n_oracle_sql(docs_sql, n, train_mod,
+                                  score_all=True)
+    lang = lang_col if lang_col else "'all'"
+    return f"""
+        WITH rep AS ({rep}),
+        j AS (
+          SELECT r.doc_id, r.avg_nll_micro, {lang} AS lang
+          FROM rep r JOIN {docs_sql} d
+            ON r.doc_id = d.doc_id
+          WHERE r.n_tokens > 0)
+        SELECT doc_id, lang, avg_nll_micro,
+               CAST(NTILE({buckets}) OVER (PARTITION BY lang
+                 ORDER BY avg_nll_micro, doc_id) AS INT) AS bucket
+        FROM j ORDER BY doc_id"""

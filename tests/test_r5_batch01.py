@@ -342,3 +342,28 @@ def test_kg_job_export_formats_and_resume(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown export format"):
         kg_job.run(spark, pages, work, export_formats=("n3",))
+
+
+def test_kn_ppl_bucket_assign_production_shape(spark):
+    """Order-5 KN bucket assignment (q249 — CCNet's production model):
+    scores EVERY doc, fluent templated pages rank ahead of a word-soup
+    outlier, token-less docs drop, url ids supported."""
+    from knowledgebase_processor_spark.operators.nglm import (
+        kn_ppl_bucket_assign)
+    # soup8 hashes into the HELD split (bucket 0 of 5), so the model
+    # never trains on its word soup — in-corpus split-training would
+    # otherwise make a trained-on soup page look fluent to itself
+    rows = [(f"https://ex.com/{i}", _fluent_page(i)) for i in range(1, 12)]
+    rows.append(("https://ex.com/soup8",
+                 " ".join(f"zz{k}q xj{k}w" for k in range(40))))
+    rows.append(("https://ex.com/blank", " "))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           kn_ppl_bucket_assign(docs, n=5, buckets=3).collect()}
+    assert len(got) == 12                      # blank has no perplexity
+    assert "https://ex.com/blank" not in got
+    soup = got["https://ex.com/soup8"]
+    assert soup["bucket"] == 3                 # the tail slice
+    fluent_buckets = {r["bucket"] for d, r in got.items()
+                      if d != "https://ex.com/soup8"}
+    assert 1 in fluent_buckets
